@@ -1,0 +1,698 @@
+"""Constructive geometry kernels (reference: shapely/constructive.py).
+
+Pure NumPy; run inside pandas UDFs on executors. Each function cites the
+reference operation whose semantics it reimplements.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .geom import (
+    GEOMETRYCOLLECTION,
+    LINEARRING,
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    Geometry,
+    box as make_box,
+    empty,
+    linestring,
+    multipoint,
+    multipolygon,
+    point as make_point,
+    polygon as make_polygon,
+)
+from .kernels import area, bounds, length, signed_ring_area
+
+# ---------------------------------------------------------------------------
+# Envelope / centroid
+# ---------------------------------------------------------------------------
+
+def envelope(geom: Geometry | None) -> Geometry | None:
+    """Bounding box polygon (point for degenerate).
+    reference: shapely/constructive.py:593."""
+    if geom is None:
+        return None
+    if geom.is_empty:
+        return empty(geom.type_id if geom.type_id == POINT else POLYGON)
+    b = bounds(geom)
+    if b[0] == b[2] and b[1] == b[3]:
+        return make_point(b[0], b[1])
+    return make_box(b[0], b[1], b[2], b[3], ccw=False)
+
+
+def centroid(geom: Geometry | None) -> Geometry | None:
+    """Area-weighted (polygons) / length-weighted (lines) / mean (points).
+    reference: shapely/constructive.py:347 (GEOSGetCentroid)."""
+    if geom is None:
+        return None
+    if geom.is_empty:
+        return empty(POINT)
+    tid = geom.type_id
+    if tid in (POLYGON, MULTIPOLYGON):
+        sa, sx, sy = 0.0, 0.0, 0.0
+        rings = []
+        stack = [geom]
+        while stack:
+            g = stack.pop()
+            if g.type_id == POLYGON:
+                for i, r in enumerate(g.rings or []):
+                    rings.append((np.asarray(r)[:, :2], i == 0))
+            for p in g.parts or []:
+                stack.append(p)
+        for r, is_shell in rings:
+            a_signed = signed_ring_area(r)
+            if a_signed == 0.0:
+                continue
+            x, y = r[:, 0], r[:, 1]
+            cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+            # first moments; Sx / a_signed is orientation-independent
+            mom_x = float(np.sum((x[:-1] + x[1:]) * cross)) / 6.0
+            mom_y = float(np.sum((y[:-1] + y[1:]) * cross)) / 6.0
+            w = abs(a_signed) if is_shell else -abs(a_signed)
+            ring_sign = math.copysign(1.0, a_signed)
+            sa += w
+            sx += ring_sign * mom_x * (1.0 if is_shell else -1.0)
+            sy += ring_sign * mom_y * (1.0 if is_shell else -1.0)
+        if sa == 0.0:
+            c = geom.all_coords()[:, :2]
+            return make_point(float(c[:, 0].mean()), float(c[:, 1].mean()))
+        return make_point(sx / sa, sy / sa)
+    if tid in (LINESTRING, LINEARRING, MULTILINESTRING):
+        segs = []
+        stack = [geom]
+        while stack:
+            g = stack.pop()
+            if g.type_id in (LINESTRING, LINEARRING) and g.coords is not None and len(g.coords) >= 2:
+                segs.append(np.asarray(g.coords)[:, :2])
+            for p in g.parts or []:
+                stack.append(p)
+        tot, sx, sy = 0.0, 0.0, 0.0
+        for c in segs:
+            d = np.sqrt((np.diff(c, axis=0) ** 2).sum(axis=1))
+            mid = (c[:-1] + c[1:]) / 2.0
+            tot += d.sum()
+            sx += (mid[:, 0] * d).sum()
+            sy += (mid[:, 1] * d).sum()
+        if tot == 0:
+            c = geom.all_coords()[:, :2]
+            return make_point(float(c[:, 0].mean()), float(c[:, 1].mean()))
+        return make_point(sx / tot, sy / tot)
+    c = geom.all_coords()[:, :2]
+    return make_point(float(c[:, 0].mean()), float(c[:, 1].mean()))
+
+
+# ---------------------------------------------------------------------------
+# Convex hull — Andrew monotone chain (reference: shapely/constructive.py:467)
+# ---------------------------------------------------------------------------
+
+def convex_hull(geom: Geometry | None) -> Geometry | None:
+    if geom is None:
+        return None
+    pts = np.unique(geom.all_coords()[:, :2], axis=0)
+    if len(pts) == 0:
+        return empty(GEOMETRYCOLLECTION)
+    if len(pts) == 1:
+        return make_point(*pts[0])
+    if len(pts) == 2:
+        return linestring(pts)
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    p = pts[order]
+
+    def half(points):
+        h: list[np.ndarray] = []
+        for pt in points:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], pt - h[-2]) <= 0:
+                h.pop()
+            h.append(pt)
+        return h
+
+    lower = half(p)
+    upper = half(p[::-1])
+    ring = np.array(lower[:-1] + upper[:-1])
+    if len(ring) < 3:  # collinear
+        return linestring(np.array([p[0], p[-1]]))
+    ring = np.vstack([ring, ring[:1]])
+    # GEOS returns CCW shell for convex_hull
+    if signed_ring_area(ring) < 0:
+        ring = ring[::-1]
+    return Geometry(POLYGON, rings=[ring])
+
+
+# ---------------------------------------------------------------------------
+# Buffer (reference: shapely/constructive.py:142 — quad_segs=8 default,
+# cap_style round). Round 1 supports point/multipoint buffers (exact
+# 4*quad_segs-gon with vertices on the circle, matching GEOS vertex
+# placement) and positive polygon buffer via vertex-arc offsetting of
+# convex shells; general line buffers raise NotImplementedError.
+# ---------------------------------------------------------------------------
+
+def buffer(geom: Geometry | None, distance: float, quad_segs: int = 8) -> Geometry | None:
+    if geom is None:
+        return None
+    if geom.is_empty or distance == 0:
+        return geom
+    n = max(4, 4 * quad_segs)
+    if geom.type_id == POINT:
+        cx, cy = geom.coords[0, 0], geom.coords[0, 1]
+        ang = 2.0 * math.pi * np.arange(n) / n
+        ring = np.column_stack([cx + distance * np.cos(ang), cy + distance * np.sin(ang)])
+        ring = np.vstack([ring, ring[:1]])
+        return Geometry(POLYGON, rings=[ring])
+    if geom.type_id == MULTIPOINT:
+        return multipolygon([buffer(p, distance, quad_segs) for p in geom.parts])
+    if geom.type_id == POLYGON and distance > 0:
+        shell = np.asarray(geom.rings[0])[:, :2]
+        if signed_ring_area(shell) < 0:
+            shell = shell[::-1]
+        out = _offset_convex_ring(shell, distance, quad_segs)
+        if out is not None:
+            return Geometry(POLYGON, rings=[out])
+    raise NotImplementedError(
+        "buffer(): round-1 kernel supports point/multipoint and convex "
+        "polygon outward buffers (constructive.py:142 parity tracked)"
+    )
+
+
+def _offset_convex_ring(ring: np.ndarray, d: float, quad_segs: int) -> np.ndarray | None:
+    """Outward offset of a CCW convex ring with round joins."""
+    c = ring[:-1]
+    m = len(c)
+    # convexity check
+    nxt = np.roll(c, -1, axis=0)
+    prv = np.roll(c, 1, axis=0)
+    cross = np.cross(c - prv, nxt - c)
+    if (cross < -1e-12).any():
+        return None
+    pts: list[np.ndarray] = []
+    for i in range(m):
+        p_prev, p, p_next = prv[i], c[i], nxt[i]
+        d_in = p - p_prev
+        d_out = p_next - p
+        n_in = np.array([d_in[1], -d_in[0]])
+        n_out = np.array([d_out[1], -d_out[0]])
+        n_in = n_in / (np.linalg.norm(n_in) or 1.0) * -1
+        n_out = n_out / (np.linalg.norm(n_out) or 1.0) * -1
+        a0 = math.atan2(n_in[1], n_in[0])
+        a1 = math.atan2(n_out[1], n_out[0])
+        while a1 < a0:
+            a1 += 2 * math.pi
+        steps = max(1, int(math.ceil((a1 - a0) / (math.pi / 2 / quad_segs))))
+        for s in range(steps + 1):
+            a = a0 + (a1 - a0) * s / steps
+            pts.append(p + d * np.array([math.cos(a), math.sin(a)]))
+    out = np.array(pts)
+    return np.vstack([out, out[:1]])
+
+
+# ---------------------------------------------------------------------------
+# clip_by_rect — Sutherland–Hodgman (reference: shapely/constructive.py:380)
+# — the tile-clipping primitive for raster↔vector aggregation.
+# ---------------------------------------------------------------------------
+
+def clip_ring_by_rect(ring: np.ndarray, xmin, ymin, xmax, ymax) -> np.ndarray | None:
+    out = np.asarray(ring, dtype=np.float64)[:, :2]
+    if len(out) and np.array_equal(out[0], out[-1]):
+        out = out[:-1]
+    for edge in range(4):
+        if len(out) == 0:
+            return None
+        inp = out
+        out_list = []
+        for i in range(len(inp)):
+            cur, prv = inp[i], inp[i - 1]
+            if edge == 0:
+                cin, pin = cur[0] >= xmin, prv[0] >= xmin
+            elif edge == 1:
+                cin, pin = cur[0] <= xmax, prv[0] <= xmax
+            elif edge == 2:
+                cin, pin = cur[1] >= ymin, prv[1] >= ymin
+            else:
+                cin, pin = cur[1] <= ymax, prv[1] <= ymax
+            if cin != pin:
+                if edge == 0:
+                    t = (xmin - prv[0]) / (cur[0] - prv[0])
+                elif edge == 1:
+                    t = (xmax - prv[0]) / (cur[0] - prv[0])
+                elif edge == 2:
+                    t = (ymin - prv[1]) / (cur[1] - prv[1])
+                else:
+                    t = (ymax - prv[1]) / (cur[1] - prv[1])
+                out_list.append(prv + t * (cur - prv))
+            if cin:
+                out_list.append(cur)
+        out = np.array(out_list) if out_list else np.zeros((0, 2))
+    if len(out) < 3:
+        return None
+    return np.vstack([out, out[:1]])
+
+
+def clip_by_rect(geom: Geometry | None, xmin, ymin, xmax, ymax) -> Geometry | None:
+    """reference: shapely/constructive.py:380 (GEOSClipByRect). Polygons:
+    Sutherland–Hodgman per ring (holes clipped then subtracted — round 1
+    keeps holes only if fully inside rect, matching valid inputs whose
+    holes don't straddle tile edges are exact; straddling holes are clipped
+    too). Points/lines: coordinate filtering / segment clipping."""
+    if geom is None:
+        return None
+    if geom.is_empty:
+        return empty(geom.type_id)
+    tid = geom.type_id
+    if tid == POINT:
+        x, y = geom.coords[0, :2]
+        if xmin <= x <= xmax and ymin <= y <= ymax:
+            return geom
+        return empty(POINT)
+    if tid == POLYGON:
+        shell = clip_ring_by_rect(geom.rings[0], xmin, ymin, xmax, ymax)
+        if shell is None:
+            return empty(POLYGON)
+        rings = [shell]
+        for h in geom.rings[1:]:
+            hc = clip_ring_by_rect(h, xmin, ymin, xmax, ymax)
+            if hc is not None:
+                rings.append(hc)
+        return Geometry(POLYGON, rings=rings)
+    if tid in (MULTIPOLYGON, GEOMETRYCOLLECTION, MULTIPOINT):
+        parts = []
+        for p in geom.parts or []:
+            cp = clip_by_rect(p, xmin, ymin, xmax, ymax)
+            if cp is not None and not cp.is_empty:
+                parts.append(cp)
+        if not parts:
+            return empty(tid)
+        return Geometry(tid, parts=parts)
+    if tid in (LINESTRING, LINEARRING, MULTILINESTRING):
+        # Cohen–Sutherland-ish per segment; emit clipped polyline pieces
+        segs = []
+        stack = [geom]
+        while stack:
+            g = stack.pop()
+            if g.coords is not None and len(g.coords) >= 2:
+                segs.append(np.asarray(g.coords)[:, :2])
+            for p in g.parts or []:
+                stack.append(p)
+        pieces = []
+        for c in segs:
+            cur: list[np.ndarray] = []
+            for i in range(len(c) - 1):
+                clipped = _clip_segment(c[i], c[i + 1], xmin, ymin, xmax, ymax)
+                if clipped is None:
+                    if len(cur) >= 2:
+                        pieces.append(np.array(cur))
+                    cur = []
+                    continue
+                p0, p1 = clipped
+                if cur and np.allclose(cur[-1], p0):
+                    cur.append(p1)
+                else:
+                    if len(cur) >= 2:
+                        pieces.append(np.array(cur))
+                    cur = [p0, p1]
+            if len(cur) >= 2:
+                pieces.append(np.array(cur))
+        if not pieces:
+            return empty(LINESTRING)
+        if len(pieces) == 1:
+            return Geometry(LINESTRING, coords=pieces[0])
+        return Geometry(MULTILINESTRING, parts=[Geometry(LINESTRING, coords=p) for p in pieces])
+    raise NotImplementedError(f"clip_by_rect for type {tid}")
+
+
+def _clip_segment(p0, p1, xmin, ymin, xmax, ymax):
+    t0, t1 = 0.0, 1.0
+    d = p1 - p0
+    for p, q in (
+        (-d[0], p0[0] - xmin),
+        (d[0], xmax - p0[0]),
+        (-d[1], p0[1] - ymin),
+        (d[1], ymax - p0[1]),
+    ):
+        if p == 0:
+            if q < 0:
+                return None
+            continue
+        r = q / p
+        if p < 0:
+            if r > t1:
+                return None
+            t0 = max(t0, r)
+        else:
+            if r < t0:
+                return None
+            t1 = min(t1, r)
+    return p0 + t0 * d, p0 + t1 * d
+
+
+# ---------------------------------------------------------------------------
+# Simplify — Douglas–Peucker (reference: shapely/constructive.py:1118)
+# ---------------------------------------------------------------------------
+
+def _dp(coords: np.ndarray, tol: float) -> np.ndarray:
+    if len(coords) <= 2:
+        return coords
+    keep = np.zeros(len(coords), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(coords) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        p0, p1 = coords[i], coords[j]
+        seg = p1 - p0
+        pts = coords[i + 1 : j]
+        L2 = seg @ seg
+        if L2 == 0:
+            d = np.sqrt(((pts - p0) ** 2).sum(axis=1))
+        else:
+            t = np.clip(((pts - p0) @ seg) / L2, 0, 1)
+            proj = p0 + t[:, None] * seg
+            d = np.sqrt(((pts - proj) ** 2).sum(axis=1))
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    return coords[keep]
+
+
+def simplify(geom: Geometry | None, tolerance: float, preserve_topology: bool = True) -> Geometry | None:
+    """reference: shapely/constructive.py:1118."""
+    if geom is None or geom.is_empty:
+        return geom
+    tid = geom.type_id
+    if tid in (LINESTRING, LINEARRING):
+        return Geometry(tid, coords=_dp(np.asarray(geom.coords)[:, :2], tolerance))
+    if tid == POLYGON:
+        rings = []
+        for r in geom.rings:
+            rc = np.asarray(r)[:, :2]
+            s = _dp(rc, tolerance)
+            if len(s) >= 4:
+                rings.append(s)
+            elif not rings:  # shell collapsed
+                return empty(POLYGON)
+        return Geometry(POLYGON, rings=rings)
+    if tid in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        return Geometry(tid, parts=[simplify(p, tolerance, preserve_topology) for p in geom.parts])
+    return geom
+
+
+# ---------------------------------------------------------------------------
+# Segmentize (reference: shapely/constructive.py:1070)
+# ---------------------------------------------------------------------------
+
+def segmentize(geom: Geometry | None, max_segment_length: float) -> Geometry | None:
+    if geom is None or geom.is_empty:
+        return geom
+
+    def seg_coords(c):
+        c = np.asarray(c)[:, :2]
+        out = [c[:1]]
+        for i in range(len(c) - 1):
+            d = math.dist(c[i], c[i + 1])
+            n = max(1, int(math.ceil(d / max_segment_length)))
+            t = np.linspace(0, 1, n + 1)[1:]
+            out.append(c[i] + t[:, None] * (c[i + 1] - c[i]))
+        return np.concatenate(out, axis=0)
+
+    tid = geom.type_id
+    if tid in (LINESTRING, LINEARRING):
+        return Geometry(tid, coords=seg_coords(geom.coords))
+    if tid == POLYGON:
+        return Geometry(POLYGON, rings=[seg_coords(r) for r in geom.rings])
+    if tid in (MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        return Geometry(tid, parts=[segmentize(p, max_segment_length) for p in geom.parts])
+    return geom
+
+
+# ---------------------------------------------------------------------------
+# Orientation / normalize-ish / misc coordinate ops
+# ---------------------------------------------------------------------------
+
+def orient_polygons(geom: Geometry | None, exterior_cw: bool = False) -> Geometry | None:
+    """reference: shapely/constructive.py:1529 + algorithms/cga.py:29 —
+    shells CCW (default), holes opposite."""
+    if geom is None or geom.is_empty:
+        return geom
+    if geom.type_id == POLYGON:
+        rings = []
+        for i, r in enumerate(geom.rings):
+            rc = np.asarray(r)
+            want_ccw = (i == 0) != exterior_cw
+            if (signed_ring_area(rc[:, :2]) > 0) != want_ccw:
+                rc = rc[::-1]
+            rings.append(rc)
+        return Geometry(POLYGON, rings=rings, has_z=geom.has_z, has_m=geom.has_m)
+    if geom.type_id in (MULTIPOLYGON, GEOMETRYCOLLECTION):
+        return Geometry(geom.type_id, parts=[orient_polygons(p, exterior_cw) for p in geom.parts])
+    return geom
+
+
+def reverse(geom: Geometry | None) -> Geometry | None:
+    """reference: shapely/constructive.py:1035."""
+    if geom is None or geom.is_empty:
+        return geom
+    tid = geom.type_id
+    if tid in (POINT,):
+        return geom
+    if tid in (LINESTRING, LINEARRING):
+        return Geometry(tid, coords=np.asarray(geom.coords)[::-1], has_z=geom.has_z, has_m=geom.has_m)
+    if tid == POLYGON:
+        return Geometry(POLYGON, rings=[np.asarray(r)[::-1] for r in geom.rings])
+    return Geometry(tid, parts=[reverse(p) for p in geom.parts])
+
+
+def remove_repeated_points(geom: Geometry | None, tolerance: float = 0.0) -> Geometry | None:
+    """reference: shapely/constructive.py:1003."""
+    if geom is None or geom.is_empty:
+        return geom
+
+    def dedup(c):
+        c = np.asarray(c)
+        if len(c) < 2:
+            return c
+        d = np.sqrt(((np.diff(c[:, :2], axis=0)) ** 2).sum(axis=1))
+        keep = np.concatenate([[True], d > tolerance])
+        out = c[keep]
+        return out
+
+    tid = geom.type_id
+    if tid in (LINESTRING, LINEARRING):
+        return Geometry(tid, coords=dedup(geom.coords), has_z=geom.has_z)
+    if tid == POLYGON:
+        rings = []
+        for r in geom.rings:
+            rr = dedup(r)
+            if not np.array_equal(rr[0], rr[-1]):
+                rr = np.vstack([rr, rr[:1]])
+            rings.append(rr)
+        return Geometry(POLYGON, rings=rings)
+    if tid in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        return Geometry(tid, parts=[remove_repeated_points(p, tolerance) for p in geom.parts])
+    return geom
+
+
+def extract_unique_points(geom: Geometry | None) -> Geometry | None:
+    """reference: shapely/constructive.py:621."""
+    if geom is None:
+        return None
+    c = geom.all_coords()[:, :2]
+    if len(c) == 0:
+        return empty(MULTIPOINT)
+    _, idx = np.unique(c, axis=0, return_index=True)
+    uniq = c[np.sort(idx)]
+    return multipoint([tuple(p) for p in uniq])
+
+
+def set_precision(geom: Geometry | None, grid_size: float) -> Geometry | None:
+    """Snap coordinates to grid. reference: shapely/_geometry.py:868."""
+    if geom is None or geom.is_empty or grid_size == 0:
+        return geom
+
+    def snap(c):
+        return np.round(np.asarray(c, dtype=np.float64) / grid_size) * grid_size
+
+    tid = geom.type_id
+    if tid in (POINT, LINESTRING, LINEARRING):
+        return Geometry(tid, coords=snap(geom.coords), has_z=geom.has_z)
+    if tid == POLYGON:
+        return Geometry(POLYGON, rings=[snap(r) for r in geom.rings])
+    return Geometry(tid, parts=[set_precision(p, grid_size) for p in geom.parts])
+
+
+def force_2d(geom: Geometry | None) -> Geometry | None:
+    """reference: shapely/_geometry.py:952."""
+    if geom is None:
+        return None
+    tid = geom.type_id
+    if tid in (POINT, LINESTRING, LINEARRING):
+        c = geom.coords
+        return Geometry(tid, coords=None if c is None else np.asarray(c)[:, :2])
+    if tid == POLYGON:
+        return Geometry(POLYGON, rings=[np.asarray(r)[:, :2] for r in geom.rings or []])
+    return Geometry(tid, parts=[force_2d(p) for p in (geom.parts or [])])
+
+
+def transform_coords(geom: Geometry | None, func) -> Geometry | None:
+    """Apply func((n,2) array) -> (n,2) array to every coordinate sequence.
+    reference: shapely/coordinates.py:28-70 transform / ops.py:216."""
+    if geom is None or geom.is_empty:
+        return geom
+    tid = geom.type_id
+    if tid in (POINT, LINESTRING, LINEARRING):
+        return Geometry(tid, coords=np.asarray(func(np.asarray(geom.coords)[:, :2]), dtype=np.float64))
+    if tid == POLYGON:
+        return Geometry(POLYGON, rings=[np.asarray(func(np.asarray(r)[:, :2]), dtype=np.float64) for r in geom.rings])
+    return Geometry(tid, parts=[transform_coords(p, func) for p in geom.parts])
+
+
+def affine_transform(geom: Geometry | None, matrix) -> Geometry | None:
+    """matrix = [a,b,d,e,xoff,yoff] per shapely/affinity.py:12."""
+    a, b, d, e, xoff, yoff = matrix
+
+    def f(c):
+        x, y = c[:, 0], c[:, 1]
+        return np.column_stack([a * x + b * y + xoff, d * x + e * y + yoff])
+
+    return transform_coords(geom, f)
+
+
+def translate(geom, xoff=0.0, yoff=0.0):
+    """reference: shapely/affinity.py:247."""
+    return affine_transform(geom, [1, 0, 0, 1, xoff, yoff])
+
+
+def scale(geom, xfact=1.0, yfact=1.0, origin=(0.0, 0.0)):
+    """reference: shapely/affinity.py:169 (origin default 'center' there;
+    we take an explicit origin tuple)."""
+    ox, oy = origin
+    return affine_transform(geom, [xfact, 0, 0, yfact, ox - xfact * ox, oy - yfact * oy])
+
+
+def rotate(geom, angle_deg, origin=(0.0, 0.0)):
+    """reference: shapely/affinity.py:126."""
+    th = math.radians(angle_deg)
+    c, s = math.cos(th), math.sin(th)
+    ox, oy = origin
+    return affine_transform(geom, [c, -s, s, c, ox - ox * c + oy * s, oy - ox * s - oy * c])
+
+
+# ---------------------------------------------------------------------------
+# Linear referencing (reference: shapely/linear.py)
+# ---------------------------------------------------------------------------
+
+def line_interpolate_point(line: Geometry, distance: float, normalized: bool = False) -> Geometry:
+    """reference: shapely/linear.py:26 (negative distance measures from end)."""
+    c = np.asarray(line.coords)[:, :2]
+    if len(c) == 0:
+        return empty(POINT)
+    seg = np.sqrt((np.diff(c, axis=0) ** 2).sum(axis=1))
+    total = seg.sum()
+    if normalized:
+        distance = distance * total
+    if distance < 0:
+        distance = max(0.0, total + distance)
+    distance = min(max(distance, 0.0), total)
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    i = int(np.searchsorted(cum, distance, side="right") - 1)
+    i = min(i, len(seg) - 1)
+    t = 0.0 if seg[i] == 0 else (distance - cum[i]) / seg[i]
+    p = c[i] + t * (c[i + 1] - c[i])
+    return make_point(float(p[0]), float(p[1]))
+
+
+def line_locate_point(line: Geometry, other: Geometry, normalized: bool = False) -> float:
+    """reference: shapely/linear.py:78 — distance along line to nearest point."""
+    c = np.asarray(line.coords)[:, :2]
+    p = other.all_coords()[0, :2]
+    seg = np.diff(c, axis=0)
+    seg_len = np.sqrt((seg**2).sum(axis=1))
+    L2 = (seg**2).sum(axis=1)
+    t = np.where(L2 > 0, ((p - c[:-1]) * seg).sum(axis=1) / np.where(L2 > 0, L2, 1.0), 0.0)
+    t = np.clip(t, 0, 1)
+    proj = c[:-1] + t[:, None] * seg
+    d2 = ((proj - p) ** 2).sum(axis=1)
+    i = int(np.argmin(d2))
+    cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+    dist = cum[i] + t[i] * seg_len[i]
+    if normalized:
+        total = seg_len.sum()
+        return float(dist / total) if total else 0.0
+    return float(dist)
+
+
+def line_merge(geom: Geometry | None) -> Geometry | None:
+    """Stitch multilinestring parts at shared endpoints.
+    reference: shapely/linear.py:119 (directed=False)."""
+    if geom is None or geom.type_id != MULTILINESTRING:
+        return geom
+    lines = [np.asarray(p.coords)[:, :2] for p in geom.parts or [] if p.coords is not None and len(p.coords) >= 2]
+    merged = True
+    while merged and len(lines) > 1:
+        merged = False
+        for i in range(len(lines)):
+            for j in range(i + 1, len(lines)):
+                a, b = lines[i], lines[j]
+                if np.array_equal(a[-1], b[0]):
+                    lines[i] = np.vstack([a, b[1:]])
+                elif np.array_equal(a[-1], b[-1]):
+                    lines[i] = np.vstack([a, b[::-1][1:]])
+                elif np.array_equal(a[0], b[-1]):
+                    lines[i] = np.vstack([b, a[1:]])
+                elif np.array_equal(a[0], b[0]):
+                    lines[i] = np.vstack([b[::-1], a[1:]])
+                else:
+                    continue
+                lines.pop(j)
+                merged = True
+                break
+            if merged:
+                break
+    if len(lines) == 1:
+        return Geometry(LINESTRING, coords=lines[0])
+    return Geometry(MULTILINESTRING, parts=[Geometry(LINESTRING, coords=l) for l in lines])
+
+
+def nearest_points(a: Geometry, b: Geometry):
+    """reference: shapely/ops.py:287 nearest_points / linear.py:206
+    shortest_line. Returns (point_on_a, point_on_b)."""
+    from .kernels import _edges, _seg_point_dist2, intersects
+
+    ca, cb = a.all_coords()[:, :2], b.all_coords()[:, :2]
+    ea, eb = _edges(a), _edges(b)
+    best = (np.inf, None, None)
+    # vertices of a vs segments of b
+    if len(eb):
+        for p in ca:
+            d2 = _seg_point_dist2(p[0], p[1], eb[:, 0], eb[:, 1], eb[:, 2], eb[:, 3])
+            k = int(np.argmin(d2))
+            if d2[k] < best[0]:
+                x1, y1, x2, y2 = eb[k]
+                dx, dy = x2 - x1, y2 - y1
+                L2 = dx * dx + dy * dy
+                t = 0.0 if L2 == 0 else np.clip(((p[0] - x1) * dx + (p[1] - y1) * dy) / L2, 0, 1)
+                best = (d2[k], p, np.array([x1 + t * dx, y1 + t * dy]))
+    if len(ea):
+        for p in cb:
+            d2 = _seg_point_dist2(p[0], p[1], ea[:, 0], ea[:, 1], ea[:, 2], ea[:, 3])
+            k = int(np.argmin(d2))
+            if d2[k] < best[0]:
+                x1, y1, x2, y2 = ea[k]
+                dx, dy = x2 - x1, y2 - y1
+                L2 = dx * dx + dy * dy
+                t = 0.0 if L2 == 0 else np.clip(((p[0] - x1) * dx + (p[1] - y1) * dy) / L2, 0, 1)
+                best = (d2[k], np.array([x1 + t * dx, y1 + t * dy]), p)
+    if not len(ea) and not len(eb):
+        dx = ca[:, None, 0] - cb[None, :, 0]
+        dy = ca[:, None, 1] - cb[None, :, 1]
+        d2 = dx * dx + dy * dy
+        i, j = np.unravel_index(np.argmin(d2), d2.shape)
+        best = (d2[i, j], ca[i], cb[j])
+    return make_point(*best[1]), make_point(*best[2])

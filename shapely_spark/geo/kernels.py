@@ -1,0 +1,828 @@
+"""NumPy geometry kernels — the engine's compute core.
+
+Each kernel reimplements the *semantics* of the corresponding reference
+operation (cited file:line) from scratch as vectorized NumPy; these run
+inside Arrow-batched pandas UDFs on Spark executors and stand alone as the
+single-node oracle in tests. No GEOS, no shapely import.
+
+Hot path design (reference: shapely/predicates.py:1311 contains_xy /
+:1367 intersects_xy): the point side stays as bare float64 (x, y) arrays
+end-to-end — geometry objects are only materialized for the (small,
+broadcast) polygon side, which is "prepared" once per executor
+(reference prepared-geometry semantics: shapely/creation.py:735 prepare).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .geom import (
+    GEOMETRYCOLLECTION,
+    LINEARRING,
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    Geometry,
+    empty,
+    point,
+    polygon as make_polygon,
+)
+
+EARTH_RADIUS_KM = 6371.0088
+
+# ---------------------------------------------------------------------------
+# Bounds / measurement  (reference: shapely/measurement.py)
+# ---------------------------------------------------------------------------
+
+def bounds(geom: Geometry | None) -> np.ndarray:
+    """(minx, miny, maxx, maxy); NaN for empty/None.
+    reference: shapely/measurement.py:85 (ufunc '()->(4)' src/ufuncs.c:2304)."""
+    if geom is None or geom.is_empty:
+        return np.array([np.nan] * 4)
+    c = geom.all_coords()
+    return np.array([c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max()])
+
+
+def total_bounds(geoms) -> np.ndarray:
+    """reference: shapely/measurement.py:114 — reduce of bounds."""
+    bs = np.array([bounds(g) for g in geoms if g is not None], dtype=np.float64)
+    if bs.size == 0 or np.all(np.isnan(bs)):
+        return np.array([np.nan] * 4)
+    return np.array([
+        np.nanmin(bs[:, 0]), np.nanmin(bs[:, 1]),
+        np.nanmax(bs[:, 2]), np.nanmax(bs[:, 3]),
+    ])
+
+
+def signed_ring_area(ring: np.ndarray) -> float:
+    """Shoelace; CCW positive. reference: shapely/algorithms/cga.py:8."""
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def area(geom: Geometry | None) -> float:
+    """reference: shapely/measurement.py:24 (0.0 for non-areal/empty/None
+    matches GEOSArea; NaN for None in reference — we return nan for None)."""
+    if geom is None:
+        return float("nan")
+    tid = geom.type_id
+    if tid == POLYGON:
+        if not geom.rings:
+            return 0.0
+        a = abs(signed_ring_area(geom.rings[0]))
+        for h in geom.rings[1:]:
+            a -= abs(signed_ring_area(h))
+        return a
+    if tid in (MULTIPOLYGON, GEOMETRYCOLLECTION):
+        return sum(area(p) for p in (geom.parts or []))
+    return 0.0
+
+
+def length(geom: Geometry | None) -> float:
+    """reference: shapely/measurement.py:167 — sum of segment norms.
+    For polygons GEOS returns the ring perimeter sum."""
+    if geom is None:
+        return float("nan")
+    tid = geom.type_id
+    if tid in (LINESTRING, LINEARRING):
+        c = geom.coords
+        if c is None or len(c) < 2:
+            return 0.0
+        d = np.diff(c[:, :2], axis=0)
+        return float(np.sqrt((d**2).sum(axis=1)).sum())
+    if tid == POLYGON:
+        total = 0.0
+        for r in geom.rings or []:
+            d = np.diff(np.asarray(r)[:, :2], axis=0)
+            total += float(np.sqrt((d**2).sum(axis=1)).sum())
+        return total
+    if tid in (MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        return sum(length(p) for p in (geom.parts or []))
+    return 0.0
+
+
+def haversine_km(lat1, lon1, lat2, lon2):
+    """Great-circle distance in km, vectorized (engine addition for kNN
+    refine over web-page coordinates; no reference analog — reference is
+    planar, measurement.py:54)."""
+    lat1, lon1, lat2, lon2 = (np.radians(np.asarray(v, dtype=np.float64)) for v in (lat1, lon1, lat2, lon2))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    a = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+# ---------------------------------------------------------------------------
+# Point-segment distance machinery
+# ---------------------------------------------------------------------------
+
+def _seg_point_dist2(px, py, x1, y1, x2, y2):
+    """Squared distance from points (px,py) to segments, fully broadcast."""
+    dx, dy = x2 - x1, y2 - y1
+    seg_len2 = dx * dx + dy * dy
+    # parameter of projection clamped to [0,1]; guard zero-length segments
+    t = np.where(seg_len2 > 0, ((px - x1) * dx + (py - y1) * dy) / np.where(seg_len2 > 0, seg_len2, 1.0), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    cx, cy = x1 + t * dx, y1 + t * dy
+    return (px - cx) ** 2 + (py - cy) ** 2
+
+
+def _edges(geom: Geometry):
+    """All boundary segments of a geometry as (x1,y1,x2,y2) float64 arrays."""
+    segs = []
+    for seq in geom.coord_seqs():
+        c = np.asarray(seq)[:, :2]
+        if len(c) >= 2:
+            segs.append(np.column_stack([c[:-1], c[1:]]))
+    if not segs:
+        return np.zeros((0, 4))
+    return np.concatenate(segs, axis=0)
+
+
+def distance(a: Geometry | None, b: Geometry | None) -> float:
+    """Cartesian min distance. reference: shapely/measurement.py:54.
+    Supported: any combination of point/line/polygon (incl. multis);
+    0.0 when interiors overlap; nan for None/empty (GEOS raises on empty —
+    the reference returns nan via ufunc; we return nan)."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return float("nan")
+    # interiors overlap → 0
+    if intersects(a, b):
+        return 0.0
+    ea, eb = _edges(a), _edges(b)
+    ca, cb = a.all_coords()[:, :2], b.all_coords()[:, :2]
+    best = np.inf
+    if len(eb):
+        d2 = _seg_point_dist2(ca[:, 0:1], ca[:, 1:2], eb[None, :, 0], eb[None, :, 1], eb[None, :, 2], eb[None, :, 3])
+        best = min(best, float(d2.min()))
+    if len(ea):
+        d2 = _seg_point_dist2(cb[:, 0:1], cb[:, 1:2], ea[None, :, 0], ea[None, :, 1], ea[None, :, 2], ea[None, :, 3])
+        best = min(best, float(d2.min()))
+    if not len(ea) and not len(eb):
+        dx = ca[:, None, 0] - cb[None, :, 0]
+        dy = ca[:, None, 1] - cb[None, :, 1]
+        best = float((dx * dx + dy * dy).min())
+    return math.sqrt(best)
+
+
+# ---------------------------------------------------------------------------
+# Point-in-ring / point-in-polygon — the join refine workhorse
+# ---------------------------------------------------------------------------
+
+EXTERIOR, BOUNDARY, INTERIOR = 0, 1, 2
+
+
+def points_on_segments(px, py, segs, eps=0.0):
+    """Boolean: is each point exactly on any segment (collinear + in range)."""
+    if len(segs) == 0:
+        return np.zeros(np.shape(px), dtype=bool)
+    x1, y1, x2, y2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    within_x = (px >= np.minimum(x1, x2) - eps) & (px <= np.maximum(x1, x2) + eps)
+    within_y = (py >= np.minimum(y1, y2) - eps) & (py <= np.maximum(y1, y2) + eps)
+    return np.any((np.abs(cross) <= eps) & within_x & within_y, axis=1)
+
+
+def points_in_rings_class(px, py, rings) -> np.ndarray:
+    """Classify points vs a polygon's ring set: 0 exterior / 1 boundary /
+    2 interior. Even-odd ray casting (half-open rule) + exact on-boundary
+    test; shell/holes handled by parity so holed polygons work directly.
+    Semantics: DE-9IM interior/boundary/exterior split used by
+    contains (predicates.py:556 'T*****FF*') vs covers (:729).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    out = np.zeros(px.shape, dtype=np.int8)
+    if not rings:
+        return out
+    segs_all = []
+    inside = np.zeros(px.shape, dtype=bool)
+    for ring in rings:
+        c = np.asarray(ring)[:, :2]
+        if len(c) < 4:
+            # degenerate ring: boundary-only
+            if len(c) >= 2:
+                segs_all.append(np.column_stack([c[:-1], c[1:]]))
+            continue
+        x1, y1 = c[:-1, 0], c[:-1, 1]
+        x2, y2 = c[1:, 0], c[1:, 1]
+        segs_all.append(np.column_stack([c[:-1], c[1:]]))
+        # half-open crossing rule: count edges where (y1 > py) != (y2 > py)
+        PX, PY = px[:, None], py[:, None]
+        cond = (y1[None, :] > PY) != (y2[None, :] > PY)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1[None, :] + (PY - y1[None, :]) * (x2[None, :] - x1[None, :]) / (y2[None, :] - y1[None, :])
+        crossings = np.sum(cond & (PX < xint), axis=1)
+        inside ^= (crossings % 2).astype(bool)
+    out[inside] = INTERIOR
+    if segs_all:
+        onb = points_on_segments(px, py, np.concatenate(segs_all, axis=0))
+        out[onb] = BOUNDARY
+    return out
+
+
+class PreparedPolygons:
+    """Executor-local prepared polygon layer (reference semantics:
+    shapely/creation.py:735 prepare — a cached edge structure reused across
+    many predicate calls; here also STRtree-style bbox prune,
+    shapely/strtree.py:30).
+
+    Holds N polygons (polygon or multipolygon Geometry); classifies large
+    point batches against each. Built once per executor from a broadcast
+    variable — never per row (SURVEY.md §2.2).
+    """
+
+    def __init__(self, geoms: list[Geometry | None]):
+        self.geoms = geoms
+        self.ring_sets: list[list[np.ndarray]] = []
+        self.bboxes = np.full((len(geoms), 4), np.nan)
+        for i, g in enumerate(geoms):
+            rings: list[np.ndarray] = []
+            if g is not None and not g.is_empty:
+                if g.type_id == POLYGON:
+                    rings = [np.asarray(r)[:, :2] for r in g.rings]
+                elif g.type_id in (MULTIPOLYGON, GEOMETRYCOLLECTION):
+                    for p in g.parts or []:
+                        if p.type_id == POLYGON:
+                            rings.extend(np.asarray(r)[:, :2] for r in p.rings)
+                self.bboxes[i] = bounds(g)
+            self.ring_sets.append(rings)
+
+    def classify(self, idx: int, px, py) -> np.ndarray:
+        """0/1/2 classification of points vs polygon idx, bbox-pruned."""
+        px = np.asarray(px, dtype=np.float64)
+        py = np.asarray(py, dtype=np.float64)
+        out = np.zeros(px.shape, dtype=np.int8)
+        bb = self.bboxes[idx]
+        if np.isnan(bb[0]):
+            return out
+        mask = (px >= bb[0]) & (px <= bb[2]) & (py >= bb[1]) & (py <= bb[3])
+        if mask.any():
+            out[mask] = points_in_rings_class(px[mask], py[mask], self.ring_sets[idx])
+        return out
+
+    def test(self, idx: int, px, py, predicate: str) -> np.ndarray:
+        cls = self.classify(idx, px, py)
+        if predicate in ("intersects", "covers", "covered_by"):
+            return cls >= BOUNDARY
+        if predicate in ("contains", "within", "contains_properly"):
+            return cls == INTERIOR
+        if predicate == "touches":
+            return cls == BOUNDARY
+        if predicate == "disjoint":
+            return cls == EXTERIOR
+        raise ValueError(f"unsupported point-vs-polygon predicate {predicate!r}")
+
+
+def contains_xy(geom: Geometry, x, y) -> np.ndarray:
+    """reference: shapely/predicates.py:1311 — vectorized point fast path,
+    auto-prepares (here: rings extracted once per call)."""
+    prep = PreparedPolygons([geom])
+    return prep.test(0, np.atleast_1d(x), np.atleast_1d(y), "contains")
+
+
+def intersects_xy(geom: Geometry, x, y) -> np.ndarray:
+    """reference: shapely/predicates.py:1367."""
+    prep = PreparedPolygons([geom])
+    return prep.test(0, np.atleast_1d(x), np.atleast_1d(y), "intersects")
+
+
+# ---------------------------------------------------------------------------
+# Segment-segment intersection (for line/polygon predicates)
+# ---------------------------------------------------------------------------
+
+def _segments_intersect_any(sa: np.ndarray, sb: np.ndarray) -> bool:
+    """True if any segment of sa properly or improperly intersects any of sb."""
+    if len(sa) == 0 or len(sb) == 0:
+        return False
+    ax1, ay1, ax2, ay2 = (sa[:, i][:, None] for i in range(4))
+    bx1, by1, bx2, by2 = (sb[:, i][None, :] for i in range(4))
+
+    d1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+    d2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+    d3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+    d4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+    if proper.any():
+        return True
+
+    # collinear / endpoint-touch cases: any endpoint of one on the other
+    def on(d, px, py, x1, y1, x2, y2):
+        return (
+            (d == 0)
+            & (px >= np.minimum(x1, x2)) & (px <= np.maximum(x1, x2))
+            & (py >= np.minimum(y1, y2)) & (py <= np.maximum(y1, y2))
+        )
+
+    touch = (
+        on(d1, bx1, by1, ax1, ay1, ax2, ay2)
+        | on(d2, bx2, by2, ax1, ay1, ax2, ay2)
+        | on(d3, ax1, ay1, bx1, by1, bx2, by2)
+        | on(d4, ax2, ay2, bx1, by1, bx2, by2)
+    )
+    return bool(touch.any())
+
+
+# ---------------------------------------------------------------------------
+# Binary predicates — general dispatch (reference: shapely/predicates.py)
+# ---------------------------------------------------------------------------
+
+def _dim(geom: Geometry) -> int:
+    tid = geom.type_id
+    if tid in (POINT, MULTIPOINT):
+        return 0
+    if tid in (LINESTRING, LINEARRING, MULTILINESTRING):
+        return 1
+    if tid in (POLYGON, MULTIPOLYGON):
+        return 2
+    return max((_dim(p) for p in (geom.parts or [])), default=-1)
+
+
+def _points_of(geom: Geometry) -> np.ndarray:
+    return geom.all_coords()[:, :2]
+
+
+def _rings_of(geom: Geometry) -> list[np.ndarray]:
+    rings = []
+    if geom.type_id == POLYGON:
+        rings = [np.asarray(r)[:, :2] for r in geom.rings or []]
+    elif geom.type_id in (MULTIPOLYGON, GEOMETRYCOLLECTION):
+        for p in geom.parts or []:
+            rings.extend(_rings_of(p))
+    return rings
+
+
+def _bbox_disjoint(a: Geometry, b: Geometry) -> bool:
+    ba, bb = bounds(a), bounds(b)
+    if np.isnan(ba[0]) or np.isnan(bb[0]):
+        return True
+    return ba[0] > bb[2] or bb[0] > ba[2] or ba[1] > bb[3] or bb[1] > ba[3]
+
+
+def intersects(a: Geometry | None, b: Geometry | None) -> bool:
+    """reference: shapely/predicates.py:865 — share any point.
+    Covers all type combinations of point/line/polygon (+multis)."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return False
+    if _bbox_disjoint(a, b):
+        return False
+    da, db = _dim(a), _dim(b)
+    if da > db:
+        return intersects(b, a)
+    pa = _points_of(a)
+    if da == 0:
+        if db == 0:
+            pb = _points_of(b)
+            return bool(
+                np.any((pa[:, None, 0] == pb[None, :, 0]) & (pa[:, None, 1] == pb[None, :, 1]))
+            )
+        if db == 1:
+            return bool(points_on_segments(pa[:, 0], pa[:, 1], _edges(b)).any())
+        return bool((points_in_rings_class(pa[:, 0], pa[:, 1], _rings_of(b)) >= BOUNDARY).any())
+    ea, eb = _edges(a), _edges(b)
+    if da == 1:
+        if db == 1:
+            return _segments_intersect_any(ea, eb)
+        # line vs polygon: edge crossing or any line vertex inside
+        if _segments_intersect_any(ea, eb):
+            return True
+        return bool((points_in_rings_class(pa[:, 0], pa[:, 1], _rings_of(b)) >= BOUNDARY).any())
+    # polygon vs polygon
+    if _segments_intersect_any(ea, eb):
+        return True
+    pb = _points_of(b)
+    if (points_in_rings_class(pb[:1, 0], pb[:1, 1], _rings_of(a)) >= BOUNDARY).any():
+        return True
+    return bool((points_in_rings_class(pa[:1, 0], pa[:1, 1], _rings_of(b)) >= BOUNDARY).any())
+
+
+def disjoint(a, b) -> bool:
+    """reference: shapely/predicates.py:783 (empty is disjoint from all)."""
+    if a is None or b is None:
+        return False
+    return not intersects(a, b)
+
+
+def _all_class(points: np.ndarray, container: Geometry) -> np.ndarray:
+    """Classify each point of `points` against container (any dim)."""
+    px, py = points[:, 0], points[:, 1]
+    d = _dim(container)
+    if d == 2:
+        return points_in_rings_class(px, py, _rings_of(container))
+    if d == 1:
+        onb = points_on_segments(px, py, _edges(container))
+        # interior of a line: on segment but not an endpoint
+        cc = _points_of(container)
+        # endpoints = first/last of each constituent linestring
+        ends = []
+        stack = [container]
+        while stack:
+            g = stack.pop()
+            if g.type_id in (LINESTRING, LINEARRING) and g.coords is not None and len(g.coords):
+                if not np.array_equal(g.coords[0, :2], g.coords[-1, :2]):
+                    ends.append(g.coords[0, :2])
+                    ends.append(g.coords[-1, :2])
+            for p in g.parts or []:
+                stack.append(p)
+        cls = np.where(onb, INTERIOR, EXTERIOR).astype(np.int8)
+        if ends:
+            e = np.array(ends)
+            isend = np.any((px[:, None] == e[None, :, 0]) & (py[:, None] == e[None, :, 1]), axis=1)
+            cls[onb & isend] = BOUNDARY
+        return cls
+    cc = _points_of(container)
+    eq = np.any((px[:, None] == cc[None, :, 0]) & (py[:, None] == cc[None, :, 1]), axis=1)
+    return np.where(eq, INTERIOR, EXTERIOR).astype(np.int8)
+
+
+def contains(a: Geometry | None, b: Geometry | None) -> bool:
+    """B lies in A, interiors intersect: DE-9IM 'T*****FF*'.
+    reference: shapely/predicates.py:556. Full support for point/line
+    payloads in polygons/lines/points; polygon-in-polygon supported for
+    non-boundary-crossing cases (sufficient for valid region layers)."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return False
+    if _bbox_disjoint(a, b):
+        return False
+    da, db = _dim(a), _dim(b)
+    if db > da:
+        return False
+    pb = _points_of(b)
+    cls = _all_class(pb, a)
+    if (cls == EXTERIOR).any():
+        return False
+    if db == 0:
+        return bool((cls == INTERIOR).any())
+    if da == 2:
+        # no edge of b may cross from inside to outside: since all vertices
+        # are in closure, a crossing requires proper edge intersection with
+        # a's boundary that exits — approximate: check midpoints too.
+        eb = _edges(b)
+        if len(eb):
+            mx, my = (eb[:, 0] + eb[:, 2]) / 2.0, (eb[:, 1] + eb[:, 3]) / 2.0
+            mcls = points_in_rings_class(mx, my, _rings_of(a))
+            if (mcls == EXTERIOR).any():
+                return False
+            if (cls == INTERIOR).any() or (mcls == INTERIOR).any():
+                return True
+            return False
+        return bool((cls == INTERIOR).any())
+    # line container: interiors must intersect
+    return bool((cls == INTERIOR).any())
+
+
+def within(a, b) -> bool:
+    """reference: shapely/predicates.py:1013 — within(a,b)==contains(b,a)."""
+    return contains(b, a)
+
+
+def covers(a: Geometry | None, b: Geometry | None) -> bool:
+    """B in closure of A ('******FF*'). reference: shapely/predicates.py:729."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return False
+    if _bbox_disjoint(a, b):
+        return False
+    pb = _points_of(b)
+    cls = _all_class(pb, a)
+    if (cls == EXTERIOR).any():
+        return False
+    if _dim(b) >= 1 and _dim(a) == 2:
+        eb = _edges(b)
+        if len(eb):
+            mx, my = (eb[:, 0] + eb[:, 2]) / 2.0, (eb[:, 1] + eb[:, 3]) / 2.0
+            if (points_in_rings_class(mx, my, _rings_of(a)) == EXTERIOR).any():
+                return False
+    return True
+
+
+def covered_by(a, b) -> bool:
+    """reference: shapely/predicates.py:674."""
+    return covers(b, a)
+
+
+def contains_properly(a: Geometry | None, b: Geometry | None) -> bool:
+    """B intersects interior of A only ('T**FF*FF*').
+    reference: shapely/predicates.py:619."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return False
+    pb = _points_of(b)
+    cls = _all_class(pb, a)
+    if not (cls == INTERIOR).all():
+        return False
+    if _dim(b) >= 1 and _dim(a) == 2:
+        eb = _edges(b)
+        mx, my = (eb[:, 0] + eb[:, 2]) / 2.0, (eb[:, 1] + eb[:, 3]) / 2.0
+        return bool((points_in_rings_class(mx, my, _rings_of(a)) == INTERIOR).all())
+    return True
+
+
+def touches(a: Geometry | None, b: Geometry | None) -> bool:
+    """Boundaries intersect, interiors don't ('FT*******'|'F**T*****'|
+    'F***T****'). reference: shapely/predicates.py:968. Supported for
+    point-vs-(line|polygon) and polygon-vs-polygon edge-touch cases."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return False
+    da, db = _dim(a), _dim(b)
+    if da > db:
+        return touches(b, a)
+    if da == 0:
+        pa = _points_of(a)
+        cls = _all_class(pa, b)
+        return bool((cls == BOUNDARY).any() and not (cls == INTERIOR).any())
+    if not intersects(a, b):
+        return False
+    # line/polygon combos: touching = intersecting but no interior overlap
+    return not _interiors_intersect(a, b)
+
+
+def _interiors_intersect(a: Geometry, b: Geometry) -> bool:
+    da, db = _dim(a), _dim(b)
+    if da == 2 and db == 2:
+        # sample: vertices + edge midpoints of each interior to the other
+        for g, h in ((a, b), (b, a)):
+            pg = _points_of(g)
+            cls_v = points_in_rings_class(pg[:, 0], pg[:, 1], _rings_of(h))
+            own = points_in_rings_class(pg[:, 0], pg[:, 1], _rings_of(g))
+            if ((cls_v == INTERIOR)).any():
+                return True
+        # proper edge crossings imply interior overlap
+        ea, eb = _edges(a), _edges(b)
+        if len(ea) and len(eb):
+            ax1, ay1, ax2, ay2 = (ea[:, i][:, None] for i in range(4))
+            bx1, by1, bx2, by2 = (eb[:, i][None, :] for i in range(4))
+            d1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+            d2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+            d3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+            d4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+            proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+            if proper.any():
+                return True
+        return False
+    if db == 2:  # line or point vs polygon
+        pa = _points_of(a)
+        if (points_in_rings_class(pa[:, 0], pa[:, 1], _rings_of(b)) == INTERIOR).any():
+            return True
+        ea = _edges(a)
+        if len(ea):
+            mx, my = (ea[:, 0] + ea[:, 2]) / 2.0, (ea[:, 1] + ea[:, 3]) / 2.0
+            return bool((points_in_rings_class(mx, my, _rings_of(b)) == INTERIOR).any())
+        return False
+    # line vs line: proper crossing or collinear overlap of midpoints
+    ea, eb = _edges(a), _edges(b)
+    mx, my = (ea[:, 0] + ea[:, 2]) / 2.0, (ea[:, 1] + ea[:, 3]) / 2.0
+    if points_on_segments(mx, my, eb).any():
+        return True
+    mx, my = (eb[:, 0] + eb[:, 2]) / 2.0, (eb[:, 1] + eb[:, 3]) / 2.0
+    if points_on_segments(mx, my, ea).any():
+        return True
+    if len(ea) and len(eb):
+        ax1, ay1, ax2, ay2 = (ea[:, i][:, None] for i in range(4))
+        bx1, by1, bx2, by2 = (eb[:, i][None, :] for i in range(4))
+        d1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+        d2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+        d3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+        d4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+        proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+        return bool(proper.any())
+    return False
+
+
+def crosses(a: Geometry | None, b: Geometry | None) -> bool:
+    """Interiors intersect, neither contains the other, dim of intersection
+    < max dim. reference: shapely/predicates.py:500. Supported: line-line
+    (proper crossing), line-polygon, point(s)-line/polygon."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return False
+    da, db = _dim(a), _dim(b)
+    if da > db:
+        return crosses(b, a)
+    if da == 0 and db >= 1:
+        pa = _points_of(a)
+        cls = _all_class(pa, b)
+        return bool((cls == INTERIOR).any() and (cls == EXTERIOR).any())
+    if da == 1 and db == 1:
+        if not _interiors_intersect(a, b):
+            return False
+        # crossing (dim 0 intersection): not collinear-overlapping
+        return not (contains(a, b) or contains(b, a) or _collinear_overlap(a, b))
+    if da == 1 and db == 2:
+        pa = _points_of(a)
+        cls = points_in_rings_class(pa[:, 0], pa[:, 1], _rings_of(b))
+        ea = _edges(a)
+        mx, my = (ea[:, 0] + ea[:, 2]) / 2.0, (ea[:, 1] + ea[:, 3]) / 2.0
+        mcls = points_in_rings_class(mx, my, _rings_of(b))
+        has_in = (cls == INTERIOR).any() or (mcls == INTERIOR).any()
+        has_out = (cls == EXTERIOR).any() or (mcls == EXTERIOR).any()
+        return bool(has_in and has_out)
+    return False
+
+
+def _collinear_overlap(a: Geometry, b: Geometry) -> bool:
+    """True if any segment pair is collinear AND overlaps in >1 point."""
+    ea, eb = _edges(a), _edges(b)
+    if not len(ea) or not len(eb):
+        return False
+    ax1, ay1, ax2, ay2 = (ea[:, i][:, None] for i in range(4))
+    bx1, by1, bx2, by2 = (eb[:, i][None, :] for i in range(4))
+    # both endpoints of b on the infinite line of a → collinear
+    c1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+    c2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+    collinear = (c1 == 0) & (c2 == 0)
+    if not collinear.any():
+        return False
+    # overlap length > 0: project onto the dominant axis of a
+    ovx = np.minimum(np.maximum(ax1, ax2), np.maximum(bx1, bx2)) - np.maximum(
+        np.minimum(ax1, ax2), np.minimum(bx1, bx2)
+    )
+    ovy = np.minimum(np.maximum(ay1, ay2), np.maximum(by1, by2)) - np.maximum(
+        np.minimum(ay1, ay2), np.minimum(by1, by2)
+    )
+    return bool((collinear & ((ovx > 0) | (ovy > 0))).any())
+
+
+def overlaps(a: Geometry | None, b: Geometry | None) -> bool:
+    """Same-dim, interiors intersect, neither contains the other.
+    reference: shapely/predicates.py:905."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return False
+    if _dim(a) != _dim(b):
+        return False
+    if not _interiors_intersect(a, b):
+        return False
+    return not (covers(a, b) or covers(b, a))
+
+
+def equals(a: Geometry | None, b: Geometry | None) -> bool:
+    """Topological equality = within ∧ contains-closure.
+    reference: shapely/predicates.py:830 (doc: a.within(b) && a.contains(b))."""
+    if a is None or b is None:
+        return False
+    if a.is_empty and b.is_empty:
+        return True
+    return covers(a, b) and covers(b, a)
+
+
+def dwithin(a: Geometry | None, b: Geometry | None, d: float) -> bool:
+    """distance(a,b) <= d without materializing it when bbox prune fails.
+    reference: shapely/predicates.py:1269."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return False
+    ba, bb = bounds(a), bounds(b)
+    if (
+        ba[0] - d > bb[2] or bb[0] - d > ba[2]
+        or ba[1] - d > bb[3] or bb[1] - d > ba[3]
+    ):
+        return False
+    return distance(a, b) <= d
+
+
+def relate(a: Geometry | None, b: Geometry | None) -> str | None:
+    """DE-9IM matrix string. reference: shapely/predicates.py:1194.
+    Implemented for point-vs-(point|line|polygon) — the engine's payload
+    case; general combos raise."""
+    if a is None or b is None:
+        return None
+    if a.type_id not in (POINT, MULTIPOINT):
+        raise NotImplementedError("relate() implemented for point payloads vs any container")
+    pa = _points_of(a)
+    db = _dim(b)
+    cls = _all_class(pa, b) if not b.is_empty else np.zeros(len(pa), dtype=np.int8)
+    has_int = bool((cls == INTERIOR).any())
+    has_bnd = bool((cls == BOUNDARY).any())
+    has_ext = bool((cls == EXTERIOR).any())
+    dimb = str(db) if db >= 0 else "F"
+    # rows: interior/boundary/exterior of A (points: boundary empty)
+    m = [
+        "0" if has_int else "F",        # I(a)∩I(b)
+        "0" if has_bnd else "F",        # I(a)∩B(b)
+        "0" if has_ext else "F",        # I(a)∩E(b)
+        "F", "F", "F",                   # B(a) empty for points
+        dimb,                            # E(a)∩I(b)
+        ("0" if db >= 1 else "F") if not b.is_empty else "F",  # E(a)∩B(b) dim of boundary
+        "2",                             # E(a)∩E(b)
+    ]
+    # boundary of polygon is 1-dim, of line is 0-dim
+    if db == 2:
+        m[7] = "1" if not b.is_empty else "F"
+    elif db == 1:
+        m[7] = "0" if not b.is_empty else "F"
+    elif db == 0:
+        m[7] = "F"
+    return "".join(m)
+
+
+def relate_pattern(a, b, pattern: str) -> bool:
+    """reference: shapely/predicates.py:1226 — T/F/0/1/2/* matching."""
+    m = relate(a, b)
+    if m is None:
+        return False
+    for got, want in zip(m, pattern):
+        if want == "*":
+            continue
+        if want == "T":
+            if got == "F":
+                return False
+        elif got != want:
+            return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Unary predicates (reference: shapely/predicates.py)
+# ---------------------------------------------------------------------------
+
+def is_ccw(geom: Geometry | None) -> bool:
+    """reference: shapely/predicates.py:113 (signed area > 0); False for
+    non-rings/None."""
+    if geom is None or geom.type_id not in (LINEARRING, LINESTRING):
+        return False
+    c = geom.coords
+    if c is None or len(c) < 4 or not np.array_equal(c[0, :2], c[-1, :2]):
+        return False
+    return signed_ring_area(c[:, :2]) > 0
+
+
+def is_closed(geom: Geometry | None) -> bool:
+    """reference: shapely/predicates.py:152."""
+    if geom is None or geom.type_id not in (LINESTRING, LINEARRING, MULTILINESTRING):
+        return False
+    if geom.type_id == MULTILINESTRING:
+        return all(is_closed(p) for p in (geom.parts or [])) and bool(geom.parts)
+    c = geom.coords
+    if c is None or len(c) == 0:
+        return False
+    return bool(np.array_equal(c[0, :2], c[-1, :2]))
+
+
+def is_ring(geom: Geometry | None) -> bool:
+    """closed + simple. reference: shapely/predicates.py:354."""
+    return is_closed(geom) and is_simple(geom)
+
+
+def is_simple(geom: Geometry | None) -> bool:
+    """No self-intersection (lines). reference: shapely/predicates.py:392.
+    Point/polygon types return True like GEOS (validity is separate)."""
+    if geom is None:
+        return False
+    if geom.type_id not in (LINESTRING, LINEARRING, MULTILINESTRING):
+        return geom.type_id != GEOMETRYCOLLECTION
+    segs = _edges(geom)
+    n = len(segs)
+    closed = is_closed(geom)
+    for i in range(n):
+        for j in range(i + 1, n):
+            adjacent = j == i + 1 or (closed and i == 0 and j == n - 1)
+            a, b = segs[i : i + 1], segs[j : j + 1]
+            if _segments_intersect_any(a, b):
+                if adjacent:
+                    # sharing one endpoint is fine; overlap is not
+                    mx = np.array([(b[0, 0] + b[0, 2]) / 2.0])
+                    my = np.array([(b[0, 1] + b[0, 3]) / 2.0])
+                    if points_on_segments(mx, my, a).any():
+                        return False
+                    continue
+                return False
+    return True
+
+
+def is_valid(geom: Geometry | None) -> bool:
+    """OGC validity (subset): rings closed, >=4 points, no ring
+    self-intersection, holes inside shell. reference: shapely/predicates.py:431."""
+    return is_valid_reason(geom) == "Valid Geometry"
+
+
+def is_valid_reason(geom: Geometry | None) -> str | None:
+    """reference: shapely/predicates.py:468."""
+    if geom is None:
+        return None
+    if geom.type_id == POLYGON:
+        for r in geom.rings or []:
+            c = np.asarray(r)
+            if len(c) and not np.array_equal(c[0, :2], c[-1, :2]):
+                return "Ring Not Closed"
+            if 0 < len(c) < 4:
+                return "Too Few Points"
+            ring_geom = Geometry(LINEARRING, coords=c)
+            if not is_simple(ring_geom):
+                return "Self-intersection"
+        if geom.rings and len(geom.rings) > 1:
+            shell = [geom.rings[0]]
+            for h in geom.rings[1:]:
+                hc = np.asarray(h)[:, :2]
+                if (points_in_rings_class(hc[:, 0], hc[:, 1], shell) == EXTERIOR).any():
+                    return "Hole Lies Outside Shell"
+        return "Valid Geometry"
+    if geom.type_id in (MULTIPOLYGON, GEOMETRYCOLLECTION):
+        for p in geom.parts or []:
+            r = is_valid_reason(p)
+            if r != "Valid Geometry":
+                return r
+        return "Valid Geometry"
+    return "Valid Geometry"

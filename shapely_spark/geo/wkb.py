@@ -1,0 +1,222 @@
+"""WKB reader/writer, pure Python/NumPy.
+
+Semantics pinned to the reference codec (shapely/io.py:119 to_wkb /
+:313 from_wkb): ISO flavor uses type = base + 1000*Z + 2000*M; extended
+(EWKB) flavor uses high-bit flags (0x80000000 Z, 0x40000000 M,
+0x20000000 SRID). Default write: little-endian ISO, like the reference.
+POINT EMPTY serializes as POINT (nan nan), matching GEOS. LINEARRING has
+no WKB code and is written as LINESTRING.
+
+WKB (BinaryType) is the canonical storage/shuffle format for geometry
+columns in the Spark engine (SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .geom import (
+    GEOMETRYCOLLECTION,
+    LINEARRING,
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    Geometry,
+    empty,
+)
+
+_EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
+_EWKB_SRID = 0x20000000
+
+
+class WKBError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# Writer
+# --------------------------------------------------------------------------
+
+def to_wkb(
+    geom: Geometry | None,
+    byte_order: int = 1,
+    include_srid: bool = False,
+    flavor: str = "iso",
+) -> bytes | None:
+    """geometry → WKB bytes. byte_order 1=little (default), 0=big.
+
+    reference: shapely/io.py:119 (defaults: little-endian, ISO).
+    """
+    if geom is None:
+        return None
+    out = bytearray()
+    _write_geom(out, geom, byte_order, include_srid, flavor, top=True)
+    return bytes(out)
+
+
+# internal type id (shapely/_geometry.py enum, 0-based) ↔ WKB code (1-based
+# for point/linestring; polygon+ coincide)
+_TO_WKB_CODE = {POINT: 1, LINESTRING: 2, LINEARRING: 2, POLYGON: 3,
+                MULTIPOINT: 4, MULTILINESTRING: 5, MULTIPOLYGON: 6,
+                GEOMETRYCOLLECTION: 7}
+_FROM_WKB_CODE = {1: POINT, 2: LINESTRING, 3: POLYGON, 4: MULTIPOINT,
+                  5: MULTILINESTRING, 6: MULTIPOLYGON, 7: GEOMETRYCOLLECTION}
+
+
+def _wkb_type_code(geom: Geometry, include_srid, flavor, top) -> int:
+    base = _TO_WKB_CODE[geom.type_id]
+    if flavor == "extended":
+        code = base
+        if geom.has_z:
+            code |= _EWKB_Z
+        if geom.has_m:
+            code |= _EWKB_M
+        if include_srid and top and geom.srid:
+            code |= _EWKB_SRID
+        return code
+    return base + (1000 if geom.has_z else 0) + (2000 if geom.has_m else 0)
+
+
+def _write_geom(out, geom, bo, include_srid, flavor, top=False):
+    endian = "<" if bo == 1 else ">"
+    out += struct.pack(endian + "B", bo)
+    code = _wkb_type_code(geom, include_srid, flavor, top)
+    out += struct.pack(endian + "I", code)
+    if flavor == "extended" and include_srid and top and geom.srid:
+        out += struct.pack(endian + "I", geom.srid)
+    ndim = geom.ndim
+    tid = geom.type_id
+
+    def write_coords(a):
+        arr = np.asarray(a, dtype=np.float64)
+        if bo == 1:
+            arr = arr.astype("<f8", copy=False)
+        else:
+            arr = arr.astype(">f8", copy=False)
+        out.extend(arr.tobytes())
+
+    if tid == POINT:
+        if geom.is_empty:
+            write_coords(np.full((1, ndim), np.nan))
+        else:
+            write_coords(geom.coords[0])
+    elif tid in (LINESTRING, LINEARRING):
+        n = 0 if geom.coords is None else len(geom.coords)
+        out += struct.pack(endian + "I", n)
+        if n:
+            write_coords(geom.coords[:, :ndim])
+    elif tid == POLYGON:
+        rings = geom.rings or []
+        out += struct.pack(endian + "I", len(rings))
+        for r in rings:
+            out += struct.pack(endian + "I", len(r))
+            write_coords(np.asarray(r)[:, :ndim])
+    elif tid in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        parts = geom.parts or []
+        out += struct.pack(endian + "I", len(parts))
+        for p in parts:
+            _write_geom(out, p, bo, include_srid, flavor, top=False)
+    else:
+        raise WKBError(f"cannot write type {tid}")
+
+
+# --------------------------------------------------------------------------
+# Reader
+# --------------------------------------------------------------------------
+
+def from_wkb(data: bytes | None, on_invalid: str = "raise") -> Geometry | None:
+    """WKB bytes → Geometry. on_invalid ∈ raise|warn|ignore (shapely/io.py:313)."""
+    if data is None:
+        return None
+    try:
+        geom, _ = _read_geom(memoryview(bytes(data)), 0)
+        return geom
+    except Exception as exc:
+        if on_invalid == "raise":
+            raise WKBError(str(exc)) from exc
+        if on_invalid == "warn":
+            import warnings
+
+            warnings.warn(f"invalid WKB: {exc}")
+        return None
+
+
+def _read_geom(buf: memoryview, off: int):
+    bo = buf[off]
+    endian = "<" if bo == 1 else ">"
+    off += 1
+    (code,) = struct.unpack_from(endian + "I", buf, off)
+    off += 4
+    srid = 0
+    has_z = has_m = False
+    if code & (_EWKB_Z | _EWKB_M | _EWKB_SRID):  # extended flavor
+        has_z = bool(code & _EWKB_Z)
+        has_m = bool(code & _EWKB_M)
+        if code & _EWKB_SRID:
+            (srid,) = struct.unpack_from(endian + "I", buf, off)
+            off += 4
+        base = _FROM_WKB_CODE[code & 0xFF]
+    else:  # ISO flavor
+        base = _FROM_WKB_CODE[code % 1000]
+        dims = code // 1000
+        has_z = dims in (1, 3)
+        has_m = dims in (2, 3)
+    ndim = 2 + has_z + has_m
+
+    def read_pts(n, off):
+        nbytes = n * ndim * 8
+        arr = np.frombuffer(buf, dtype=endian + "f8", count=n * ndim, offset=off)
+        return arr.reshape(n, ndim).astype(np.float64), off + nbytes
+
+    if base == POINT:
+        pts, off = read_pts(1, off)
+        if np.all(np.isnan(pts)):
+            g = empty(POINT)
+        else:
+            g = Geometry(POINT, coords=pts)
+    elif base == LINESTRING:
+        (n,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        pts, off = read_pts(n, off)
+        g = Geometry(LINESTRING, coords=pts)
+    elif base == POLYGON:
+        (nr,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        rings = []
+        for _ in range(nr):
+            (n,) = struct.unpack_from(endian + "I", buf, off)
+            off += 4
+            pts, off = read_pts(n, off)
+            rings.append(pts)
+        g = Geometry(POLYGON, rings=rings)
+    elif base in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        (np_,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        parts = []
+        for _ in range(np_):
+            p, off = _read_geom(buf, off)
+            parts.append(p)
+        g = Geometry(base, parts=parts)
+    else:
+        raise WKBError(f"unknown WKB type code {code}")
+    g.has_z, g.has_m, g.srid = has_z, has_m, srid
+    return g, off
+
+
+# --------------------------------------------------------------------------
+# Batch helpers (the UDF-facing surface)
+# --------------------------------------------------------------------------
+
+def from_wkb_batch(column, on_invalid: str = "ignore") -> list[Geometry | None]:
+    """Decode a pandas/arrow binary column to a list of Geometry (None-safe)."""
+    return [None if b is None else from_wkb(b, on_invalid=on_invalid) for b in column]
+
+
+def to_wkb_batch(geoms) -> list[bytes | None]:
+    return [None if g is None else to_wkb(g) for g in geoms]
