@@ -1,0 +1,102 @@
+"""End-to-end vertical slice: synthetic pages ⋈ regions on Spark must equal
+the single-node STRtree oracle pair-for-pair (the correctness contract of
+SURVEY.md §7 step 3; STRtree.query semantics shapely/strtree.py:229-266)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from shapely_spark.geo import STRtree, point
+from shapely_spark.geo.wkb import from_wkb
+from shapely_spark.spark.extract import with_geo
+from shapely_spark.spark.join import spatial_join
+from shapely_spark.spark.pages import regions_df, synth_pages, synth_regions
+
+RES = 9
+N_PAGES = 3000
+N_REGIONS = 60
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return with_geo(synth_pages(spark, N_PAGES), res=RES).cache()
+
+
+@pytest.fixture(scope="module")
+def regions():
+    return synth_regions(N_REGIONS, seed=42)
+
+
+def test_extract_text_byte_identical(pages):
+    """Per-row invariant from the driver input_hint: extracted text ==
+    stored text, byte for byte, for every url."""
+    bad = pages.where(
+        F.encode(F.col("extracted_text"), "UTF-8") != F.encode(F.col("text"), "UTF-8")
+    ).count()
+    assert bad == 0
+
+
+def test_extract_null_and_malformed_geotags(pages):
+    n = pages.count()
+    nulls = pages.where(F.col("lat").isNull()).count()
+    # ~1% missing + ~0.5% malformed
+    assert 0 < nulls < 0.05 * n
+    cells_for_null = pages.where(F.col("lat").isNull()).select("cell_id").distinct().collect()
+    assert [r.cell_id for r in cells_for_null] == [-1]
+
+
+def test_spatial_join_matches_strtree_oracle(spark, pages, regions):
+    rdf = regions_df(spark, regions)
+    got = (
+        spatial_join(pages, rdf, predicate="intersects", res=RES)
+        .select("url", "region_id")
+        .collect()
+    )
+    got_pairs = {(r.url, r.region_id) for r in got}
+
+    # single-node oracle: same pages through the kernel STRtree
+    rows = pages.select("url", "lat", "lon").collect()
+    geoms = [g for _, _, g, _ in regions]
+    tree = STRtree(geoms)
+    want_pairs = set()
+    pts = [
+        (r.url, point(r.lon, r.lat)) for r in rows if r.lat is not None
+    ]
+    res = tree.query([p for _, p in pts], predicate="intersects")
+    for qi, ti in res.T.tolist():
+        want_pairs.add((pts[qi][0], regions[ti][0]))
+
+    assert got_pairs == want_pairs
+    assert len(got_pairs) > 0  # hotspot regions guarantee matches
+
+
+def test_spatial_join_within_excludes_boundary(spark, pages, regions):
+    rdf = regions_df(spark, regions)
+    inter = spatial_join(pages, rdf, predicate="intersects", res=RES).count()
+    within = spatial_join(pages, rdf, predicate="within", res=RES).count()
+    assert within <= inter
+
+
+def test_spatial_join_invalid_predicate(spark, pages, regions):
+    with pytest.raises(ValueError, match="not a valid option"):
+        spatial_join(pages, regions_df(spark, regions), predicate="disjoint")
+
+
+def test_null_coords_never_join(spark, pages, regions):
+    rdf = regions_df(spark, regions)
+    joined = spatial_join(pages, rdf, predicate="intersects", res=RES)
+    assert joined.where(F.col("lat").isNull()).count() == 0
+
+
+def test_broadcast_plan_is_broadcast(spark, pages, regions):
+    """The covers side must broadcast — no shuffle of the pages side."""
+    rdf = regions_df(spark, regions)
+    plan = spatial_join(pages, rdf, res=RES)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_shuffle_mode_same_result(spark, pages, regions):
+    rdf = regions_df(spark, regions)
+    a = spatial_join(pages, rdf, res=RES, broadcast=True).select("url", "region_id")
+    b = spatial_join(pages, rdf, res=RES, broadcast=False).select("url", "region_id")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
