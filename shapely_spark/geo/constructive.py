@@ -66,24 +66,27 @@ def centroid(geom: Geometry | None) -> Geometry | None:
                     rings.append((np.asarray(r)[:, :2], i == 0))
             for p in g.parts or []:
                 stack.append(p)
+        if rings:
+            # translate everything to the first shell vertex for numerical
+            # stability (same trick as kernels.signed_ring_area)
+            ox, oy = rings[0][0][0, 0], rings[0][0][0, 1]
         for r, is_shell in rings:
             a_signed = signed_ring_area(r)
             if a_signed == 0.0:
                 continue
-            x, y = r[:, 0], r[:, 1]
+            x, y = r[:, 0] - ox, r[:, 1] - oy
             cross = x[:-1] * y[1:] - x[1:] * y[:-1]
-            # first moments; Sx / a_signed is orientation-independent
+            # first moments (about the origin ox,oy); Sx/a is orientation-free
             mom_x = float(np.sum((x[:-1] + x[1:]) * cross)) / 6.0
             mom_y = float(np.sum((y[:-1] + y[1:]) * cross)) / 6.0
-            w = abs(a_signed) if is_shell else -abs(a_signed)
             ring_sign = math.copysign(1.0, a_signed)
-            sa += w
+            sa += abs(a_signed) if is_shell else -abs(a_signed)
             sx += ring_sign * mom_x * (1.0 if is_shell else -1.0)
             sy += ring_sign * mom_y * (1.0 if is_shell else -1.0)
         if sa == 0.0:
             c = geom.all_coords()[:, :2]
             return make_point(float(c[:, 0].mean()), float(c[:, 1].mean()))
-        return make_point(sx / sa, sy / sa)
+        return make_point(ox + sx / sa, oy + sy / sa)
     if tid in (LINESTRING, LINEARRING, MULTILINESTRING):
         segs = []
         stack = [geom]

@@ -60,8 +60,14 @@ def total_bounds(geoms) -> np.ndarray:
 
 
 def signed_ring_area(ring: np.ndarray) -> float:
-    """Shoelace; CCW positive. reference: shapely/algorithms/cga.py:8."""
-    x, y = ring[:, 0], ring[:, 1]
+    """Shoelace; CCW positive. reference: shapely/algorithms/cga.py:8.
+    Coordinates are translated to the first vertex before summing —
+    mathematically identical, avoids catastrophic cancellation when the
+    ring is far from the origin (lon/lat polygons always are)."""
+    if len(ring) < 3:
+        return 0.0
+    x = ring[:, 0] - ring[0, 0]
+    y = ring[:, 1] - ring[0, 1]
     return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
 
 

@@ -1,0 +1,842 @@
+"""Driver-facing query battery: every operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus a DuckDB-runnable oracle SQL.
+
+Design rules (the hash-match contract):
+- Spark plan and oracle SQL compute the SAME arithmetic in the SAME order,
+  so IEEE-754 doubles agree bit-for-bit wherever the formula is shared;
+  results that aggregate in engine-dependent order are rounded.
+- Every computed column is aliased identically on both sides.
+- Spatial queries exercise the real engine path (cell cover → broadcast
+  equi-join → pandas-UDF refine); their oracles are plain range/window SQL
+  that DuckDB evaluates independently.
+
+Derived geo columns (both sides, bit-identical):
+  lon = (o_orderkey * 37 % 360000) / 1000.0 - 180.0
+  lat = ((o_custkey * 7919 + o_orderkey) % 170000) / 1000.0 - 85.0
+Nation boxes (25 regions):
+  xmin = -180 + n_nationkey*14, w=12; ymin = -85 + (n_nationkey*37)%160, h=9
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .index.cells import sql_cell_expr
+from .spark.columns import cell_col, haversine_col
+
+RES = 7  # cell grid resolution used by the oracle-checked spatial queries
+
+# ---------------------------------------------------------------------------
+# shared derivations
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _pts(spark, sf_dir) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("pid"),
+        ((F.col("o_orderkey") * 37 % 360000) / 1000.0 - 180.0).alias("lon"),
+        (((F.col("o_custkey") * 7919 + F.col("o_orderkey")) % 170000) / 1000.0 - 85.0).alias("lat"),
+        F.col("o_totalprice").alias("value"),
+    )
+
+
+_PTS_SQL = """
+SELECT o_orderkey AS pid,
+       (o_orderkey * 37 % 360000) / 1000.0 - 180.0 AS lon,
+       ((o_custkey * 7919 + o_orderkey) % 170000) / 1000.0 - 85.0 AS lat,
+       o_totalprice AS value
+FROM orders
+"""
+
+
+def _nation_boxes_pdf(spark, sf_dir) -> pd.DataFrame:
+    n = _t(spark, sf_dir, "nation").select("n_nationkey").toPandas()
+    k = n["n_nationkey"].to_numpy(dtype=np.int64)
+    xmin = -180.0 + k * 14.0
+    ymin = -85.0 + (k * 37) % 160
+    return pd.DataFrame(
+        {"region_id": k, "xmin": xmin, "ymin": ymin, "xmax": xmin + 12.0, "ymax": ymin + 9.0}
+    )
+
+
+_BOXES_SQL = """
+SELECT n_nationkey AS region_id,
+       -180.0 + n_nationkey * 14.0 AS xmin,
+       -85.0 + (n_nationkey * 37) % 160 AS ymin,
+       -180.0 + n_nationkey * 14.0 + 12.0 AS xmax,
+       -85.0 + (n_nationkey * 37) % 160 + 9.0 AS ymax
+FROM nation
+"""
+
+
+def _nation_regions_df(spark, sf_dir) -> DataFrame:
+    """The nation boxes as a WKB regions DataFrame — the engine-side layer."""
+    from .geo.geom import box as make_box
+    from .geo.wkb import to_wkb
+
+    pdf = _nation_boxes_pdf(spark, sf_dir)
+    rows = [
+        (int(r.region_id), f"nation_{int(r.region_id)}",
+         to_wkb(make_box(r.xmin, r.ymin, r.xmax, r.ymax)), "box")
+        for r in pdf.itertuples()
+    ]
+    return spark.createDataFrame(rows, "region_id long, name string, wkb binary, kind string")
+
+
+# part-derived geometry parameters (shared by the geo_* kernel queries)
+def _part_params(spark, sf_dir) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("gid"),
+        (F.col("p_partkey") % 13 + 3).cast("int").alias("n"),
+        ((F.col("p_partkey") % 97 + 10) / 20.0).alias("r"),
+        ((F.col("p_partkey") % 300) - 150 + 0.5).cast("double").alias("cx"),
+        ((F.col("p_partkey") % 160) - 80 + 0.25).cast("double").alias("cy"),
+    )
+
+
+_PART_PARAMS_SQL = """
+SELECT p_partkey AS gid,
+       CAST(p_partkey % 13 + 3 AS INT) AS n,
+       (p_partkey % 97 + 10) / 20.0 AS r,
+       CAST((p_partkey % 300) - 150 + 0.5 AS DOUBLE) AS cx,
+       CAST((p_partkey % 160) - 80 + 0.25 AS DOUBLE) AS cy
+FROM part
+"""
+
+
+def _geo_kernel_query(spark, sf_dir, out_schema: str, fn) -> DataFrame:
+    """Run a per-row geometry kernel over the part-derived parameters via
+    mapInPandas (Arrow-batched; geometry built + kernel run in NumPy)."""
+    params = _part_params(spark, sf_dir)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield fn(pdf)
+
+    return params.mapInPandas(gen, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# the battery
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---- relational (TPC-H-ish; engine generality + bench headliners) ---------
+
+@q(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q(
+    "tpch_q3",
+    """
+    SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1998-03-15'
+      AND l_shipdate > DATE '1998-03-15'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 20
+    """,
+)
+def tpch_q3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (F.col("o_orderdate") < F.lit("1998-03-15").cast("date"))
+            & (F.col("l_shipdate") > F.lit("1998-03-15").cast("date"))
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@q(
+    "tpch_q6",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+# ---- spatial: cell assignment / tiling -------------------------------------
+
+@q(
+    "cell_assign",
+    f"""
+    WITH pts AS ({_PTS_SQL})
+    SELECT {sql_cell_expr('lat', 'lon', RES)} AS cell_id,
+           count(*) AS n_points,
+           round(sum(value), 2) AS sum_value
+    FROM pts GROUP BY cell_id ORDER BY cell_id
+    """,
+)
+def cell_assign(spark, sf_dir):
+    pts = _pts(spark, sf_dir).withColumn("cell_id", cell_col(F.col("lat"), F.col("lon"), RES))
+    return (
+        pts.groupBy("cell_id")
+        .agg(F.count("*").alias("n_points"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("cell_id")
+    )
+
+
+# ---- spatial join (the flagship) -------------------------------------------
+
+@q(
+    "spatial_join_boxes",
+    f"""
+    WITH pts AS ({_PTS_SQL}), boxes AS ({_BOXES_SQL})
+    SELECT pid, region_id
+    FROM pts JOIN boxes
+      ON lon >= xmin AND lon <= xmax AND lat >= ymin AND lat <= ymax
+    ORDER BY pid, region_id
+    """,
+)
+def spatial_join_boxes(spark, sf_dir):
+    from .spark.join import spatial_join
+
+    pts = _pts(spark, sf_dir)
+    regions = _nation_regions_df(spark, sf_dir)
+    return (
+        spatial_join(pts, regions, predicate="intersects", res=RES)
+        .select("pid", "region_id")
+        .orderBy("pid", "region_id")
+    )
+
+
+@q(
+    "spatial_join_within",
+    f"""
+    WITH pts AS ({_PTS_SQL}), boxes AS ({_BOXES_SQL})
+    SELECT pid, region_id
+    FROM pts JOIN boxes
+      ON lon > xmin AND lon < xmax AND lat > ymin AND lat < ymax
+    ORDER BY pid, region_id
+    """,
+)
+def spatial_join_within(spark, sf_dir):
+    from .spark.join import spatial_join
+
+    pts = _pts(spark, sf_dir)
+    regions = _nation_regions_df(spark, sf_dir)
+    return (
+        spatial_join(pts, regions, predicate="within", res=RES)
+        .select("pid", "region_id")
+        .orderBy("pid", "region_id")
+    )
+
+
+# ---- tile aggregation (raster↔vector) --------------------------------------
+
+@q(
+    "tile_agg_regions",
+    f"""
+    WITH pts AS ({_PTS_SQL}), boxes AS ({_BOXES_SQL}),
+    cells AS (
+      SELECT {sql_cell_expr('lat', 'lon', RES)} AS cell_id, count(*) AS n_points
+      FROM pts GROUP BY cell_id
+    ),
+    -- per-region cover of FULLY-contained cells (exact arithmetic: a cell
+    -- [cx0,cx1)x[cy0,cy1) is full iff inside the box), matching the engine's
+    -- full-cell fast path; partial boundary cells are excluded on both sides
+    cover AS (
+      SELECT region_id, cell_id FROM boxes, cells
+      WHERE (cell_id % {1 << RES}) * 360.0 / {1 << RES} - 180.0 > xmin
+        AND ((cell_id % {1 << RES}) + 1) * 360.0 / {1 << RES} - 180.0 < xmax
+        AND (cell_id // {1 << RES}) * 180.0 / {1 << RES} - 90.0 > ymin
+        AND ((cell_id // {1 << RES}) + 1) * 180.0 / {1 << RES} - 90.0 < ymax
+    )
+    SELECT region_id, count(*) AS n_tiles, sum(n_points) AS n_pages
+    FROM cover JOIN cells USING (cell_id)
+    GROUP BY region_id ORDER BY region_id
+    """,
+)
+def tile_agg_regions(spark, sf_dir):
+    from .spark.tiles import region_tile_weights, tile_counts
+
+    pts = _pts(spark, sf_dir).withColumn("cell_id", cell_col(F.col("lat"), F.col("lon"), RES))
+    counts = pts.groupBy("cell_id").agg(F.count("*").alias("n_points"))
+    regions = _nation_regions_df(spark, sf_dir)
+    weights = region_tile_weights(regions, RES).where(F.col("full"))
+    return (
+        counts.join(F.broadcast(weights), "cell_id")
+        .groupBy("region_id")
+        .agg(F.count("*").alias("n_tiles"), F.sum("n_points").alias("n_pages"))
+        .orderBy("region_id")
+    )
+
+
+# ---- kNN join ---------------------------------------------------------------
+
+_HAVERSINE_SQL = """
+2.0 * 6371.0088 * asin(sqrt(least(greatest(
+    pow(sin((radians(cy) - radians(lat)) / 2), 2)
+    + cos(radians(lat)) * cos(radians(cy))
+      * pow(sin((radians(cx) - radians(lon)) / 2), 2), 0.0), 1.0)))
+"""
+
+
+@q(
+    "knn_nearest_center",
+    f"""
+    WITH pts AS ({_PTS_SQL}), boxes AS ({_BOXES_SQL}),
+    centers AS (SELECT region_id AS target_id, xmin + 6.0 AS cx, ymin + 4.5 AS cy FROM boxes),
+    cand AS (
+      SELECT pid, target_id, {_HAVERSINE_SQL} AS d
+      FROM pts CROSS JOIN centers
+    )
+    SELECT pid, target_id, round(d, 4) AS dist_km
+    FROM (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY d ASC, target_id ASC) AS rn FROM cand)
+    WHERE rn = 1 ORDER BY pid
+    """,
+)
+def knn_nearest_center(spark, sf_dir):
+    from .spark.knn import knn_join
+
+    pts = _pts(spark, sf_dir)
+    boxes = _nation_boxes_pdf(spark, sf_dir)
+    centers = spark.createDataFrame(
+        [(int(r.region_id), float(r.ymin + 4.5), float(r.xmin + 6.0)) for r in boxes.itertuples()],
+        "target_id long, t_lat double, t_lon double",
+    )
+    out = knn_join(
+        pts, centers, k=1, res=RES, k_ring=2, ties="break",
+        point_id="pid", target_id="target_id",
+    )
+    return out.select("pid", "target_id", F.round("dist_km", 4).alias("dist_km")).orderBy("pid")
+
+
+@q(
+    "dwithin_pairs",
+    f"""
+    WITH pts AS ({_PTS_SQL}), boxes AS ({_BOXES_SQL}),
+    centers AS (SELECT region_id AS target_id, xmin + 6.0 AS cx, ymin + 4.5 AS cy FROM boxes)
+    SELECT pid, target_id, round({_HAVERSINE_SQL}, 4) AS dist_km
+    FROM pts CROSS JOIN centers
+    WHERE {_HAVERSINE_SQL} <= 300.0
+    ORDER BY pid, target_id
+    """,
+)
+def dwithin_pairs(spark, sf_dir):
+    """dwithin as a distance-capped candidate join (predicates.py:1269
+    semantics at engine scale: cell-disk prune + exact refine)."""
+    from .spark.knn import knn_join
+
+    pts = _pts(spark, sf_dir)
+    boxes = _nation_boxes_pdf(spark, sf_dir)
+    centers = spark.createDataFrame(
+        [(int(r.region_id), float(r.ymin + 4.5), float(r.xmin + 6.0)) for r in boxes.itertuples()],
+        "target_id long, t_lat double, t_lon double",
+    )
+    out = knn_join(
+        pts, centers, k=25, res=RES, k_ring=2, max_distance_km=300.0, ties="break",
+        point_id="pid", target_id="target_id",
+    )
+    return out.select("pid", "target_id", F.round("dist_km", 4).alias("dist_km")).orderBy("pid", "target_id")
+
+# ---- geometry kernel queries (closed-form oracles) --------------------------
+# Each builds real geometries row-by-row inside an Arrow batch and runs the
+# NumPy kernel; the oracle recomputes the value from the closed-form formula
+# for that constructed shape. This pins kernel semantics (area/length/
+# centroid/buffer/clip/convex-hull/simplify/WKB framing) to independent math.
+
+@q(
+    "geo_area_ngon",
+    f"""
+    WITH p AS ({_PART_PARAMS_SQL})
+    SELECT gid, round(0.5 * n * r * r * sin(2 * pi() / n), 4) AS area
+    FROM p ORDER BY gid
+    """,
+)
+def geo_area_ngon(spark, sf_dir):
+    def fn(pdf):
+        from .geo import kernels as K
+        from .geo.geom import regular_ngon
+
+        areas = [
+            K.area(regular_ngon(cx, cy, r, int(n)))
+            for cx, cy, r, n in zip(pdf.cx, pdf.cy, pdf.r, pdf.n)
+        ]
+        return pd.DataFrame({"gid": pdf.gid, "area": np.round(areas, 4)})
+
+    return _geo_kernel_query(spark, sf_dir, "gid long, area double", fn).orderBy("gid")
+
+
+@q(
+    "geo_perimeter_ngon",
+    f"""
+    WITH p AS ({_PART_PARAMS_SQL})
+    SELECT gid, round(n * 2.0 * r * sin(pi() / n), 4) AS perimeter
+    FROM p ORDER BY gid
+    """,
+)
+def geo_perimeter_ngon(spark, sf_dir):
+    def fn(pdf):
+        from .geo import kernels as K
+        from .geo.geom import regular_ngon
+
+        per = [
+            K.length(regular_ngon(cx, cy, r, int(n)))
+            for cx, cy, r, n in zip(pdf.cx, pdf.cy, pdf.r, pdf.n)
+        ]
+        return pd.DataFrame({"gid": pdf.gid, "perimeter": np.round(per, 4)})
+
+    return _geo_kernel_query(spark, sf_dir, "gid long, perimeter double", fn).orderBy("gid")
+
+
+@q(
+    "geo_centroid_ngon",
+    f"""
+    WITH p AS ({_PART_PARAMS_SQL})
+    SELECT gid, round(cx, 4) AS cent_x, round(cy, 4) AS cent_y
+    FROM p ORDER BY gid
+    """,
+)
+def geo_centroid_ngon(spark, sf_dir):
+    def fn(pdf):
+        from .geo.constructive import centroid
+        from .geo.geom import regular_ngon
+
+        cents = [
+            centroid(regular_ngon(cx, cy, r, int(n))).coords[0]
+            for cx, cy, r, n in zip(pdf.cx, pdf.cy, pdf.r, pdf.n)
+        ]
+        c = np.array(cents)
+        return pd.DataFrame(
+            {"gid": pdf.gid, "cent_x": np.round(c[:, 0], 4), "cent_y": np.round(c[:, 1], 4)}
+        )
+
+    return _geo_kernel_query(spark, sf_dir, "gid long, cent_x double, cent_y double", fn).orderBy("gid")
+
+
+@q(
+    "geo_buffer_area",
+    f"""
+    WITH p AS ({_PART_PARAMS_SQL})
+    SELECT gid, round(0.5 * 32 * r * r * sin(2 * pi() / 32), 4) AS buf_area
+    FROM p ORDER BY gid
+    """,
+)
+def geo_buffer_area(spark, sf_dir):
+    def fn(pdf):
+        from .geo import kernels as K
+        from .geo.constructive import buffer
+        from .geo.geom import point as make_point
+
+        areas = [
+            K.area(buffer(make_point(cx, cy), r, quad_segs=8))
+            for cx, cy, r in zip(pdf.cx, pdf.cy, pdf.r)
+        ]
+        return pd.DataFrame({"gid": pdf.gid, "buf_area": np.round(areas, 4)})
+
+    return _geo_kernel_query(spark, sf_dir, "gid long, buf_area double", fn).orderBy("gid")
+
+
+@q(
+    "geo_bounds_boxes",
+    f"""
+    WITH b AS ({_BOXES_SQL})
+    SELECT region_id, xmin AS bxmin, ymin AS bymin, xmax AS bxmax, ymax AS bymax
+    FROM b ORDER BY region_id
+    """,
+)
+def geo_bounds_boxes(spark, sf_dir):
+    """WKB parse → bounds kernel (measurement.py:85) over the region layer."""
+    regions = _nation_regions_df(spark, sf_dir)
+
+    def gen(batches):
+        from .geo import kernels as K
+        from .geo.wkb import from_wkb
+
+        for pdf in batches:
+            bs = np.array([K.bounds(from_wkb(bytes(w))) for w in pdf.wkb])
+            yield pd.DataFrame(
+                {"region_id": pdf.region_id, "bxmin": bs[:, 0], "bymin": bs[:, 1],
+                 "bxmax": bs[:, 2], "bymax": bs[:, 3]}
+            )
+
+    return regions.mapInPandas(
+        gen, "region_id long, bxmin double, bymin double, bxmax double, bymax double"
+    ).orderBy("region_id")
+
+
+@q(
+    "geo_distance_box",
+    f"""
+    WITH p AS ({_PART_PARAMS_SQL})
+    SELECT gid, round(sqrt(
+        pow(greatest(-50.0 - cx, cx - 50.0, 0.0), 2)
+      + pow(greatest(-40.0 - cy, cy - 40.0, 0.0), 2)), 4) AS dist
+    FROM p ORDER BY gid
+    """,
+)
+def geo_distance_box(spark, sf_dir):
+    """Cartesian distance kernel (measurement.py:54): point vs fixed box
+    polygon (0 inside), vs the classic point-to-rect closed form."""
+    def fn(pdf):
+        from .geo import kernels as K
+        from .geo.geom import box as make_box, point as make_point
+
+        B = make_box(-50.0, -40.0, 50.0, 40.0)
+        ds = [K.distance(make_point(cx, cy), B) for cx, cy in zip(pdf.cx, pdf.cy)]
+        return pd.DataFrame({"gid": pdf.gid, "dist": np.round(ds, 4)})
+
+    return _geo_kernel_query(spark, sf_dir, "gid long, dist double", fn).orderBy("gid")
+
+
+@q(
+    "geo_clip_area",
+    f"""
+    WITH b AS ({_BOXES_SQL})
+    SELECT region_id,
+           round(greatest(0.0, least(xmax, 100.0) - greatest(xmin, -100.0))
+               * greatest(0.0, least(ymax, 60.0) - greatest(ymin, -60.0)), 4) AS clip_area
+    FROM b ORDER BY region_id
+    """,
+)
+def geo_clip_area(spark, sf_dir):
+    """clip_by_rect (constructive.py:380) + area vs rect-overlap arithmetic."""
+    regions = _nation_regions_df(spark, sf_dir)
+
+    def gen(batches):
+        from .geo import kernels as K
+        from .geo.constructive import clip_by_rect
+        from .geo.wkb import from_wkb
+
+        for pdf in batches:
+            a = [
+                K.area(clip_by_rect(from_wkb(bytes(w)), -100.0, -60.0, 100.0, 60.0))
+                for w in pdf.wkb
+            ]
+            yield pd.DataFrame({"region_id": pdf.region_id, "clip_area": np.round(a, 4)})
+
+    return regions.mapInPandas(gen, "region_id long, clip_area double").orderBy("region_id")
+
+
+@q(
+    "geo_convexhull_star",
+    f"""
+    WITH p AS ({_PART_PARAMS_SQL}),
+    m AS (SELECT gid, CAST(n % 8 + 3 AS INT) AS m, r FROM p)
+    SELECT gid, round(0.5 * m * r * r * sin(2 * pi() / m), 4) AS hull_area,
+           m + 1 AS hull_npoints
+    FROM m ORDER BY gid
+    """,
+)
+def geo_convexhull_star(spark, sf_dir):
+    """convex_hull (constructive.py:467): hull of a 2m-vertex star with
+    alternating radii (r, r/3) is the m-gon of the outer vertices."""
+    def fn(pdf):
+        from .geo import kernels as K
+        from .geo.constructive import convex_hull
+        from .geo.geom import multipoint
+
+        areas, npts = [], []
+        for cx, cy, r, n in zip(pdf.cx, pdf.cy, pdf.r, pdf.n):
+            m = int(n) % 8 + 3
+            ang = 2.0 * math.pi * np.arange(2 * m) / (2 * m)
+            rad = np.where(np.arange(2 * m) % 2 == 0, r, r / 3.0)
+            pts = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+            h = convex_hull(multipoint([tuple(p) for p in pts]))
+            areas.append(K.area(h))
+            npts.append(len(h.rings[0]))
+        return pd.DataFrame(
+            {"gid": pdf.gid, "hull_area": np.round(areas, 4),
+             "hull_npoints": pd.Series(npts, dtype="int32")}
+        )
+
+    return _geo_kernel_query(
+        spark, sf_dir, "gid long, hull_area double, hull_npoints int", fn
+    ).orderBy("gid")
+
+
+@q(
+    "geo_simplify_count",
+    f"""
+    WITH p AS ({_PART_PARAMS_SQL})
+    SELECT gid, CASE WHEN (gid % 20) / 10.0 > 0.95 THEN 3 ELSE 2 END AS n_points
+    FROM p ORDER BY gid
+    """,
+)
+def geo_simplify_count(spark, sf_dir):
+    """simplify/Douglas-Peucker (constructive.py:1118): 3-point spike line
+    keeps the apex iff its offset exceeds the tolerance."""
+    def fn(pdf):
+        from .geo.constructive import simplify
+        from .geo.geom import linestring
+
+        ns = []
+        for gid in pdf.gid:
+            a = (int(gid) % 20) / 10.0
+            s = simplify(linestring([(0.0, 0.0), (2.0, a), (4.0, 0.0)]), 0.95)
+            ns.append(len(s.coords))
+        return pd.DataFrame({"gid": pdf.gid, "n_points": pd.Series(ns, dtype="int32")})
+
+    return _geo_kernel_query(spark, sf_dir, "gid long, n_points int", fn).orderBy("gid")
+
+
+@q(
+    "wkb_size_ngon",
+    f"""
+    WITH p AS ({_PART_PARAMS_SQL})
+    SELECT gid, 13 + (n + 1) * 16 AS wkb_bytes
+    FROM p ORDER BY gid
+    """,
+)
+def wkb_size_ngon(spark, sf_dir):
+    """WKB writer framing (io.py:119): polygon = 1+4+4 header + ring
+    (4 + (n+1)*16) bytes."""
+    def fn(pdf):
+        from .geo.geom import regular_ngon
+        from .geo.wkb import to_wkb
+
+        sizes = [
+            len(to_wkb(regular_ngon(cx, cy, r, int(n))))
+            for cx, cy, r, n in zip(pdf.cx, pdf.cy, pdf.r, pdf.n)
+        ]
+        return pd.DataFrame({"gid": pdf.gid, "wkb_bytes": pd.Series(sizes, dtype="int64")})
+
+    return _geo_kernel_query(spark, sf_dir, "gid long, wkb_bytes long", fn).orderBy("gid")
+
+
+# ---- text / dedup / quality (training-data pipeline ops) --------------------
+
+@q(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS keeper_id, count(*) AS group_size, md5(text) AS fp
+    FROM documents GROUP BY text ORDER BY keeper_id
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, keep min doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("group_size"))
+        .select("keeper_id", "group_size", F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp"))
+        .orderBy("keeper_id")
+    )
+
+
+@q(
+    "dedup_prefix_groups",
+    """
+    SELECT array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix,
+           min(doc_id) AS keeper_id, count(*) AS group_size
+    FROM documents GROUP BY prefix HAVING count(*) > 1 ORDER BY keeper_id
+    """,
+)
+def dedup_prefix_groups(spark, sf_dir):
+    """Near-dup families by 8-token prefix fingerprint (rolling-fingerprint
+    dedup at the cheap end; groups >1 are candidate duplicate clusters)."""
+    d = _t(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8))
+    return (
+        d.groupBy(prefix.alias("prefix"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("group_size"))
+        .where(F.col("group_size") > 1)
+        .orderBy("keeper_id")
+    )
+
+
+@q(
+    "token_count",
+    """
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars2
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars2"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(text) AS fp, length(text) AS n_chars2
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp"),
+        F.length("text").cast("long").alias("n_chars2"),
+    ).orderBy("doc_id")
+
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+@q(
+    "quality_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w, length(text) AS nc FROM documents
+    )
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           round(CAST(len(list_filter(w, x -> list_contains({_STOPWORDS!r}, x))) AS DOUBLE)
+                 / len(w), 4) AS stopword_ratio,
+           round(CAST(nc AS DOUBLE) / len(w), 4) AS avg_token_len
+    FROM t ORDER BY doc_id
+    """,
+)
+def quality_score(spark, sf_dir):
+    """Quality heuristics: stopword ratio + mean token length (the engine's
+    language-quality scoring building blocks), all JVM-side."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    return d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double")
+            / F.size(w), 4,
+        ).alias("stopword_ratio"),
+        F.round(F.length("text").cast("double") / F.size(w), 4).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "ngram_jaccard_pairs",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || '\x01' || w[i+1] || '\x01' || w[i+2])) AS s
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup detection: word-3-gram shingle Jaccard ≥ 0.2 via distinct
+    shingle explode → self equi-join on shingle → group-count. The
+    shuffle-heavy exact version; minhash_lsh_candidates is the scale path."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - 3),
+                    lambda i: F.concat_ws("\x01", F.element_at(w, i + 1),
+                                          F.element_at(w, i + 2), F.element_at(w, i + 3)),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("ninter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("ninter").cast("double") / (F.col("na") + F.col("nb") - F.col("ninter"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .where(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

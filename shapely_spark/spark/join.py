@@ -7,19 +7,23 @@ reference skips None/empty inputs, strtree.py:376).
 
 The Spark plan (SURVEY.md §3.3):
 
-  regions ──mapInPandas──▶ covers(region_id, cell_id, full, wkb?)   [fan-out]
-  pages ──withColumn(cell_id)──▶ ⋈ covers ON cell_id                [equi-join,
-                                                                broadcast or shuffle]
+  regions ──mapInPandas──▶ covers(region_id, cell_id, full)          [fan-out]
+  pages ──withColumn(cell_id)──▶ ⋈ covers ON cell_id                 [equi-join,
+                                                                 broadcast or shuffle]
   full cells ──▶ emit directly (cell entirely inside the polygon —
                  the broadcast-side analog of prepared-containment)
-  partial cells ──▶ pandas-UDF refine: exact point-in-polygon kernel,
-                    polygon parsed once per executor per region (WKB-keyed
-                    cache = prepared geometry, shapely/creation.py:735)
+  partial cells ──▶ pandas-UDF refine: exact point-in-polygon kernel;
+                    region geometries ride an sc.broadcast dict and are
+                    parsed + prepared ONCE per executor (the Spark analog of
+                    GEOS prepared geometries, shapely/creation.py:735) —
+                    the join itself moves only (region_id, cell_id, full)
+                    ints, never geometry bytes.
 
 At scale: the covers table is tiny relative to pages (|regions| × avg-cover),
-so Catalyst picks a broadcast hash join — no shuffle of the pages side at
-all. For huge region layers pass broadcast=False → sort-merge join on
-cell_id with AQE skew splitting; hot cells can additionally be salted.
+so Catalyst picks a broadcast hash join — the pages side is never shuffled.
+For region layers too big to broadcast, pass broadcast=False: the covers
+table (with WKB inlined for partial cells) shuffles both sides on cell_id
+with AQE skew splitting; the refine caches prepared polygons by WKB bytes.
 """
 
 from __future__ import annotations
@@ -34,22 +38,22 @@ from pyspark.sql import functions as F
 from ..index.cells import DEFAULT_RES, polygon_cover
 from .columns import cell_col
 
-_COVERS_SCHEMA = "region_id long, cell_id long, full boolean, wkb binary"
-
 # Map engine predicates (evaluated as predicate(point, region), matching
-# STRtree.query(points, predicate)) to the point-classification test.
+# STRtree.query(points, predicate)) to the point-classification test:
 #   intersects / covered_by: interior or boundary
 #   within: interior only (DE-9IM T*F**F***, predicates.py:1013)
 #   touches: boundary only (predicates.py:968)
 _PREDICATES = {"intersects", "within", "covered_by", "touches"}
-# predicates where a fully-interior cell short-circuits to True
-_FULL_OK = {"intersects", "within", "covered_by"}
+_FULL_OK = {"intersects", "within", "covered_by"}  # full cell ⊂ interior
 
 
-def covers_df(regions: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+def covers_df(regions: DataFrame, res: int = DEFAULT_RES, with_wkb: bool = False) -> DataFrame:
     """regions(region_id, wkb) → exploded cell cover. Distributed fan-out
-    (mapInPandas) — each region row yields its cover cells; partial cells
-    carry the region WKB so the refine stage needs no second join."""
+    (mapInPandas). with_wkb=True inlines the region WKB on partial cells
+    (shuffle-join mode, where no driver broadcast of geometry exists)."""
+    schema = "region_id long, cell_id long, full boolean" + (
+        ", wkb binary" if with_wkb else ""
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..geo.wkb import from_wkb
@@ -65,58 +69,59 @@ def covers_df(regions: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
                     rids.append(rid)
                     cids.append(c)
                     fulls.append(bool(f))
-                    wkbs.append(None if f else bytes(wkb))
-            yield pd.DataFrame(
-                {"region_id": pd.Series(rids, dtype="int64"),
-                 "cell_id": pd.Series(cids, dtype="int64"),
-                 "full": pd.Series(fulls, dtype="bool"),
-                 "wkb": pd.Series(wkbs, dtype="object")}
-            )
+                    if with_wkb:
+                        wkbs.append(None if f else bytes(wkb))
+            data = {
+                "region_id": pd.Series(rids, dtype="int64"),
+                "cell_id": pd.Series(cids, dtype="int64"),
+                "full": pd.Series(fulls, dtype="bool"),
+            }
+            if with_wkb:
+                data["wkb"] = pd.Series(wkbs, dtype="object")
+            yield pd.DataFrame(data)
 
-    return regions.select("region_id", "wkb").mapInPandas(gen, _COVERS_SCHEMA)
-
-
-# executor-local prepared-polygon cache (reference: prepared geometries,
-# shapely/creation.py:735 — build once, reuse across batches)
-_PREP_CACHE: dict[bytes, object] = {}
+    return regions.select("region_id", "wkb").mapInPandas(gen, schema)
 
 
-def _prepared(wkb: bytes):
-    prep = _PREP_CACHE.get(wkb)
+# executor-local prepared-polygon caches (reference: prepared geometries,
+# shapely/creation.py:735 — build once, reuse across batches/tasks)
+_PREP_BY_WKB: dict[bytes, object] = {}
+_PREP_BY_RID: dict[tuple[int, int], object] = {}
+
+
+def _prepared_from_wkb(wkb: bytes):
+    prep = _PREP_BY_WKB.get(wkb)
     if prep is None:
         from ..geo.kernels import PreparedPolygons
         from ..geo.wkb import from_wkb
 
-        if len(_PREP_CACHE) > 4096:  # bound executor memory
-            _PREP_CACHE.clear()
+        if len(_PREP_BY_WKB) > 4096:
+            _PREP_BY_WKB.clear()
         prep = PreparedPolygons([from_wkb(wkb)])
-        _PREP_CACHE[wkb] = prep
+        _PREP_BY_WKB[wkb] = prep
     return prep
 
 
-def _make_refine_udf(predicate: str):
-    @F.pandas_udf("boolean")
-    def refine(wkb: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
-        x = lon.to_numpy(dtype=np.float64)
-        y = lat.to_numpy(dtype=np.float64)
-        out = np.zeros(len(wkb), dtype=bool)
-        # vectorize per distinct region within the Arrow batch
-        codes, uniques = pd.factorize(wkb)
-        for u_idx, u_wkb in enumerate(uniques):
-            sel = codes == u_idx
-            if u_wkb is None:
-                continue
-            prep = _prepared(bytes(u_wkb))
-            cls = prep.classify(0, x[sel], y[sel])
-            if predicate in ("intersects", "covered_by"):
-                out[sel] = cls >= 1
-            elif predicate == "within":
-                out[sel] = cls == 2
-            else:  # touches
-                out[sel] = cls == 1
-        return pd.Series(out)
+def _prepared_from_bc(bc, bc_id: int, rid: int):
+    key = (bc_id, rid)
+    prep = _PREP_BY_RID.get(key)
+    if prep is None:
+        from ..geo.kernels import PreparedPolygons
+        from ..geo.wkb import from_wkb
 
-    return refine
+        if len(_PREP_BY_RID) > 1_000_000:
+            _PREP_BY_RID.clear()
+        prep = PreparedPolygons([from_wkb(bc.value[rid])])
+        _PREP_BY_RID[key] = prep
+    return prep
+
+
+def _classify_to_bool(cls: np.ndarray, predicate: str) -> np.ndarray:
+    if predicate in ("intersects", "covered_by"):
+        return cls >= 1
+    if predicate == "within":
+        return cls == 2
+    return cls == 1  # touches
 
 
 def spatial_join(
@@ -138,19 +143,68 @@ def spatial_join(
     lat_c, lon_c = point_cols
     if cell_col_name not in points.columns:
         points = points.withColumn(cell_col_name, cell_col(F.col(lat_c), F.col(lon_c), res))
-    covers = covers_df(regions, res).select(
-        F.col("region_id"),
-        F.col("cell_id").alias("__cover_cell"),
-        F.col("full").alias("__full"),
-        F.col("wkb").alias("__wkb"),
-    )
+
     if broadcast:
-        covers = F.broadcast(covers)
-    j = points.join(covers, points[cell_col_name] == covers["__cover_cell"], "inner")
-    refine = _make_refine_udf(predicate)
-    if predicate in _FULL_OK:
-        cond = F.col("__full") | refine(F.col("__wkb"), F.col(lon_c), F.col(lat_c))
-    else:  # touches: full-interior cells can never touch the boundary
-        cond = (~F.col("__full")) & refine(F.col("__wkb"), F.col(lon_c), F.col(lat_c))
+        # geometry dict rides a torrent broadcast once; covers stay integer
+        geo_rows = regions.select("region_id", "wkb").collect()
+        bc = points.sparkSession.sparkContext.broadcast(
+            {int(r.region_id): bytes(r.wkb) for r in geo_rows if r.wkb is not None}
+        )
+        import uuid
+
+        bc_id = uuid.uuid4().int & 0xFFFFFFFF  # executor cache namespace
+        covers = F.broadcast(
+            covers_df(regions, res).select(
+                F.col("region_id"),
+                F.col("cell_id").alias("__cover_cell"),
+                F.col("full").alias("__full"),
+            )
+        )
+
+        @F.pandas_udf("boolean")
+        def refine(rid: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+            x = lon.to_numpy(dtype=np.float64)
+            y = lat.to_numpy(dtype=np.float64)
+            out = np.zeros(len(rid), dtype=bool)
+            rids = rid.to_numpy(dtype=np.int64)
+            for u in np.unique(rids):
+                sel = rids == u
+                prep = _prepared_from_bc(bc, bc_id, int(u))
+                out[sel] = _classify_to_bool(prep.classify(0, x[sel], y[sel]), predicate)
+            return pd.Series(out)
+
+        j = points.join(covers, points[cell_col_name] == covers["__cover_cell"], "inner")
+        refine_call = refine(F.col("region_id"), F.col(lon_c), F.col(lat_c))
+    else:
+        covers = covers_df(regions, res, with_wkb=True).select(
+            F.col("region_id"),
+            F.col("cell_id").alias("__cover_cell"),
+            F.col("full").alias("__full"),
+            F.col("wkb").alias("__wkb"),
+        )
+
+        @F.pandas_udf("boolean")
+        def refine_wkb(wkb: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+            x = lon.to_numpy(dtype=np.float64)
+            y = lat.to_numpy(dtype=np.float64)
+            out = np.zeros(len(wkb), dtype=bool)
+            codes, uniques = pd.factorize(wkb)
+            for u_idx, u_wkb in enumerate(uniques):
+                if u_wkb is None:
+                    continue
+                sel = codes == u_idx
+                prep = _prepared_from_wkb(bytes(u_wkb))
+                out[sel] = _classify_to_bool(prep.classify(0, x[sel], y[sel]), predicate)
+            return pd.Series(out)
+
+        j = points.join(covers, points[cell_col_name] == covers["__cover_cell"], "inner")
+        refine_call = refine_wkb(F.col("__wkb"), F.col(lon_c), F.col(lat_c))
+
+    # split so the refine UDF only ever sees partial-cell rows (no reliance
+    # on boolean short-circuiting, which Catalyst does not guarantee for UDFs)
     out_cols = [points[c] for c in points.columns] + [covers["region_id"]]
-    return j.where(cond).select(*out_cols)
+    partial = j.where(~F.col("__full")).where(refine_call).select(*out_cols)
+    if predicate in _FULL_OK:
+        full = j.where(F.col("__full")).select(*out_cols)
+        return full.unionByName(partial)
+    return partial  # touches: full-interior cells can never touch the boundary

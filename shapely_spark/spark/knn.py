@@ -1,0 +1,221 @@
+"""kNN join: for each page point, the k nearest targets (haversine).
+
+Semantics pinned to STRtree.nearest / query_nearest
+(shapely/strtree.py:268-542): all_matches=True keeps equidistant ties
+(rank), all_matches=False keeps one deterministic winner (row_number over
+(dist, target_id) — the reference leaves ties nondeterministic,
+strtree.py:276-279, so we pin the deterministic subset); max_distance caps
+the radius. The expand-then-refine plan is the reference's own documented
+fallback algorithm (benchmarks/benchmarks.py:282-319: buffer → re-query →
+lexsort → keep group minima).
+
+Spark plan:
+  1. candidate pass — explode each point's cell to its Chebyshev-k disk
+     (pure Catalyst arithmetic, no UDF), equi-join targets on cell,
+     haversine_col (JVM), window rank per point;
+  2. safety check — a point's k-th neighbor must be provably inside the
+     searched disk (distance ≤ guaranteed radius given the grid geometry);
+  3. fallback pass — the (rare) unsafe/under-matched points do a broadcast
+     brute-force join against the full target layer (exact by construction).
+
+Scale note: pass 1 touches each point O(disk²) times with a broadcast
+equi-join — no pages shuffle; the window shuffles only the candidate set,
+which is |pages| × O(k) rows, not |pages| × |targets|.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..index.cells import DEFAULT_RES, grid_n
+from .columns import cell_col, haversine_col
+
+KM_PER_DEG_LAT = 110.574  # conservative minimum
+
+
+def _neighbor_cells(cell, k_ring: int, res: int):
+    """Catalyst expression: array of the (2k+1)² disk cells around `cell`
+    (lon wraps, lat clamps — mirrors index.cells.disk)."""
+    n = grid_n(res)
+    ix = F.pmod(cell, F.lit(n))
+    iy = (cell / n).cast("bigint")
+    cells = []
+    for dy in range(-k_ring, k_ring + 1):
+        for dx in range(-k_ring, k_ring + 1):
+            ny = iy + dy
+            nx = F.pmod(ix + dx + n, F.lit(n))
+            c = F.when((ny >= 0) & (ny < n), ny * n + nx)
+            cells.append(c)
+    return F.array_compact(F.array(*cells))
+
+
+def knn_join(
+    points: DataFrame,
+    targets: DataFrame,
+    k: int = 1,
+    res: int = DEFAULT_RES,
+    k_ring: int = 2,
+    max_distance_km: float | None = None,
+    ties: str = "break",
+    point_id: str = "url",
+    target_id: str = "target_id",
+    point_cols: tuple[str, str] = ("lat", "lon"),
+    target_cols: tuple[str, str] = ("t_lat", "t_lon"),
+) -> DataFrame:
+    """points(point_id, lat, lon) × targets(target_id, t_lat, t_lon) →
+    (point_id, target_id, dist_km, knn_rank), k rows per point (more on
+    ties with ties='keep')."""
+    plat, plon = point_cols
+    tlat, tlon = target_cols
+    n = grid_n(res)
+
+    tgt = targets.withColumn("__tcell", cell_col(F.col(tlat), F.col(tlon), res))
+    pts = points.where(F.col(plat).isNotNull() & F.col(plon).isNotNull()).withColumn(
+        "__pcell", cell_col(F.col(plat), F.col(plon), res)
+    )
+
+    dist = haversine_col(F.col(plat), F.col(plon), F.col(tlat), F.col(tlon))
+
+    def ranked(cand: DataFrame) -> DataFrame:
+        w = Window.partitionBy(point_id).orderBy(F.col("dist_km").asc(), F.col(target_id).asc())
+        rank_fn = F.rank() if ties == "keep" else F.row_number()
+        out = cand.withColumn("knn_rank", rank_fn.over(w)).where(F.col("knn_rank") <= k)
+        if max_distance_km is not None:
+            out = out.where(F.col("dist_km") <= max_distance_km)
+        return out
+
+    # ---- pass 1: disk-candidate join -------------------------------------
+    cand = (
+        pts.withColumn("__ncell", F.explode(_neighbor_cells(F.col("__pcell"), k_ring, res)))
+        .join(F.broadcast(tgt), F.col("__ncell") == F.col("__tcell"), "inner")
+        .withColumn("dist_km", dist)
+    )
+    got = ranked(cand)
+
+    # safety radius: any target OUTSIDE the searched disk is at least
+    # (k_ring) * cell_height - (in-cell offset ≤ 1 cell) cells of latitude
+    # away → guaranteed_km lower-bounds its distance.
+    cell_h_deg = 180.0 / n
+    guaranteed_km = max(0.0, (k_ring - 1) * cell_h_deg) * KM_PER_DEG_LAT
+
+    if max_distance_km is not None and guaranteed_km >= max_distance_km:
+        # the disk provably covers the whole search radius → pass 1 is exact
+        safe = pts.select(point_id)
+    else:
+        # a point is safe iff it found ≥k candidates AND its k-th distance is
+        # provably inside the searched disk; points with ZERO candidates are
+        # absent from the aggregate and therefore unsafe by construction.
+        safe = (
+            got.groupBy(point_id)
+            .agg(F.count("*").alias("__nmatch"), F.max("dist_km").alias("__kth"))
+            .where((F.col("__nmatch") >= k) & (F.col("__kth") < F.lit(guaranteed_km)))
+            .select(point_id)
+        )
+
+    safe_rows = got.join(safe, point_id, "left_semi")
+
+    # ---- pass 2: exact fallback for unsafe points (broadcast brute force) -
+    unsafe_pts = pts.join(safe, point_id, "left_anti")
+    fb = unsafe_pts.crossJoin(F.broadcast(tgt)).withColumn("dist_km", dist)
+    fb_rows = ranked(fb)
+
+    keep = [point_id, target_id, "dist_km", "knn_rank"]
+    return safe_rows.select(*keep).unionByName(fb_rows.select(*keep))
+
+
+def knn_join_broadcast(
+    points: DataFrame,
+    targets: DataFrame,
+    k: int = 1,
+    max_distance_km: float | None = None,
+    point_id: str = "url",
+    target_id: str = "target_id",
+    point_cols: tuple[str, str] = ("lat", "lon"),
+    target_cols: tuple[str, str] = ("t_lat", "t_lon"),
+    target_chunk: int = 4096,
+) -> DataFrame:
+    """kNN for broadcastable target layers (≲100k rows): the whole target
+    set ships to every executor once; each Arrow batch computes a vectorized
+    haversine matrix and takes top-k locally — no shuffle, no window, no
+    candidate explosion. This is the Spark analog of the reference's
+    executor-side STRtree.query_nearest (shapely/strtree.py:350): prepared
+    once, probed per batch.
+
+    Output matches knn_join(ties='break'): (point_id, target_id, dist_km
+    rounded at caller, knn_rank), ties broken by (dist, target_id).
+    """
+    import pandas as pd
+
+    plat, plon = point_cols
+    tlat, tlon = target_cols
+    trows = targets.select(target_id, tlat, tlon).collect()
+    t_ids = np.array([r[0] for r in trows], dtype=np.int64)
+    t_lat = np.array([r[1] for r in trows], dtype=np.float64)
+    t_lon = np.array([r[2] for r in trows], dtype=np.float64)
+    order = np.argsort(t_ids, kind="stable")
+    t_ids, t_lat, t_lon = t_ids[order], t_lat[order], t_lon[order]
+    sc = points.sparkSession.sparkContext
+    bc = sc.broadcast((t_ids, t_lat, t_lon))
+    kk = k
+
+    src = points.where(F.col(plat).isNotNull() & F.col(plon).isNotNull()).select(
+        F.col(point_id).alias("__pid"), F.col(plat).alias("__lat"), F.col(plon).alias("__lon")
+    )
+    pid_type = dict(src.dtypes)["__pid"]
+    out_schema = f"{point_id} {pid_type}, {target_id} long, dist_km double, knn_rank int"
+
+    def gen(batches):
+        ids, lats, lons = bc.value
+        T = len(ids)
+        rad_tlat = np.radians(lats)
+        rad_tlon = np.radians(lons)
+        cos_tlat = np.cos(rad_tlat)
+        R2 = 2.0 * 6371.0088
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            plat_r = np.radians(pdf["__lat"].to_numpy(np.float64))[:, None]
+            plon_r = np.radians(pdf["__lon"].to_numpy(np.float64))[:, None]
+            cos_plat = np.cos(plat_r)
+            best_d = None
+            best_i = None
+            for s in range(0, T, target_chunk):
+                e = min(T, s + target_chunk)
+                dlat = (rad_tlat[None, s:e] - plat_r) / 2.0
+                dlon = (rad_tlon[None, s:e] - plon_r) / 2.0
+                a = np.sin(dlat) ** 2 + cos_plat * cos_tlat[None, s:e] * np.sin(dlon) ** 2
+                d = R2 * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+                gi = np.arange(s, e)[None, :].repeat(len(pdf), axis=0)
+                if best_d is None:
+                    best_d, best_i = d, gi
+                else:
+                    best_d = np.concatenate([best_d, d], axis=1)
+                    best_i = np.concatenate([best_i, gi], axis=1)
+                if best_d.shape[1] > kk:
+                    part = np.argpartition(best_d, kk - 1, axis=1)[:, :kk]
+                    rows = np.arange(len(pdf))[:, None]
+                    best_d = best_d[rows, part]
+                    best_i = best_i[rows, part]
+            # order the k survivors by (dist, target_id)
+            ordk = np.lexsort((ids[best_i], best_d), axis=1)
+            rows = np.arange(len(pdf))[:, None]
+            dd = best_d[rows, ordk]
+            ii = best_i[rows, ordk]
+            npts = len(pdf)
+            out = pd.DataFrame(
+                {
+                    point_id: pdf["__pid"].to_numpy().repeat(dd.shape[1]),
+                    target_id: ids[ii].ravel(),
+                    "dist_km": dd.ravel(),
+                    "knn_rank": np.tile(np.arange(1, dd.shape[1] + 1, dtype=np.int32), npts),
+                }
+            )
+            if max_distance_km is not None:
+                out = out[out["dist_km"] <= max_distance_km]
+            yield out
+
+    return src.mapInPandas(gen, out_schema)

@@ -1,0 +1,110 @@
+"""kNN join + tile aggregation vs single-node oracles (SURVEY.md §7 steps 5-6)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from shapely_spark.geo import kernels as K
+from shapely_spark.spark.extract import with_geo
+from shapely_spark.spark.knn import knn_join
+from shapely_spark.spark.pages import HOTSPOTS, regions_df, synth_pages, synth_regions
+from shapely_spark.spark.tiles import raster_vector_aggregate, region_tile_weights, tile_counts
+
+RES = 9
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return with_geo(synth_pages(spark, 2000), res=RES).cache()
+
+
+@pytest.fixture(scope="module")
+def targets(spark):
+    rows = [(i, float(lat), float(lon)) for i, (lat, lon) in enumerate(HOTSPOTS)]
+    return spark.createDataFrame(rows, "target_id long, t_lat double, t_lon double")
+
+
+def brute_knn(pts_pdf: pd.DataFrame, targets, k: int):
+    """Oracle: exact haversine over all pairs (reference expand-refine spec,
+    benchmarks/benchmarks.py:282-319 — lexsort by (left, dist), group mins)."""
+    out = {}
+    tl = np.array([t[1] for t in targets])
+    tn = np.array([t[2] for t in targets])
+    tid = np.array([t[0] for t in targets])
+    for _, r in pts_pdf.iterrows():
+        d = K.haversine_km(r.lat, r.lon, tl, tn)
+        order = np.lexsort((tid, d))
+        out[r.url] = [(int(tid[i]), float(d[i])) for i in order[:k]]
+    return out
+
+
+def test_knn_matches_bruteforce(spark, pages, targets):
+    got = knn_join(pages, targets, k=1, res=RES, k_ring=2).collect()
+    got_map = {r.url: (r.target_id, r.dist_km) for r in got}
+
+    pts = pages.select("url", "lat", "lon").where(F.col("lat").isNotNull()).toPandas()
+    trows = [(r.target_id, r.t_lat, r.t_lon) for r in targets.collect()]
+    want = brute_knn(pts, trows, 1)
+
+    assert set(got_map) == set(want)
+    for url, (t, d) in got_map.items():
+        wt, wd = want[url][0]
+        assert t == wt, (url, t, wt)
+        assert d == pytest.approx(wd, rel=1e-9)
+
+
+def test_knn_k3_counts(spark, pages, targets):
+    got = knn_join(pages, targets, k=3, res=RES, k_ring=2)
+    counts = got.groupBy("url").count().agg(F.min("count"), F.max("count")).collect()[0]
+    assert counts[0] == 3 and counts[1] == 3
+
+
+def test_knn_max_distance(spark, pages, targets):
+    got = knn_join(pages, targets, k=1, res=RES, max_distance_km=50.0)
+    assert got.agg(F.max("dist_km")).collect()[0][0] <= 50.0
+    # uniform points far from every hotspot must drop out
+    n_all = knn_join(pages, targets, k=1).count()
+    assert got.count() < n_all
+
+
+def test_tile_counts_match_groupby(spark, pages):
+    tc = tile_counts(pages, RES)
+    direct = pages.where(F.col("cell_id") >= 0).groupBy("cell_id").count()
+    j = tc.join(direct, "cell_id", "full")
+    bad = j.where((F.col("n_pages") != F.col("count")) | F.col("n_pages").isNull() | F.col("count").isNull()).count()
+    assert bad == 0
+
+
+def test_region_tile_weights_sum_to_area(spark):
+    regions = synth_regions(30, seed=7)
+    rdf = regions_df(spark, regions)
+    w = region_tile_weights(rdf, RES).toPandas()
+    from shapely_spark.geo import kernels as K2
+
+    for rid, name, g, kind in regions:
+        if g.is_empty:
+            continue
+        total = K2.area(g)
+        got = w[w.region_id == rid].clip_area.sum()
+        assert got == pytest.approx(total, rel=1e-9), (rid, kind)
+        frac = w[w.region_id == rid].area_frac.sum()
+        assert frac == pytest.approx(1.0, rel=1e-9)
+
+
+def test_raster_vector_aggregate_runs(spark, pages):
+    rdf = regions_df(spark, synth_regions(30, seed=7))
+    out = raster_vector_aggregate(pages, rdf, RES).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.weighted_pages <= r.n_pages + 1e-9
+
+
+def test_knn_broadcast_equals_cell_path(spark, pages, targets):
+    from shapely_spark.spark.knn import knn_join_broadcast
+
+    a = knn_join_broadcast(pages, targets, k=1, point_id="url")
+    b = knn_join(pages, targets, k=1, k_ring=2, point_id="url", ties="break")
+    pa = {(r.url, r.target_id, round(r.dist_km, 9)) for r in a.collect()}
+    pb = {(r.url, r.target_id, round(r.dist_km, 9)) for r in b.collect()}
+    assert pa == pb
