@@ -1,0 +1,181 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Engine additions for the training-data pipeline (no reference analog —
+the reference's nearest-neighbor surface is STRtree.query_nearest over 2-D
+boxes, shapely/strtree.py:350; these generalize the same
+expand-then-refine design to high-dim cosine space):
+
+- cosine_topk_bruteforce: exact top-k; target matrix broadcast once per
+  executor, chunked float64 matmul per Arrow batch. The baseline and the
+  refine kernel for the approximate paths. No shuffle.
+- cosine_topk_lsh: random-hyperplane LSH (sign sketch) — targets bucketed
+  by L b-bit sketches; queries probe their bucket in each table; exact
+  refine on the union of candidates. At cluster scale the bucket join is a
+  shuffle-free broadcast equi-join for dictionary-sized targets and a
+  plain equi-join (prunable, saltable) for huge ones.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _collect_targets(targets: DataFrame, id_col: str, vec_col: str):
+    rows = targets.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, V = ids[order], V[order]
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, V / norms
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+    target_chunk: int = 8192,
+) -> DataFrame:
+    """(query_id, target_id, rank) for the k highest-cosine targets per
+    query. Ties broken by target_id ascending. Scores intentionally not
+    emitted (engines disagree on float32 vs float64 accumulation; ranks
+    are stable)."""
+    qid = query_id_col or id_col
+    t_ids, T = _collect_targets(targets, id_col, vec_col)
+    bc = queries.sparkSession.sparkContext.broadcast((t_ids, T))
+    kk = k
+    out_schema = f"{qid} long, target_id long, rank int"
+
+    def gen(batches):
+        ids, Tm = bc.value
+        n_t = len(ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qn = np.linalg.norm(Q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            Q = Q / qn
+            q_ids = pdf[qid].to_numpy(np.int64)
+            best_s = None
+            best_i = None
+            keep = kk + (1 if exclude_self else 0)
+            for s in range(0, n_t, target_chunk):
+                e = min(n_t, s + target_chunk)
+                S = Q @ Tm[s:e].T
+                gi = np.arange(s, e)[None, :].repeat(len(Q), axis=0)
+                if best_s is None:
+                    best_s, best_i = S, gi
+                else:
+                    best_s = np.concatenate([best_s, S], axis=1)
+                    best_i = np.concatenate([best_i, gi], axis=1)
+                if best_s.shape[1] > keep:
+                    part = np.argpartition(-best_s, keep - 1, axis=1)[:, :keep]
+                    rows = np.arange(len(Q))[:, None]
+                    best_s = best_s[rows, part]
+                    best_i = best_i[rows, part]
+            # order survivors by (-score, target_id)
+            ordk = np.lexsort((ids[best_i], -best_s), axis=1)
+            rows = np.arange(len(Q))[:, None]
+            ii = best_i[rows, ordk]
+            out_q, out_t, out_r = [], [], []
+            for r in range(len(Q)):
+                cnt = 0
+                for c in range(ii.shape[1]):
+                    tid = int(ids[ii[r, c]])
+                    if exclude_self and tid == int(q_ids[r]):
+                        continue
+                    cnt += 1
+                    out_q.append(int(q_ids[r]))
+                    out_t.append(tid)
+                    out_r.append(cnt)
+                    if cnt >= kk:
+                        break
+            yield pd.DataFrame(
+                {qid: pd.Series(out_q, dtype="int64"),
+                 "target_id": pd.Series(out_t, dtype="int64"),
+                 "rank": pd.Series(out_r, dtype="int32")}
+            )
+
+    return queries.select(qid, vec_col).mapInPandas(gen, out_schema)
+
+
+def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int = 7):
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_tables, n_bits, dim))
+
+
+def lsh_sketch_udf(dim: int, n_tables: int = 8, n_bits: int = 12, seed: int = 7):
+    """vector → array of per-table bucket ids (sign-sketch ints)."""
+    H = _hyperplanes(dim, n_tables, n_bits, seed)
+    pows = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def sketch(vec: pd.Series) -> pd.Series:
+        V = np.array(list(vec), dtype=np.float64)
+        out = []
+        if len(V):
+            bits = np.einsum("tbd,nd->ntb", H, V) > 0  # (n, tables, bits)
+            buckets = (bits * pows[None, None, :]).sum(axis=2)  # (n, tables)
+            # namespace buckets per table so they can live in one column
+            buckets = buckets + (np.arange(n_tables)[None, :] << n_bits)
+            out = buckets.astype(np.int64).tolist()
+        return pd.Series(out)
+
+    return sketch
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 16,
+    n_bits: int = 8,
+    seed: int = 7,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates = targets sharing any LSH bucket with
+    the query; exact cosine refine + rank among candidates. Recall grows
+    with n_tables; bucket size shrinks with n_bits. The plan is two
+    explodes + an equi-join on bucket + groupBy — all Catalyst-native,
+    refine vectorized per pair via zip_with/aggregate staying JVM-side."""
+    dim = len(targets.select(vec_col).first()[0])
+    sketch = lsh_sketch_udf(dim, n_tables, n_bits, seed)
+
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).withColumn(
+        "bucket", F.explode(sketch(F.col("qv")))
+    )
+    t = targets.select(F.col(id_col).alias("tid"), F.col(vec_col).alias("tv")).withColumn(
+        "bucket", F.explode(sketch(F.col("tv")))
+    )
+    cand = q.join(t, "bucket").drop("bucket")
+    if exclude_self:
+        cand = cand.where(F.col("qid") != F.col("tid"))
+    cand = cand.dropDuplicates(["qid", "tid"])
+    # exact cosine, JVM-side higher-order functions (no UDF in the refine)
+    dot = F.aggregate(
+        F.zip_with("qv", "tv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x * x))
+    nt = F.sqrt(F.aggregate("tv", F.lit(0.0), lambda acc, x: acc + x * x))
+    scored = cand.withColumn("score", dot / (nq * nt))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("tid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("qid").alias(id_col), F.col("tid").alias("target_id"), "rank", "score")
+    )

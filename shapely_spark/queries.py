@@ -808,21 +808,10 @@ def ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup detection: word-3-gram shingle Jaccard ≥ 0.2 via distinct
     shingle explode → self equi-join on shingle → group-count. The
     shuffle-heavy exact version; minhash_lsh_candidates is the scale path."""
+    from .text.dedup import shingles_col
+
     d = _t(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    sh = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(w) - 3),
-                    lambda i: F.concat_ws("\x01", F.element_at(w, i + 1),
-                                          F.element_at(w, i + 2), F.element_at(w, i + 3)),
-                )
-            ).alias("s"),
-        )
-        .distinct()
-    )
+    sh = d.select("doc_id", F.explode(shingles_col(F.col("text"), 3)).alias("s")).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -839,4 +828,127 @@ def ngram_jaccard_pairs(spark, sf_dir):
         .where(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---- embeddings / similarity search -----------------------------------------
+
+@q(
+    "ann_cosine_top1",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    c AS (SELECT q.vec_id, e.vec_id AS target_id,
+                 list_cosine_similarity(q.embedding, e.embedding) AS s
+          FROM e q CROSS JOIN e WHERE q.vec_id != e.vec_id)
+    SELECT vec_id, target_id, 1 AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, target_id) rn FROM c)
+    WHERE rn = 1 ORDER BY vec_id
+    """,
+)
+def ann_cosine_top1(spark, sf_dir):
+    """Brute-force cosine top-1 (the ANN baseline): scores not emitted —
+    DuckDB computes float32, numpy float64; neighbor IDs agree."""
+    from .ann.search import cosine_topk_bruteforce
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(e, e, k=1, exclude_self=True).orderBy("vec_id")
+
+
+@q("ann_cosine_lsh_top1")  # rows-only: approximate by construction
+def ann_cosine_lsh_top1(spark, sf_dir):
+    from .ann.search import cosine_topk_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(e, e, k=1, n_tables=32, n_bits=6).orderBy("vec_id")
+
+
+@q(
+    "embedding_label_centroids",
+    """
+    WITH e AS (SELECT label, unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS dim FROM embeddings)
+    SELECT label, dim, round(avg(v), 4) AS mean_v
+    FROM e GROUP BY label, dim ORDER BY label, dim
+    """,
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (the IVF coarse-quantizer training
+    step) via posexplode + groupBy — partial aggregation JVM-side."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim0", "v"))
+        .withColumn("dim", F.col("dim0") + 1)  # 1-based like DuckDB subscripts
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("mean_v"))
+        .orderBy("label", "dim")
+    )
+
+
+# ---- dedup scale paths (approximate → rows-only checks) ---------------------
+
+@q("minhash_dedup_pairs")  # rows-only: LSH candidate set is seed-dependent
+def minhash_dedup_pairs_q(spark, sf_dir):
+    from .text.dedup import minhash_dedup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(d, threshold=0.2).orderBy("doc_a", "doc_b")
+
+
+@q("simhash_buckets")  # rows-only
+def simhash_buckets_q(spark, sf_dir):
+    from .text.dedup import simhash_64, simhash_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_candidates(simhash_64(d)).orderBy("doc_a", "doc_b")
+
+
+@q("langid_heuristic")  # rows-only: heuristic prediction
+def langid_heuristic_q(spark, sf_dir):
+    from .text.quality import langid_heuristic
+
+    d = _t(spark, sf_dir, "documents")
+    return langid_heuristic(d).select("doc_id", "pred_lang", "pred_hits").orderBy("doc_id")
+
+
+# ---- events: sessionization (window/state op) -------------------------------
+
+@q(
+    "events_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_type, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events
+    ),
+    s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_no FROM e)
+    SELECT user_id, session_no, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Session windows over the event stream (30-min gap) — the batch twin
+    of the streaming pipeline's session operator."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    # cast→double keeps microseconds (unix_timestamp truncates to seconds,
+    # which would disagree with the oracle's INTERVAL comparison at gaps of
+    # exactly 1800.xxx s)
+    gap = F.col("ts").cast("timestamp").cast("double") - lag_ts.cast("timestamp").cast("double")
+    new_s = F.when(lag_ts.isNull() | (gap > 1800), 1).otherwise(0)
+    s = e.withColumn("new_session", new_s).withColumn(
+        "session_no", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        s.groupBy("user_id", "session_no")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("user_id", "session_no")
     )

@@ -1,0 +1,96 @@
+"""Text quality scoring, language-ID heuristic, token counting, and
+document fingerprinting — the per-document analysis stage of a training-data
+pipeline. All JVM-side expressions except nothing; no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+# tiny per-language marker lists for the n-gram/keyword language heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "que", "es"],
+    "pt": ["o", "que", "de", "um", "para"],
+    "ru": ["i", "v", "ne", "na", "eto"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+    "ja": ["no", "ni", "wa", "wo", "ga"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text)).cast("long")
+
+
+def quality_columns(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens, stopword_ratio, avg_token_len, upper_ratio,
+    digit_ratio, quality_score (a simple composite in [0,1])."""
+    t = F.col(text_col)
+    w = tokens_col(t)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(w).cast("double")
+    stop_ratio = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double") / n_tokens
+    avg_len = F.length(t).cast("double") / n_tokens
+    digit_ratio = (
+        F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double")
+        / F.greatest(F.length(t).cast("double"), F.lit(1.0))
+    )
+    upper_ratio = (
+        F.length(F.regexp_replace(t, "[^A-Z]", "")).cast("double")
+        / F.greatest(F.length(t).cast("double"), F.lit(1.0))
+    )
+    # composite: long-enough docs, moderate word length, few digits
+    score = (
+        F.least(n_tokens / 64.0, F.lit(1.0)) * 0.4
+        + F.when((avg_len >= 3.0) & (avg_len <= 10.0), 0.4).otherwise(0.0)
+        + F.when(digit_ratio < 0.2, 0.2).otherwise(0.0)
+    )
+    return (
+        docs.withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 4))
+        .withColumn("avg_token_len", F.round(avg_len, 4))
+        .withColumn("digit_ratio", F.round(digit_ratio, 4))
+        .withColumn("upper_ratio", F.round(upper_ratio, 4))
+        .withColumn("quality_score", F.round(score, 4))
+    )
+
+
+def langid_heuristic(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language scoring: predicted lang = argmax over per-lang
+    marker hit counts (ties → 'en'). A real pipeline swaps in char-n-gram
+    profiles; the operator shape (pure column expressions, no UDF) is what
+    scales."""
+    w = tokens_col(F.col(text_col))
+    def marker_pred(arr):
+        return lambda x: F.array_contains(arr, x)
+
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            F.struct(
+                F.size(F.filter(w, marker_pred(arr))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return docs.withColumn("pred_lang", F.when(best["hits"] > 0, best["lang"]).otherwise("en")) \
+               .withColumn("pred_hits", best["hits"].cast("long"))
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint (md5) + rolling 8-token prefix fingerprint."""
+    return docs.withColumn(
+        "fp", F.md5(F.encode(F.col(text_col), "UTF-8"))
+    ).withColumn(
+        "prefix_fp", F.md5(F.encode(F.concat_ws(" ", F.slice(tokens_col(F.col(text_col)), 1, 8)), "UTF-8"))
+    )

@@ -1,0 +1,122 @@
+"""Tests for dedup (minhash/simhash), quality/langid, and ANN search."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Synthetic corpus with planted near-duplicates."""
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(60):
+        words = [vocab[j] for j in rng.randint(0, 200, 40)]
+        rows.append((i, " ".join(words)))
+    # plant near-dups: docs 100.. are copies of 0..9 with one word changed
+    for i in range(10):
+        words = rows[i][1].split(" ")
+        words[5] = "CHANGED"
+        rows.append((100 + i, " ".join(words)))
+    # exact dup of doc 20
+    rows.append((200, rows[20][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    from shapely_spark.text.dedup import exact_dedup
+
+    out = exact_dedup(docs).collect()
+    sizes = {r.keeper_id: r.group_size for r in out}
+    assert sizes[20] == 2  # doc 200 deduped onto 20
+    assert sum(r.group_size for r in out) == docs.count()
+
+
+def test_minhash_finds_planted_dups(docs):
+    from shapely_spark.text.dedup import minhash_dedup_pairs
+
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    for i in range(10):
+        assert (i, 100 + i) in pairs, f"planted near-dup {i} missed"
+    assert (20, 200) in pairs
+    # jaccard verify keeps random pairs out
+    for a, b in pairs:
+        assert b == a + 100 or (a, b) == (20, 200)
+
+
+def test_minhash_signatures_shape(docs):
+    from shapely_spark.text.dedup import minhash_signatures
+
+    sig = minhash_signatures(docs).first()
+    assert len(sig.minhash) == 64
+
+
+def test_simhash_identical_and_near(docs):
+    from shapely_spark.text.dedup import simhash_64
+
+    sims = {r.doc_id: r.simhash for r in simhash_64(docs).collect()}
+    assert sims[20] == sims[200]  # identical text → identical simhash
+    for i in range(10):
+        ham = bin((sims[i] ^ sims[100 + i]) & ((1 << 64) - 1)).count("1")
+        assert ham <= 12, f"near-dup {i} hamming {ham}"
+
+
+def test_quality_and_langid(spark):
+    from shapely_spark.text.quality import langid_heuristic, quality_columns
+
+    d = spark.createDataFrame(
+        [(0, "the cat sat on the mat and the dog ran to the park"),
+         (1, "der hund und die katze das ist gut"),
+         (2, "x")],
+        "doc_id long, text string",
+    )
+    q = {r.doc_id: r for r in quality_columns(d).collect()}
+    assert q[0].stopword_ratio > 0.3
+    assert q[2].n_tokens == 1
+    l = {r.doc_id: r.pred_lang for r in langid_heuristic(d).collect()}
+    assert l[0] == "en"
+    assert l[1] == "de"
+    assert l[2] == "en"  # fallback
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(11)
+    V = rng.normal(size=(300, 32))
+    rows = [(i, [float(x) for x in V[i]]) for i in range(300)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ann_bruteforce_matches_numpy(spark, vectors):
+    from shapely_spark.ann.search import cosine_topk_bruteforce
+
+    got = {r.vec_id: r.target_id for r in cosine_topk_bruteforce(vectors, vectors, k=1).collect()}
+    rows = vectors.orderBy("vec_id").collect()
+    V = np.array([r.embedding for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    np.fill_diagonal(S, -2)
+    want = S.argmax(axis=1)
+    assert all(got[i] == int(want[i]) for i in range(300))
+
+
+def test_ann_bruteforce_k3_rank_order(spark, vectors):
+    from shapely_spark.ann.search import cosine_topk_bruteforce
+
+    out = cosine_topk_bruteforce(vectors, vectors, k=3).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.vec_id, []).append((r.rank, r.target_id))
+    assert all(len(v) == 3 for v in per.values())
+    assert all(sorted(v)[0][0] == 1 for v in per.values())
+
+
+def test_ann_lsh_recall(spark, vectors):
+    from shapely_spark.ann.search import cosine_topk_bruteforce, cosine_topk_lsh
+
+    brute = {r.vec_id: r.target_id for r in cosine_topk_bruteforce(vectors, vectors, k=1).collect()}
+    lsh = {r.vec_id: r.target_id for r in cosine_topk_lsh(vectors, vectors, k=1, n_tables=16, n_bits=4).collect()}
+    hits = sum(1 for i, t in lsh.items() if brute.get(i) == t)
+    recall = hits / len(brute)
+    assert recall >= 0.8, f"LSH top-1 recall {recall:.2f}"
