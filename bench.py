@@ -59,10 +59,18 @@ def main():
         return out
 
     # ---- headline: pages pipeline ----------------------------------------
-    pages = with_geo(synth_pages(spark, n_pages)).cache()
+    # extraction (html->text/geotag) runs in full; downstream joins cache
+    # only the slim projection they need (html/text pruned by Catalyst)
+    pages_full = with_geo(synth_pages(spark, n_pages))
+    pages = pages_full.select("url", "lat", "lon", "cell_id").cache()
     n = timed("pages_pipeline", lambda: pages.count())
     extras["pages_rows"] = n
     extras["pages_rows_per_sec"] = round(n / times["pages_pipeline"], 1)
+
+    # text extraction byte-path (html -> <p>...</p>), not cached
+    timed("text_extract", lambda: pages_full.where(
+        F.length("extracted_text") > 0).count())
+    extras["text_extract_rows_per_sec"] = round(n / times["text_extract"], 1)
 
     regions = synth_regions(n_regions, seed=42)
     rdf = regions_df(spark, regions)

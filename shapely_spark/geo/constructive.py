@@ -699,3 +699,301 @@ def nearest_points(a: Geometry, b: Geometry):
         i, j = np.unravel_index(np.argmin(d2), d2.shape)
         best = (d2[i, j], ca[i], cb[j])
     return make_point(*best[1]), make_point(*best[2])
+
+
+# ---------------------------------------------------------------------------
+# snap (reference: shapely/constructive.py:1171 / ops.py:269)
+# ---------------------------------------------------------------------------
+
+def snap(geom: Geometry | None, reference: Geometry | None, tolerance: float) -> Geometry | None:
+    """Snap vertices of geom to the nearest reference vertex within
+    tolerance (vertex-to-vertex snapping, the dominant GEOSSnap case)."""
+    if geom is None or reference is None or geom.is_empty or reference.is_empty:
+        return geom
+    ref = reference.all_coords()[:, :2]
+
+    def f(c):
+        d2 = (c[:, None, 0] - ref[None, :, 0]) ** 2 + (c[:, None, 1] - ref[None, :, 1]) ** 2
+        j = d2.argmin(axis=1)
+        hit = np.sqrt(d2[np.arange(len(c)), j]) <= tolerance
+        out = c.copy()
+        out[hit] = ref[j[hit]]
+        return out
+
+    return transform_coords(geom, f)
+
+
+# ---------------------------------------------------------------------------
+# substring (reference: shapely/ops.py:509)
+# ---------------------------------------------------------------------------
+
+def substring(line: Geometry, start_dist: float, end_dist: float, normalized: bool = False) -> Geometry:
+    """Sub-linestring between two distances along the line."""
+    c = np.asarray(line.coords)[:, :2]
+    seg = np.sqrt((np.diff(c, axis=0) ** 2).sum(axis=1))
+    total = float(seg.sum())
+    if normalized:
+        start_dist, end_dist = start_dist * total, end_dist * total
+    for_neg = lambda d: total + d if d < 0 else d
+    s, e = for_neg(start_dist), for_neg(end_dist)
+    s, e = max(0.0, min(s, total)), max(0.0, min(e, total))
+    if s == e:
+        return line_interpolate_point(line, s)
+    rev = s > e
+    if rev:
+        s, e = e, s
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    pts = [line_interpolate_point(line, s).coords[0]]
+    for i in range(len(c)):
+        if s < cum[i] < e:
+            pts.append(c[i])
+    pts.append(line_interpolate_point(line, e).coords[0])
+    out = np.array(pts)
+    if rev:
+        out = out[::-1]
+    return Geometry(LINESTRING, coords=out)
+
+
+# ---------------------------------------------------------------------------
+# oriented envelope / min rotated rectangle (reference:
+# shapely/constructive.py:1344 + pure-Python algorithms/_oriented_envelope.py)
+# ---------------------------------------------------------------------------
+
+def oriented_envelope(geom: Geometry | None) -> Geometry | None:
+    """Rotating calipers over the convex hull: the minimum-area rotated
+    rectangle containing the geometry."""
+    if geom is None or geom.is_empty:
+        return geom
+    h = convex_hull(geom)
+    if h.type_id != POLYGON:
+        return h  # degenerate: point or line
+    ring = h.rings[0][:-1]
+    best = (np.inf, None)
+    m = len(ring)
+    for i in range(m):
+        d = ring[(i + 1) % m] - ring[i]
+        L = np.hypot(*d)
+        if L == 0:
+            continue
+        ux, uy = d / L
+        # rotate all points into edge frame
+        xs = ring @ np.array([ux, uy])
+        ys = ring @ np.array([-uy, ux])
+        area = (xs.max() - xs.min()) * (ys.max() - ys.min())
+        if area < best[0]:
+            corners_frame = np.array(
+                [
+                    [xs.min(), ys.min()],
+                    [xs.max(), ys.min()],
+                    [xs.max(), ys.max()],
+                    [xs.min(), ys.max()],
+                ]
+            )
+            R = np.array([[ux, -uy], [uy, ux]])
+            corners = corners_frame @ R.T
+            best = (area, corners)
+    if best[1] is None:
+        return h
+    ringc = np.vstack([best[1], best[1][:1]])
+    return Geometry(POLYGON, rings=[ringc])
+
+
+# ---------------------------------------------------------------------------
+# minimum bounding circle — Welzl (reference: shapely/constructive.py:1398)
+# ---------------------------------------------------------------------------
+
+def minimum_bounding_circle(geom: Geometry | None, return_center: bool = False):
+    """Smallest enclosing circle; returns a 32-gon polygon approximation of
+    the circle like GEOS (or (center, radius) with return_center=True)."""
+    if geom is None or geom.is_empty:
+        return (None, float("nan")) if return_center else geom
+    pts = np.unique(geom.all_coords()[:, :2], axis=0)
+
+    def circle_two(a, b):
+        c = (a + b) / 2.0
+        return c, float(np.hypot(*(a - b)) / 2.0)
+
+    def circle_three(a, b, c):
+        ax, ay = a
+        bx, by = b
+        cx, cy = c
+        d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if d == 0:
+            return None
+        ux = ((ax**2 + ay**2) * (by - cy) + (bx**2 + by**2) * (cy - ay) + (cx**2 + cy**2) * (ay - by)) / d
+        uy = ((ax**2 + ay**2) * (cx - bx) + (bx**2 + by**2) * (ax - cx) + (cx**2 + cy**2) * (bx - ax)) / d
+        ctr = np.array([ux, uy])
+        return ctr, float(np.hypot(*(a - ctr)))
+
+    def contains_all(c, r, P):
+        return bool((np.hypot(P[:, 0] - c[0], P[:, 1] - c[1]) <= r * (1 + 1e-12)).all())
+
+    # deterministic Welzl-ish: iterate over points, grow the circle
+    c, r = pts[0].astype(float), 0.0
+    for i in range(1, len(pts)):
+        if np.hypot(*(pts[i] - c)) <= r * (1 + 1e-12):
+            continue
+        c, r = pts[i].astype(float), 0.0
+        for j in range(i):
+            if np.hypot(*(pts[j] - c)) <= r * (1 + 1e-12):
+                continue
+            c, r = circle_two(pts[i], pts[j])
+            for k in range(j):
+                if np.hypot(*(pts[k] - c)) <= r * (1 + 1e-12):
+                    continue
+                res = circle_three(pts[i], pts[j], pts[k])
+                if res is not None:
+                    c, r = res
+    if return_center:
+        return c, r
+    if r == 0:
+        return make_point(float(c[0]), float(c[1]))
+    ang = 2.0 * math.pi * np.arange(32) / 32
+    ring = np.column_stack([c[0] + r * np.cos(ang), c[1] + r * np.sin(ang)])
+    return Geometry(POLYGON, rings=[np.vstack([ring, ring[:1]])])
+
+
+# ---------------------------------------------------------------------------
+# intersection — point/line vs polygon, and polygon vs CONVEX polygon
+# (reference: shapely/set_operations.py:114; general concave overlay is a
+# round-2 item — the engine's tiling path needs only rect/convex clips)
+# ---------------------------------------------------------------------------
+
+def intersection(a: Geometry | None, b: Geometry | None) -> Geometry | None:
+    from . import kernels as K
+
+    if a is None or b is None:
+        return None
+    if a.is_empty or b.is_empty:
+        return empty(GEOMETRYCOLLECTION)
+    da = K._dim(a)
+    db = K._dim(b)
+    if da > db:
+        return intersection(b, a)
+    if da == 0:
+        pts = a.all_coords()[:, :2]
+        cls = K._all_class(pts, b)
+        keep = pts[cls >= 1]
+        if len(keep) == 0:
+            return empty(POINT if a.type_id == POINT else MULTIPOINT)
+        if len(keep) == 1:
+            return make_point(*keep[0])
+        return multipoint([tuple(p) for p in keep])
+    if db == 2 and _is_convex(b):
+        ring = _convex_ring(b)
+        if da == 1:
+            return _clip_line_convex(a, ring)
+        if _is_convex(a):
+            out = np.asarray(_convex_ring(a))
+            for i in range(len(ring) - 1):
+                out = _clip_halfplane(out, ring[i], ring[i + 1])
+                if out is None:
+                    return empty(POLYGON)
+            return Geometry(POLYGON, rings=[np.vstack([out, out[:1]])])
+    raise NotImplementedError(
+        "intersection(): round-1 supports point/line/convex-polygon clips "
+        "(set_operations.py:114 general overlay tracked for round 2)"
+    )
+
+
+def _convex_ring(g: Geometry) -> np.ndarray:
+    ring = np.asarray(g.rings[0])[:, :2]
+    if signed_ring_area(ring) < 0:
+        ring = ring[::-1]
+    return ring
+
+
+def _is_convex(g: Geometry) -> bool:
+    if g.type_id != POLYGON or len(g.rings or []) != 1:
+        return False
+    r = _convex_ring(g)[:-1]
+    nxt = np.roll(r, -1, axis=0)
+    prv = np.roll(r, 1, axis=0)
+    cross = np.cross(r - prv, nxt - r)
+    return bool((cross >= -1e-12).all())
+
+
+def _clip_halfplane(poly_pts: np.ndarray, e0, e1):
+    """Sutherland–Hodgman single edge clip; poly_pts open ring (CCW)."""
+    if poly_pts is None or len(poly_pts) == 0:
+        return None
+    if np.array_equal(poly_pts[0], poly_pts[-1]):
+        poly_pts = poly_pts[:-1]
+    out = []
+    n = len(poly_pts)
+    ex, ey = e1[0] - e0[0], e1[1] - e0[1]
+
+    def inside(p):
+        return ex * (p[1] - e0[1]) - ey * (p[0] - e0[0]) >= 0
+
+    for i in range(n):
+        cur, prv = poly_pts[i], poly_pts[i - 1]
+        ci, pi = inside(cur), inside(prv)
+        if ci != pi:
+            d = cur - prv
+            denom = ex * d[1] - ey * d[0]
+            t = (ey * (prv[0] - e0[0]) - ex * (prv[1] - e0[1])) / denom if denom else 0.0
+            out.append(prv + t * d)
+        if ci:
+            out.append(cur)
+    if len(out) < 3:
+        return None
+    return np.array(out)
+
+
+def _clip_line_convex(line_geom: Geometry, ring: np.ndarray) -> Geometry:
+    from . import kernels as K
+
+    pieces = []
+    stack = [line_geom]
+    coords_list = []
+    while stack:
+        g = stack.pop()
+        if g.type_id in (LINESTRING, LINEARRING) and g.coords is not None:
+            coords_list.append(np.asarray(g.coords)[:, :2])
+        for p in g.parts or []:
+            stack.append(p)
+    for c in coords_list:
+        cur = []
+        for i in range(len(c) - 1):
+            p0, p1 = c[i].copy(), c[i + 1].copy()
+            t0, t1 = 0.0, 1.0
+            d = p1 - p0
+            ok = True
+            for j in range(len(ring) - 1):
+                e0, e1 = ring[j], ring[j + 1]
+                ex, ey = e1[0] - e0[0], e1[1] - e0[1]
+                f0 = ex * (p0[1] - e0[1]) - ey * (p0[0] - e0[0])
+                fd = ex * d[1] - ey * d[0]
+                if fd == 0:
+                    if f0 < 0:
+                        ok = False
+                        break
+                    continue
+                t = -f0 / fd
+                if fd > 0:
+                    t0 = max(t0, t)
+                else:
+                    t1 = min(t1, t)
+                if t0 > t1:
+                    ok = False
+                    break
+            if not ok:
+                if len(cur) >= 2:
+                    pieces.append(np.array(cur))
+                cur = []
+                continue
+            q0, q1 = p0 + t0 * d, p0 + t1 * d
+            if cur and np.allclose(cur[-1], q0):
+                cur.append(q1)
+            else:
+                if len(cur) >= 2:
+                    pieces.append(np.array(cur))
+                cur = [q0, q1]
+        if len(cur) >= 2:
+            pieces.append(np.array(cur))
+    if not pieces:
+        return empty(LINESTRING)
+    if len(pieces) == 1:
+        return Geometry(LINESTRING, coords=pieces[0])
+    return Geometry(MULTILINESTRING, parts=[Geometry(LINESTRING, coords=p) for p in pieces])

@@ -832,3 +832,69 @@ def is_valid_reason(geom: Geometry | None) -> str | None:
                 return r
         return "Valid Geometry"
     return "Valid Geometry"
+
+
+# ---------------------------------------------------------------------------
+# Discrete Hausdorff / Fréchet (reference: shapely/measurement.py:200,245)
+# ---------------------------------------------------------------------------
+
+def _densified_points(geom: Geometry, densify: float | None) -> np.ndarray:
+    pts = geom.all_coords()[:, :2]
+    if densify is None:
+        return pts
+    if not 0 < densify <= 1:
+        raise ValueError("densify must be in (0, 1]")
+    segs = _edges(geom)
+    out = [pts]
+    for x1, y1, x2, y2 in segs:
+        n = max(1, int(math.ceil(1.0 / densify)) - 1)
+        t = np.linspace(0, 1, n + 2)[1:-1]
+        out.append(np.column_stack([x1 + t * (x2 - x1), y1 + t * (y2 - y1)]))
+    return np.concatenate(out, axis=0)
+
+
+def hausdorff_distance(a: Geometry | None, b: Geometry | None, densify: float | None = None) -> float:
+    """Discrete (vertex/densified) Hausdorff distance, max of directed
+    point-to-geometry distances. reference: shapely/measurement.py:200
+    (GEOSHausdorffDistance uses the same discrete algorithm)."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return float("nan")
+    pa = _densified_points(a, densify)
+    pb = _densified_points(b, densify)
+
+    def directed(p, q):
+        d2 = (p[:, None, 0] - q[None, :, 0]) ** 2 + (p[:, None, 1] - q[None, :, 1]) ** 2
+        return float(np.sqrt(d2.min(axis=1)).max())
+
+    return max(directed(pa, pb), directed(pb, pa))
+
+
+def frechet_distance(a: Geometry | None, b: Geometry | None, densify: float | None = None) -> float:
+    """Discrete Fréchet distance (dynamic program over vertex sequences).
+    reference: shapely/measurement.py:245."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return float("nan")
+    p = _densified_points(a, densify)
+    q = _densified_points(b, densify)
+    n, m = len(p), len(q)
+    d = np.sqrt((p[:, None, 0] - q[None, :, 0]) ** 2 + (p[:, None, 1] - q[None, :, 1]) ** 2)
+    ca = np.full((n, m), -1.0)
+    ca[0, 0] = d[0, 0]
+    for i in range(1, n):
+        ca[i, 0] = max(ca[i - 1, 0], d[i, 0])
+    for j in range(1, m):
+        ca[0, j] = max(ca[0, j - 1], d[0, j])
+    for i in range(1, n):
+        for j in range(1, m):
+            ca[i, j] = max(min(ca[i - 1, j], ca[i - 1, j - 1], ca[i, j - 1]), d[i, j])
+    return float(ca[n - 1, m - 1])
+
+
+def minimum_bounding_radius(geom: Geometry | None) -> float:
+    """reference: shapely/measurement.py:326."""
+    from .constructive import minimum_bounding_circle
+
+    if geom is None or geom.is_empty:
+        return float("nan") if geom is None else 0.0
+    c, r = minimum_bounding_circle(geom, return_center=True)
+    return r

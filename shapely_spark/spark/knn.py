@@ -171,38 +171,45 @@ def knn_join_broadcast(
     def gen(batches):
         ids, lats, lons = bc.value
         T = len(ids)
-        rad_tlat = np.radians(lats)
-        rad_tlon = np.radians(lons)
-        cos_tlat = np.cos(rad_tlat)
+        # 3-D unit vectors: haversine distance is a monotone function of the
+        # chord (= 2 - 2·dot), so top-k by dot product == top-k by haversine.
+        # Selection runs as one BLAS matmul; exact haversine is computed only
+        # for the k winners — O(n·k) trig instead of O(n·T).
+        tl, tn = np.radians(lats), np.radians(lons)
+        T3 = np.column_stack([np.cos(tl) * np.cos(tn), np.cos(tl) * np.sin(tn), np.sin(tl)])
         R2 = 2.0 * 6371.0088
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            plat_r = np.radians(pdf["__lat"].to_numpy(np.float64))[:, None]
-            plon_r = np.radians(pdf["__lon"].to_numpy(np.float64))[:, None]
-            cos_plat = np.cos(plat_r)
-            best_d = None
+            plat = pdf["__lat"].to_numpy(np.float64)
+            plon = pdf["__lon"].to_numpy(np.float64)
+            pl, pn = np.radians(plat), np.radians(plon)
+            P3 = np.column_stack([np.cos(pl) * np.cos(pn), np.cos(pl) * np.sin(pn), np.sin(pl)])
+            best_s = None  # dot products (higher = closer)
             best_i = None
             for s in range(0, T, target_chunk):
                 e = min(T, s + target_chunk)
-                dlat = (rad_tlat[None, s:e] - plat_r) / 2.0
-                dlon = (rad_tlon[None, s:e] - plon_r) / 2.0
-                a = np.sin(dlat) ** 2 + cos_plat * cos_tlat[None, s:e] * np.sin(dlon) ** 2
-                d = R2 * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+                S = P3 @ T3[s:e].T
                 gi = np.arange(s, e)[None, :].repeat(len(pdf), axis=0)
-                if best_d is None:
-                    best_d, best_i = d, gi
+                if best_s is None:
+                    best_s, best_i = S, gi
                 else:
-                    best_d = np.concatenate([best_d, d], axis=1)
+                    best_s = np.concatenate([best_s, S], axis=1)
                     best_i = np.concatenate([best_i, gi], axis=1)
-                if best_d.shape[1] > kk:
-                    part = np.argpartition(best_d, kk - 1, axis=1)[:, :kk]
+                if best_s.shape[1] > kk:
+                    part = np.argpartition(-best_s, kk - 1, axis=1)[:, :kk]
                     rows = np.arange(len(pdf))[:, None]
-                    best_d = best_d[rows, part]
+                    best_s = best_s[rows, part]
                     best_i = best_i[rows, part]
-            # order the k survivors by (dist, target_id)
-            ordk = np.lexsort((ids[best_i], best_d), axis=1)
+            # exact haversine for the k winners only, then (dist, id) order
             rows = np.arange(len(pdf))[:, None]
+            wl, wn = tl[best_i], tn[best_i]
+            a = (
+                np.sin((wl - pl[:, None]) / 2.0) ** 2
+                + np.cos(pl[:, None]) * np.cos(wl) * np.sin((wn - pn[:, None]) / 2.0) ** 2
+            )
+            best_d = R2 * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+            ordk = np.lexsort((ids[best_i], best_d), axis=1)
             dd = best_d[rows, ordk]
             ii = best_i[rows, ordk]
             npts = len(pdf)

@@ -48,8 +48,16 @@ def _u(i, salt: int):
 def synth_pages(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
     """Pages table with embedded geotags. Columns: url, warc_ts, html(binary),
     text, lang — plus NOTHING else (lat/lon must be derived by the engine's
-    extract stage, per the north rule)."""
-    partitions = partitions or max(8, n_rows // 50_000)
+    extract stage, per the north rule).
+
+    Partition count tracks cluster parallelism (3 waves of tasks) so the
+    same code saturates local[8] and local[32] alike — a fixed count would
+    cap speedup at higher parallelism."""
+    if partitions is None:
+        partitions = max(
+            3 * spark.sparkContext.defaultParallelism,
+            min(max(1, n_rows // 25_000), 512),
+        )
     df = spark.range(0, n_rows, 1, partitions).withColumnRenamed("id", "i")
     i = F.col("i")
 

@@ -1,0 +1,88 @@
+"""Structured Streaming ingest: the streaming twin of the batch pipeline.
+
+The reference is a stateless kernel library (SURVEY.md §2.10), so every
+batch operator here reuses the SAME expressions/kernels — with_geo
+(extract.py) applies unchanged to a streaming DataFrame because it is pure
+column expressions. This module adds the streaming-only pieces: source
+wiring, watermarked windowed tile aggregation, and a foreachBatch spatial
+join that reuses the broadcast covers plan per micro-batch.
+
+At scale this is the continuous-ingest path: readStream from the landing
+bucket → extract → cell assignment → (a) append page-level output
+partitioned by cell prefix, (b) update windowed per-cell rollups with late
+data bounded by the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.cells import DEFAULT_RES
+from ..spark.extract import with_geo
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def read_pages_stream(spark: SparkSession, input_dir: str, max_files: int = 10) -> DataFrame:
+    """File-source stream over landing-dir parquet (the CC-dump pattern:
+    new WARC-derived files appear; maxFilesPerTrigger bounds batch size)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+    )
+
+
+def stream_with_geo(pages_stream: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    """Identical extraction plan as batch — pure expressions stream as-is."""
+    return with_geo(pages_stream, res)
+
+
+def windowed_tile_counts(
+    pages_geo_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window per-cell counts (late data beyond the
+    watermark is dropped — bounded state, the only correct default at
+    10^12 rows)."""
+    return (
+        pages_geo_stream.withWatermark("warc_ts", watermark)
+        .where(F.col("cell_id") >= 0)
+        .groupBy(F.window("warc_ts", window).alias("win"), F.col("cell_id"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "cell_id",
+            "n_pages",
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain a stream into a memory sink with availableNow (test/dev helper:
+    processes everything currently in the source, then stops)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def foreach_batch_spatial_join(regions: DataFrame, predicate: str = "intersects",
+                               res: int = DEFAULT_RES):
+    """foreachBatch callback running the batch spatial join per micro-batch
+    (the covers table is rebuilt per batch here; a long-lived deployment
+    caches it driver-side)."""
+    from ..spark.join import spatial_join
+
+    def fn(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return spatial_join(batch_df, regions, predicate=predicate, res=res)
+
+    return fn
