@@ -152,6 +152,7 @@ def knn_join_broadcast(
 
     plat, plon = point_cols
     tlat, tlon = target_cols
+    target_chunk = max(target_chunk, k)  # merge invariant: chunk ≥ k
     trows = targets.select(target_id, tlat, tlon).collect()
     t_ids = np.array([r[0] for r in trows], dtype=np.int64)
     t_lat = np.array([r[1] for r in trows], dtype=np.float64)
@@ -173,52 +174,80 @@ def knn_join_broadcast(
         T = len(ids)
         # 3-D unit vectors: haversine distance is a monotone function of the
         # chord (= 2 - 2·dot), so top-k by dot product == top-k by haversine.
-        # Selection runs as one BLAS matmul; exact haversine is computed only
-        # for the k winners — O(n·k) trig instead of O(n·T).
+        # Exact haversine is computed only for the k winners — O(n·k) trig
+        # instead of O(n·T).
+        #
+        # Cache blocking: scores are computed for BLOCK points × chunk
+        # targets at a time (≤ a few MB) so the score matrix never leaves
+        # cache — a single n×T matrix is O(100 MB)/batch and turns the whole
+        # kernel memory-bandwidth-bound (measured 10× slower on 2-3 GB/s/core
+        # VMs). k=1 (the dominant case) selects via running argmax and never
+        # materializes indices.
         tl, tn = np.radians(lats), np.radians(lons)
-        T3 = np.column_stack([np.cos(tl) * np.cos(tn), np.cos(tl) * np.sin(tn), np.sin(tl)])
+        T3 = np.vstack([np.cos(tl) * np.cos(tn), np.cos(tl) * np.sin(tn), np.sin(tl)])
         R2 = 2.0 * 6371.0088
+        BLOCK = 256
+        keff = max(1, min(kk, T))
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 continue
             plat = pdf["__lat"].to_numpy(np.float64)
             plon = pdf["__lon"].to_numpy(np.float64)
             pl, pn = np.radians(plat), np.radians(plon)
             P3 = np.column_stack([np.cos(pl) * np.cos(pn), np.cos(pl) * np.sin(pn), np.sin(pl)])
-            best_s = None  # dot products (higher = closer)
-            best_i = None
-            for s in range(0, T, target_chunk):
-                e = min(T, s + target_chunk)
-                S = P3 @ T3[s:e].T
-                gi = np.arange(s, e)[None, :].repeat(len(pdf), axis=0)
-                if best_s is None:
-                    best_s, best_i = S, gi
+            all_i = np.empty((n, keff), dtype=np.int64)
+            for b0 in range(0, n, BLOCK):
+                b1 = min(n, b0 + BLOCK)
+                Pb = P3[b0:b1]
+                nb = b1 - b0
+                if keff == 1:
+                    run_s = np.full(nb, -np.inf)
+                    run_i = np.zeros(nb, dtype=np.int64)
+                    for s in range(0, T, target_chunk):
+                        e = min(T, s + target_chunk)
+                        S = Pb @ T3[:, s:e]
+                        j = np.argmax(S, axis=1)
+                        sj = S[np.arange(nb), j]
+                        upd = sj > run_s
+                        run_s[upd] = sj[upd]
+                        run_i[upd] = j[upd] + s
+                    all_i[b0:b1, 0] = run_i
                 else:
-                    best_s = np.concatenate([best_s, S], axis=1)
-                    best_i = np.concatenate([best_i, gi], axis=1)
-                if best_s.shape[1] > kk:
-                    part = np.argpartition(-best_s, kk - 1, axis=1)[:, :kk]
-                    rows = np.arange(len(pdf))[:, None]
-                    best_s = best_s[rows, part]
-                    best_i = best_i[rows, part]
+                    best_s = np.full((nb, keff), -np.inf)
+                    best_i = np.zeros((nb, keff), dtype=np.int64)
+                    rows = np.arange(nb)[:, None]
+                    for s in range(0, T, target_chunk):
+                        e = min(T, s + target_chunk)
+                        S = Pb @ T3[:, s:e]
+                        stack_s = np.concatenate([best_s, S], axis=1)
+                        stack_i = np.concatenate(
+                            [best_i, np.broadcast_to(np.arange(s, e), (nb, e - s))], axis=1
+                        )
+                        part = np.argpartition(-stack_s, keff - 1, axis=1)[:, :keff]
+                        best_s = stack_s[rows, part]
+                        best_i = stack_i[rows, part]
+                    all_i[b0:b1] = best_i
             # exact haversine for the k winners only, then (dist, id) order
-            rows = np.arange(len(pdf))[:, None]
-            wl, wn = tl[best_i], tn[best_i]
+            rows = np.arange(n)[:, None]
+            wl, wn = tl[all_i], tn[all_i]
             a = (
                 np.sin((wl - pl[:, None]) / 2.0) ** 2
                 + np.cos(pl[:, None]) * np.cos(wl) * np.sin((wn - pn[:, None]) / 2.0) ** 2
             )
             best_d = R2 * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
-            ordk = np.lexsort((ids[best_i], best_d), axis=1)
-            dd = best_d[rows, ordk]
-            ii = best_i[rows, ordk]
-            npts = len(pdf)
+            if keff == 1:
+                dd, ii = best_d, all_i
+            else:
+                ordk = np.lexsort((ids[all_i], best_d), axis=1)
+                dd = best_d[rows, ordk]
+                ii = all_i[rows, ordk]
             out = pd.DataFrame(
                 {
-                    point_id: pdf["__pid"].to_numpy().repeat(dd.shape[1]),
+                    point_id: pdf["__pid"].to_numpy().repeat(keff),
                     target_id: ids[ii].ravel(),
                     "dist_km": dd.ravel(),
-                    "knn_rank": np.tile(np.arange(1, dd.shape[1] + 1, dtype=np.int32), npts),
+                    "knn_rank": np.tile(np.arange(1, keff + 1, dtype=np.int32), n),
                 }
             )
             if max_distance_km is not None:

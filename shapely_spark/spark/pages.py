@@ -175,8 +175,21 @@ def synth_regions(n_regions: int, seed: int = 42):
 
 
 def regions_df(spark: SparkSession, regions) -> DataFrame:
-    """Regions as a DataFrame (region_id, name, wkb, kind)."""
+    """Regions as a DataFrame (region_id, name, wkb, kind).
+
+    Built via a pandas DataFrame so createDataFrame takes the Arrow path —
+    a plain list-of-rows goes through pickle + a Python-RDD scan that
+    respawns non-Arrow Python workers on EVERY downstream action."""
+    import pandas as pd
+
     from ..geo.wkb import to_wkb
 
-    rows = [(rid, name, to_wkb(g), kind) for rid, name, g, kind in regions]
-    return spark.createDataFrame(rows, "region_id long, name string, wkb binary, kind string")
+    pdf = pd.DataFrame(
+        {
+            "region_id": pd.Series([r[0] for r in regions], dtype="int64"),
+            "name": [r[1] for r in regions],
+            "wkb": [to_wkb(r[2]) for r in regions],
+            "kind": [r[3] for r in regions],
+        }
+    )
+    return spark.createDataFrame(pdf, "region_id long, name string, wkb binary, kind string")

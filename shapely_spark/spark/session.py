@@ -26,6 +26,11 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(8, cpus)
+    # repo root on the worker PYTHONPATH so the preloading daemon module
+    # (shapely_spark.spark.daemon) and kernel imports resolve in workers
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    worker_pp = repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+    os.environ["PYTHONPATH"] = worker_pp
     b = (
         SparkSession.builder.master(master)
         .appName(app)
@@ -34,6 +39,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # local-mode split sizing: synthetic parquet compresses ~10:1, so the
+        # 128m default would pack a 1M-row table into <8 splits and starve
+        # local[32]; 8m keeps ≥3 tasks/core. On a real cluster against 100 TB
+        # the default is right — override via env.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
@@ -42,6 +53,12 @@ def get_spark(
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        # warm-import worker daemon (see daemon.py): forked Python workers
+        # inherit numpy/pandas/pyarrow + kernel modules copy-on-write instead
+        # of re-importing per worker — the per-worker import tax otherwise
+        # scales WITH parallelism and caps scaling efficiency.
+        .config("spark.python.daemon.module", "shapely_spark.spark.daemon")
+        .config("spark.executorEnv.PYTHONPATH", worker_pp)
     )
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
