@@ -997,3 +997,52 @@ def _clip_line_convex(line_geom: Geometry, ring: np.ndarray) -> Geometry:
     if len(pieces) == 1:
         return Geometry(LINESTRING, coords=pieces[0])
     return Geometry(MULTILINESTRING, parts=[Geometry(LINESTRING, coords=p) for p in pieces])
+
+
+def point_on_surface(geom: Geometry | None) -> Geometry | None:
+    """A point guaranteed on the geometry: for polygons, the midpoint of the
+    widest interior scanline interval at the bbox-middle y (the GEOS
+    interior-point strategy); for lines, the middle vertex; for points, the
+    first point. reference: shapely/constructive.py:822
+    point_on_surface / geometry/base.py:392 representative_point."""
+    import numpy as np
+
+    from . import kernels as K
+    from .geom import LINESTRING, MULTILINESTRING, MULTIPOINT, MULTIPOLYGON
+
+    if geom is None:
+        return None
+    if geom.is_empty:
+        return empty(POINT)
+    tid = geom.type_id
+    if tid == POINT:
+        return make_point(geom.coords[0, 0], geom.coords[0, 1])
+    if tid in (MULTIPOINT,):
+        p0 = (geom.parts or [])[0]
+        return make_point(p0.coords[0, 0], p0.coords[0, 1])
+    if tid in (LINESTRING, MULTILINESTRING):
+        c = geom.coords if tid == LINESTRING else (geom.parts or [])[0].coords
+        return make_point(c[len(c) // 2, 0], c[len(c) // 2, 1])
+    if tid in (POLYGON, MULTIPOLYGON):
+        rings = K._rings_of(geom)
+        b = K.bounds(geom)
+        ym = (b[1] + b[3]) / 2.0
+        xs = []
+        for r in rings:
+            c = np.asarray(r)[:, :2]
+            y1, y2 = c[:-1, 1], c[1:, 1]
+            x1, x2 = c[:-1, 0], c[1:, 0]
+            cond = (y1 > ym) != (y2 > ym)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xi = x1 + (ym - y1) * (x2 - x1) / (y2 - y1)
+            xs.append(xi[cond])
+        xs = np.sort(np.concatenate(xs)) if xs else np.zeros(0)
+        if len(xs) >= 2:
+            widths = xs[1::2] - xs[0::2] if len(xs) % 2 == 0 else xs[1:] - xs[:-1]
+            if len(xs) % 2 == 0:
+                i = int(np.argmax(widths))
+                return make_point((xs[2 * i] + xs[2 * i + 1]) / 2.0, ym)
+        # degenerate (scanline hit a vertex): fall back to first shell vertex
+        return make_point(rings[0][0, 0], rings[0][0, 1])
+    # collections: first part
+    return point_on_surface((geom.parts or [None])[0])

@@ -1,0 +1,450 @@
+"""Boolean overlay (set operations) on polygons — pure NumPy.
+
+Reference semantics: shapely/set_operations.py:114 intersection, :41
+difference, :247 symmetric_difference, :395 union, :465 union_all. The
+reference delegates to GEOS overlayng; this is an independent
+implementation for the engine (SURVEY.md §2.5): boundary-fragment
+classification + face-left stitching.
+
+Algorithm (polygon × polygon, holes and multi-parts included):
+  1. normalize rings: shells CCW, holes CW → every directed edge has the
+     polygon interior on its LEFT
+  2. node: split every edge of A at its intersections with edges of B (and
+     vice versa), including collinear-overlap endpoints
+  3. classify each fragment midpoint against the OTHER polygon: interior /
+     exterior / boundary (even-odd kernel, kernels.points_in_rings_class);
+     boundary fragments get a left/right offset probe to decide whether the
+     two boundaries run in the same direction ("same transition")
+  4. select fragments per op (standard boundary-algebra rules):
+       intersection: A-frags in int(B) + B-frags in int(A) + shared sameT
+       union:        A-frags in ext(B) + B-frags in ext(A) + shared sameT
+       difference:   A-frags in ext(B) + reversed B-frags in int(A)
+                     + shared frags with opposite transition
+  5. stitch selected fragments into rings by walking most-clockwise turns
+     (face-to-the-left traversal); split pinch nodes; CCW rings are shells,
+     CW rings are holes; assign holes to containing shells
+
+symmetric_difference = difference(A,B) ⊎ difference(B,A) (disjoint faces).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import kernels as K
+from .geom import (
+    GEOMETRYCOLLECTION,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    Geometry,
+    empty,
+    multipolygon,
+    point,
+)
+from .kernels import BOUNDARY, EXTERIOR, INTERIOR, signed_ring_area
+
+
+# ---------------------------------------------------------------------------
+# ring normalization
+# ---------------------------------------------------------------------------
+
+def _poly_rings_oriented(geom: Geometry) -> list[np.ndarray]:
+    """All rings of a (multi)polygon, shells CCW and holes CW, closed,
+    consecutive duplicate vertices dropped."""
+    out = []
+    if geom.type_id == POLYGON:
+        ring_sets = [geom.rings or []]
+    elif geom.type_id in (MULTIPOLYGON, GEOMETRYCOLLECTION):
+        ring_sets = [p.rings or [] for p in (geom.parts or []) if p.type_id == POLYGON]
+    else:
+        return []
+    for rings in ring_sets:
+        for i, r in enumerate(rings):
+            c = np.asarray(r, dtype=np.float64)[:, :2]
+            if len(c) < 4:
+                continue
+            keep = np.ones(len(c), dtype=bool)
+            keep[1:] = np.any(c[1:] != c[:-1], axis=1)
+            c = c[keep]
+            if len(c) < 4 or np.any(c[0] != c[-1]):
+                if len(c) >= 3 and np.any(c[0] != c[-1]):
+                    c = np.vstack([c, c[:1]])
+                if len(c) < 4:
+                    continue
+            a = signed_ring_area(c)
+            want_ccw = i == 0  # shell first, holes after (geom.py Polygon layout)
+            if (a > 0) != want_ccw and a != 0:
+                c = c[::-1]
+            out.append(c)
+    return out
+
+
+def _edges_of(rings: list[np.ndarray]) -> np.ndarray:
+    """(n,4) directed segments following ring orientation."""
+    if not rings:
+        return np.zeros((0, 4))
+    return np.concatenate(
+        [np.column_stack([c[:-1], c[1:]]) for c in rings], axis=0
+    )
+
+
+# ---------------------------------------------------------------------------
+# noding: split edges at intersections
+# ---------------------------------------------------------------------------
+
+def _split_params(edges: np.ndarray, other: np.ndarray, tol: float) -> list[np.ndarray]:
+    """For each directed edge, sorted parameter values t∈(0,1) where it
+    crosses/touches any edge of `other` (collinear overlaps contribute the
+    projections of the other edge's endpoints)."""
+    n = len(edges)
+    out = [None] * n
+    if n == 0 or len(other) == 0:
+        return [np.zeros(0)] * n
+    x1, y1, x2, y2 = edges[:, 0], edges[:, 1], edges[:, 2], edges[:, 3]
+    x3, y3, x4, y4 = other[:, 0], other[:, 1], other[:, 2], other[:, 3]
+    dx1, dy1 = (x2 - x1)[:, None], (y2 - y1)[:, None]
+    dx2, dy2 = (x4 - x3)[None, :], (y4 - y3)[None, :]
+    ex, ey = x3[None, :] - x1[:, None], y3[None, :] - y1[:, None]
+    denom = dx1 * dy2 - dy1 * dx2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (ex * dy2 - ey * dx2) / denom
+        u = (ex * dy1 - ey * dx1) / denom
+    crossing = (np.abs(denom) > tol) & (t >= -tol) & (t <= 1 + tol) & (u >= -tol) & (u <= 1 + tol)
+    # collinear overlap: parallel and other's endpoints on this line
+    par = np.abs(denom) <= tol
+    cross3 = dx1 * (y3[None, :] - y1[:, None]) - dy1 * (x3[None, :] - x1[:, None])
+    collinear = par & (np.abs(cross3) <= tol * np.maximum(1.0, np.abs(dx1) + np.abs(dy1)))
+    len2 = dx1 * dx1 + dy1 * dy1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t3 = ((x3[None, :] - x1[:, None]) * dx1 + (y3[None, :] - y1[:, None]) * dy1) / len2
+        t4 = ((x4[None, :] - x1[:, None]) * dx1 + (y4[None, :] - y1[:, None]) * dy1) / len2
+    for i in range(n):
+        ts = []
+        ci = np.nonzero(crossing[i])[0]
+        if len(ci):
+            ts.append(np.clip(t[i, ci], 0.0, 1.0))
+        li = np.nonzero(collinear[i])[0]
+        if len(li):
+            ts.append(np.clip(t3[i, li], 0.0, 1.0))
+            ts.append(np.clip(t4[i, li], 0.0, 1.0))
+        if ts:
+            tt = np.unique(np.concatenate(ts))
+            tt = tt[(tt > 1e-12) & (tt < 1 - 1e-12)]
+            out[i] = tt
+        else:
+            out[i] = np.zeros(0)
+    return out
+
+
+def _fragments(edges: np.ndarray, params: list[np.ndarray]) -> np.ndarray:
+    """Split each edge at its params → (m,4) fragment segments."""
+    frags = []
+    for i in range(len(edges)):
+        x1, y1, x2, y2 = edges[i]
+        ts = np.concatenate([[0.0], params[i], [1.0]])
+        xs = x1 + ts * (x2 - x1)
+        ys = y1 + ts * (y2 - y1)
+        frags.append(np.column_stack([xs[:-1], ys[:-1], xs[1:], ys[1:]]))
+    if not frags:
+        return np.zeros((0, 4))
+    fr = np.concatenate(frags, axis=0)
+    dx, dy = fr[:, 2] - fr[:, 0], fr[:, 3] - fr[:, 1]
+    return fr[dx * dx + dy * dy > 0]
+
+
+# ---------------------------------------------------------------------------
+# classification + selection
+# ---------------------------------------------------------------------------
+
+def _classify(frags: np.ndarray, other_rings: list[np.ndarray], tol: float):
+    """(cls, sameT): midpoint class vs other polygon; for boundary
+    fragments, sameT = other's interior is also on the left."""
+    if len(frags) == 0:
+        return np.zeros(0, dtype=np.int8), np.zeros(0, dtype=bool)
+    mx = (frags[:, 0] + frags[:, 2]) / 2.0
+    my = (frags[:, 1] + frags[:, 3]) / 2.0
+    cls = K.points_in_rings_class(mx, my, other_rings)
+    # exact-boundary detection with tolerance (fp-noded midpoints)
+    segs = _edges_of(other_rings)
+    onb = K.points_on_segments(mx, my, segs, eps=tol)
+    cls = np.where(onb, np.int8(BOUNDARY), cls)
+    sameT = np.zeros(len(frags), dtype=bool)
+    bidx = np.nonzero(cls == BOUNDARY)[0]
+    if len(bidx):
+        dx = frags[bidx, 2] - frags[bidx, 0]
+        dy = frags[bidx, 3] - frags[bidx, 1]
+        ln = np.hypot(dx, dy)
+        ln[ln == 0] = 1.0
+        # left normal, offset by a fraction of fragment length
+        off = np.maximum(ln * 1e-7, tol * 10)
+        nx, ny = -dy / ln * off, dx / ln * off
+        lcls = K.points_in_rings_class(mx[bidx] + nx, my[bidx] + ny, other_rings)
+        rcls = K.points_in_rings_class(mx[bidx] - nx, my[bidx] - ny, other_rings)
+        sameT[bidx] = (lcls == INTERIOR) & (rcls != INTERIOR)
+    return cls, sameT
+
+
+def _select(op: str, a_frags, a_cls, a_sameT, b_frags, b_cls, b_sameT) -> np.ndarray:
+    keep = []
+    if op == "intersection":
+        keep.append(a_frags[(a_cls == INTERIOR) | ((a_cls == BOUNDARY) & a_sameT)])
+        keep.append(b_frags[b_cls == INTERIOR])
+    elif op == "union":
+        keep.append(a_frags[(a_cls == EXTERIOR) | ((a_cls == BOUNDARY) & a_sameT)])
+        keep.append(b_frags[b_cls == EXTERIOR])
+    elif op == "difference":
+        keep.append(a_frags[(a_cls == EXTERIOR) | ((a_cls == BOUNDARY) & ~a_sameT)])
+        rev = b_frags[b_cls == INTERIOR]
+        keep.append(rev[:, [2, 3, 0, 1]])  # reversed: carve as hole boundary
+    else:  # pragma: no cover
+        raise ValueError(op)
+    keep = [k for k in keep if len(k)]
+    return np.concatenate(keep, axis=0) if keep else np.zeros((0, 4))
+
+
+# ---------------------------------------------------------------------------
+# stitching
+# ---------------------------------------------------------------------------
+
+def _stitch(frags: np.ndarray, tol: float) -> list[np.ndarray]:
+    """Walk directed fragments into closed rings (face kept on the LEFT):
+    at each node continue with the most-clockwise outgoing fragment
+    relative to the reversed incoming direction. Pinch nodes (visited
+    twice) are split into separate rings."""
+    if len(frags) == 0:
+        return []
+
+    def key(x, y):
+        return (round(x / tol), round(y / tol))
+
+    starts = {}
+    for i, (x1, y1, x2, y2) in enumerate(frags):
+        starts.setdefault(key(x1, y1), []).append(i)
+    used = np.zeros(len(frags), dtype=bool)
+    ang = np.arctan2(frags[:, 3] - frags[:, 1], frags[:, 2] - frags[:, 0])
+    rings = []
+    for s in range(len(frags)):
+        if used[s]:
+            continue
+        path = [s]
+        used[s] = True
+        cur = s
+        closed = False
+        for _ in range(len(frags) + 1):
+            kend = key(frags[cur, 2], frags[cur, 3])
+            if kend == key(frags[path[0], 0], frags[path[0], 1]):
+                closed = True
+                break
+            cands = [j for j in starts.get(kend, []) if not used[j]]
+            if not cands:
+                break
+            if len(cands) == 1:
+                nxt = cands[0]
+            else:
+                back = ang[cur] + math.pi  # reversed incoming direction
+                # most-clockwise turn: smallest positive (back - angle) mod 2π
+                nxt = min(cands, key=lambda j: (back - ang[j]) % (2 * math.pi) or 2 * math.pi)
+            used[nxt] = True
+            path.append(nxt)
+            cur = nxt
+        if not closed:
+            continue
+        pts = np.vstack([frags[path, 0:2], frags[path[0], 0:2][None, :]])
+        rings.extend(_split_pinches(pts, tol))
+    return rings
+
+
+def _split_pinches(ring: np.ndarray, tol: float) -> list[np.ndarray]:
+    """Split a closed ring at repeated nodes into simple rings."""
+    seen: dict[tuple, int] = {}
+    for i in range(len(ring) - 1):
+        k = (round(ring[i, 0] / tol), round(ring[i, 1] / tol))
+        if k in seen:
+            j = seen[k]
+            inner = np.vstack([ring[j:i], ring[j : j + 1]])
+            outer = np.vstack([ring[:j], ring[i:]])
+            return _split_pinches(inner, tol) + _split_pinches(outer, tol)
+        seen[k] = i
+    return [ring] if len(ring) >= 4 else []
+
+
+def _assemble(rings: list[np.ndarray], tol: float) -> Geometry:
+    """CCW rings are shells, CW rings are holes; nest holes in shells."""
+    area_tol = tol * tol * 100
+    shells, holes = [], []
+    for r in rings:
+        a = signed_ring_area(r)
+        if abs(a) <= area_tol:
+            continue
+        (shells if a > 0 else holes).append((r, abs(a)))
+    if not shells:
+        return empty(POLYGON)
+    shells.sort(key=lambda t: t[1])  # smallest first → innermost shell wins
+    polys = [[s] for s, _ in shells]
+    for h, _ in holes:
+        hx, hy = h[0, 0], h[0, 1]
+        for i, (s, _) in enumerate(shells):
+            if K.points_in_rings_class(np.array([hx]), np.array([hy]), [s])[0] >= BOUNDARY:
+                polys[i].append(h)
+                break
+    if len(polys) == 1:
+        return Geometry(POLYGON, rings=polys[0])
+    return multipolygon([Geometry(POLYGON, rings=p) for p in polys])
+
+
+# ---------------------------------------------------------------------------
+# public ops
+# ---------------------------------------------------------------------------
+
+def _tolerance(a: Geometry, b: Geometry) -> float:
+    ca, cb = a.all_coords(), b.all_coords()
+    span = 1.0
+    for c in (ca, cb):
+        if len(c):
+            span = max(span, float(np.ptp(c[:, 0])), float(np.ptp(c[:, 1])),
+                       float(np.abs(c[:, :2]).max()))
+    return span * 1e-12 * 100  # ~1e-10 relative
+
+
+def _is_polygonal(g: Geometry) -> bool:
+    if g.type_id == POLYGON:
+        return True
+    if g.type_id == MULTIPOLYGON:
+        return True
+    if g.type_id == GEOMETRYCOLLECTION:
+        return all(_is_polygonal(p) for p in (g.parts or []))
+    return False
+
+
+def _is_pointish(g: Geometry) -> bool:
+    return g.type_id in (POINT, MULTIPOINT)
+
+
+def _points_of(g: Geometry) -> np.ndarray:
+    if g.type_id == POINT:
+        return g.coords if g.coords is not None else np.zeros((0, 2))
+    return np.concatenate([p.coords for p in (g.parts or [])], axis=0) if g.parts \
+        else np.zeros((0, 2))
+
+
+def _overlay(a: Geometry, b: Geometry, op: str) -> Geometry:
+    tol = _tolerance(a, b)
+    ra, rb = _poly_rings_oriented(a), _poly_rings_oriented(b)
+    if not ra:
+        return empty(POLYGON) if op in ("intersection", "difference") else b
+    if not rb:
+        return empty(POLYGON) if op == "intersection" else a
+    ea, eb = _edges_of(ra), _edges_of(rb)
+    fa = _fragments(ea, _split_params(ea, eb, tol))
+    fb = _fragments(eb, _split_params(eb, ea, tol))
+    a_cls, a_sameT = _classify(fa, rb, tol)
+    b_cls, b_sameT = _classify(fb, ra, tol)
+    sel = _select(op, fa, a_cls, a_sameT, fb, b_cls, b_sameT)
+    rings = _stitch(sel, max(tol, 1e-11))
+    return _assemble(rings, max(tol, 1e-11))
+
+
+def intersection(a: Geometry, b: Geometry) -> Geometry:
+    """reference: shapely/set_operations.py:114."""
+    if a is None or b is None:
+        return None
+    if a.is_empty or b.is_empty:
+        return empty(POLYGON)
+    if _is_pointish(a) or _is_pointish(b):
+        pts_g, other = (a, b) if _is_pointish(a) else (b, a)
+        pc = _points_of(pts_g)
+        cls = K.points_in_rings_class(pc[:, 0], pc[:, 1], _poly_rings_oriented(other)) \
+            if _is_polygonal(other) else np.zeros(len(pc))
+        keep = pc[cls >= BOUNDARY]
+        if len(keep) == 0:
+            return empty(POINT)
+        if len(keep) == 1:
+            return point(keep[0, 0], keep[0, 1])
+        return Geometry(MULTIPOINT, parts=[point(x, y) for x, y in keep])
+    if _is_polygonal(a) and _is_polygonal(b):
+        return _overlay(a, b, "intersection")
+    raise NotImplementedError("overlay supports point/polygon inputs")
+
+
+def union(a: Geometry, b: Geometry) -> Geometry:
+    """reference: shapely/set_operations.py:395."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    if a.is_empty:
+        return b
+    if b.is_empty:
+        return a
+    if _is_polygonal(a) and _is_polygonal(b):
+        return _overlay(a, b, "union")
+    if _is_pointish(a) and _is_pointish(b):
+        pts = np.vstack([_points_of(a), _points_of(b)])
+        pts = np.unique(pts, axis=0)
+        return Geometry(MULTIPOINT, parts=[point(x, y) for x, y in pts])
+    raise NotImplementedError("overlay supports point/polygon inputs")
+
+
+def difference(a: Geometry, b: Geometry) -> Geometry:
+    """reference: shapely/set_operations.py:41."""
+    if a is None or b is None:
+        return None
+    if a.is_empty:
+        return empty(POLYGON)
+    if b.is_empty:
+        return a
+    if _is_polygonal(a) and _is_polygonal(b):
+        return _overlay(a, b, "difference")
+    if _is_pointish(a) and _is_polygonal(b):
+        pc = _points_of(a)
+        cls = K.points_in_rings_class(pc[:, 0], pc[:, 1], _poly_rings_oriented(b))
+        keep = pc[cls == EXTERIOR]
+        if len(keep) == 0:
+            return empty(POINT)
+        if len(keep) == 1:
+            return point(keep[0, 0], keep[0, 1])
+        return Geometry(MULTIPOINT, parts=[point(x, y) for x, y in keep])
+    raise NotImplementedError("overlay supports point/polygon inputs")
+
+
+def symmetric_difference(a: Geometry, b: Geometry) -> Geometry:
+    """reference: shapely/set_operations.py:247 — (A−B) ⊎ (B−A)."""
+    if a is None or b is None:
+        return None
+    d1 = difference(a, b)
+    d2 = difference(b, a)
+    parts = []
+    for d in (d1, d2):
+        if d is None or d.is_empty:
+            continue
+        if d.type_id == POLYGON:
+            parts.append(d)
+        elif d.type_id == MULTIPOLYGON:
+            parts.extend(d.parts or [])
+    if not parts:
+        return empty(POLYGON)
+    if len(parts) == 1:
+        return parts[0]
+    return multipolygon(parts)
+
+
+def union_all(geoms) -> Geometry:
+    """reference: shapely/set_operations.py:465 — cascaded (tree) union.
+    Pairwise tree fold keeps intermediate results small; inputs are
+    pre-sorted by bbox x so unions merge spatial neighbors first."""
+    gs = [g for g in geoms if g is not None and not g.is_empty]
+    if not gs:
+        return empty(GEOMETRYCOLLECTION)
+    gs = sorted(gs, key=lambda g: float(K.bounds(g)[0]))
+    while len(gs) > 1:
+        nxt = []
+        for i in range(0, len(gs) - 1, 2):
+            nxt.append(union(gs[i], gs[i + 1]))
+        if len(gs) % 2:
+            nxt.append(gs[-1])
+        gs = nxt
+    return gs[0]

@@ -952,3 +952,261 @@ def events_sessionize(spark, sf_dir):
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .orderBy("user_id", "session_no")
     )
+
+
+# ---------------------------------------------------------------------------
+# set operations / overlay (reference: shapely/set_operations.py §2.5) —
+# box pairs derived from part keys so DuckDB can verify every area in
+# closed form (axis-aligned boxes: intersection/union/difference/xor areas
+# are min/max arithmetic).
+# ---------------------------------------------------------------------------
+
+_BOX_PAIR_SQL = """
+SELECT p_partkey AS gid,
+       CAST(p_partkey % 50 AS DOUBLE) AS x1,
+       CAST(p_partkey % 30 AS DOUBLE) AS y1,
+       CAST(2 + p_partkey % 5 AS DOUBLE) AS w1,
+       CAST(2 + p_partkey % 4 AS DOUBLE) AS h1,
+       CAST(p_partkey % 50 + p_partkey % 7 - 3 AS DOUBLE) AS x2,
+       CAST(p_partkey % 30 + p_partkey % 9 - 4 AS DOUBLE) AS y2,
+       CAST(1 + p_partkey % 6 AS DOUBLE) AS w2,
+       CAST(1 + p_partkey % 3 AS DOUBLE) AS h2
+FROM part
+"""
+
+_BOX_IX = "greatest(0.0, least(x1 + w1, x2 + w2) - greatest(x1, x2))"
+_BOX_IY = "greatest(0.0, least(y1 + h1, y2 + h2) - greatest(y1, y2))"
+
+
+def _box_pairs(spark, sf_dir) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return p.select(
+        k.alias("gid"),
+        (k % 50).cast("double").alias("x1"),
+        (k % 30).cast("double").alias("y1"),
+        (2 + k % 5).cast("double").alias("w1"),
+        (2 + k % 4).cast("double").alias("h1"),
+        (k % 50 + k % 7 - 3).cast("double").alias("x2"),
+        (k % 30 + k % 9 - 4).cast("double").alias("y2"),
+        (1 + k % 6).cast("double").alias("w2"),
+        (1 + k % 3).cast("double").alias("h2"),
+    )
+
+
+def _overlay_area_query(spark, sf_dir, op_name: str, col_name: str) -> DataFrame:
+    pairs = _box_pairs(spark, sf_dir)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo import overlay as O
+        from .geo.geom import box
+
+        op = getattr(O, op_name)
+        for pdf in batches:
+            vals = []
+            for x1, y1, w1, h1, x2, y2, w2, h2 in zip(
+                pdf.x1, pdf.y1, pdf.w1, pdf.h1, pdf.x2, pdf.y2, pdf.w2, pdf.h2
+            ):
+                a = box(x1, y1, x1 + w1, y1 + h1)
+                b = box(x2, y2, x2 + w2, y2 + h2)
+                vals.append(K.area(op(a, b)))
+            yield pd.DataFrame({"gid": pdf.gid, col_name: np.round(vals, 6)})
+
+    return pairs.mapInPandas(gen, f"gid long, {col_name} double").orderBy("gid")
+
+
+@q(
+    "overlay_intersection_area",
+    f"""
+    WITH p AS ({_BOX_PAIR_SQL})
+    SELECT gid, round({_BOX_IX} * {_BOX_IY}, 6) AS inter_area
+    FROM p ORDER BY gid
+    """,
+)
+def overlay_intersection_area(spark, sf_dir):
+    """Boolean intersection of box pairs (reference:
+    shapely/set_operations.py:114) vs DuckDB min/max closed form."""
+    return _overlay_area_query(spark, sf_dir, "intersection", "inter_area")
+
+
+@q(
+    "overlay_union_area",
+    f"""
+    WITH p AS ({_BOX_PAIR_SQL})
+    SELECT gid, round(w1 * h1 + w2 * h2 - {_BOX_IX} * {_BOX_IY}, 6) AS union_area
+    FROM p ORDER BY gid
+    """,
+)
+def overlay_union_area(spark, sf_dir):
+    """Boolean union (reference: shapely/set_operations.py:395)."""
+    return _overlay_area_query(spark, sf_dir, "union", "union_area")
+
+
+@q(
+    "overlay_difference_area",
+    f"""
+    WITH p AS ({_BOX_PAIR_SQL})
+    SELECT gid, round(w1 * h1 - {_BOX_IX} * {_BOX_IY}, 6) AS diff_area
+    FROM p ORDER BY gid
+    """,
+)
+def overlay_difference_area(spark, sf_dir):
+    """Boolean difference (reference: shapely/set_operations.py:41)."""
+    return _overlay_area_query(spark, sf_dir, "difference", "diff_area")
+
+
+@q(
+    "overlay_symdifference_area",
+    f"""
+    WITH p AS ({_BOX_PAIR_SQL})
+    SELECT gid, round(w1 * h1 + w2 * h2 - 2 * ({_BOX_IX} * {_BOX_IY}), 6) AS xor_area
+    FROM p ORDER BY gid
+    """,
+)
+def overlay_symdifference_area(spark, sf_dir):
+    """Symmetric difference (reference: shapely/set_operations.py:247)."""
+    return _overlay_area_query(spark, sf_dir, "symmetric_difference", "xor_area")
+
+
+@q(
+    "dissolve_union_by_key",
+    """
+    SELECT CAST(p_partkey % 25 AS BIGINT) AS region_key,
+           round(sum((2 + p_partkey % 5) * (2.0 + p_partkey % 4)), 6) AS union_area,
+           count(*) AS n_parts
+    FROM part GROUP BY region_key ORDER BY region_key
+    """,
+)
+def dissolve_union_by_key(spark, sf_dir):
+    """Dissolve: groupBy(key) + cascaded union_all (reference:
+    shapely/set_operations.py:465; SURVEY.md §2.9). The boxes within a key
+    are disjoint by construction (x offset stride 10 > max width 7), so the
+    dissolved area equals the DuckDB sum — while the engine still runs the
+    full overlay merge path."""
+    from .spark.overlay_ops import dissolve
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    boxes = p.select(
+        (k % 25).cast("bigint").alias("region_key"),
+        k.alias("gid"),
+        (k / 25).cast("bigint").alias("slot"),
+        (2 + k % 5).cast("double").alias("w"),
+        (2 + k % 4).cast("double").alias("h"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo.geom import box
+        from .geo.wkb import to_wkb
+
+        for pdf in batches:
+            wkbs = [
+                to_wkb(box(10.0 * s, 0.0, 10.0 * s + w, h))
+                for s, w, h in zip(pdf.slot, pdf.w, pdf.h)
+            ]
+            yield pd.DataFrame({"region_key": pdf.region_key, "wkb": wkbs})
+
+    bdf = boxes.mapInPandas(gen, "region_key bigint, wkb binary")
+    d = dissolve(bdf, "region_key")
+
+    def area_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.wkb import from_wkb
+
+        for pdf in batches:
+            areas = [K.area(from_wkb(bytes(b))) for b in pdf.wkb]
+            yield pd.DataFrame(
+                {
+                    "region_key": pdf.region_key,
+                    "union_area": np.round(areas, 6),
+                    "n_parts": pdf.n_parts.astype("int64"),
+                }
+            )
+
+    return d.mapInPandas(area_gen, "region_key bigint, union_area double, n_parts long") \
+        .orderBy("region_key")
+
+
+# ---------------------------------------------------------------------------
+# linear referencing (reference: shapely/linear.py §2.7) — 3-point polyline
+# P0=(cx,cy) → P1=(cx+3,cy) → P2=(cx+3,cy+4); total length 7, so the DuckDB
+# oracle walks the cumulative length in closed form.
+# ---------------------------------------------------------------------------
+
+@q(
+    "line_interpolate_locate",
+    f"""
+    WITH p AS ({_PART_PARAMS_SQL}),
+    d AS (SELECT gid, cx, cy, (gid % 10) / 10.0 * 7.0 AS dist FROM p)
+    SELECT gid,
+           round(CASE WHEN dist <= 3 THEN cx + dist ELSE cx + 3 END, 6) AS ix,
+           round(CASE WHEN dist <= 3 THEN cy ELSE cy + (dist - 3) END, 6) AS iy,
+           round((least(3.0, CAST(gid % 4 AS DOUBLE))) / 7.0, 6) AS locate_frac
+    FROM d ORDER BY gid
+    """,
+)
+def line_interpolate_locate(spark, sf_dir):
+    """line_interpolate_point (shapely/linear.py:26, normalized) and
+    line_locate_point (:78, normalized) on a 2-segment polyline."""
+    params = _part_params(spark, sf_dir)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo.constructive import line_interpolate_point, line_locate_point
+        from .geo.geom import linestring, point
+
+        for pdf in batches:
+            ixs, iys, fracs = [], [], []
+            for gid, cx, cy in zip(pdf.gid, pdf.cx, pdf.cy):
+                line = linestring([(cx, cy), (cx + 3.0, cy), (cx + 3.0, cy + 4.0)])
+                f = (gid % 10) / 10.0
+                ip = line_interpolate_point(line, f, normalized=True)
+                ixs.append(ip.coords[0, 0])
+                iys.append(ip.coords[0, 1])
+                # locate the point (cx + min(3, gid%4), cy): lies on segment 1
+                px = cx + min(3.0, float(gid % 4))
+                fracs.append(line_locate_point(line, point(px, cy), normalized=True))
+            yield pd.DataFrame(
+                {
+                    "gid": pdf.gid,
+                    "ix": np.round(ixs, 6),
+                    "iy": np.round(iys, 6),
+                    "locate_frac": np.round(fracs, 6),
+                }
+            )
+
+    return params.mapInPandas(
+        gen, "gid long, ix double, iy double, locate_frac double"
+    ).orderBy("gid")
+
+
+@q(
+    "point_on_surface_holed",
+    f"""
+    WITH p AS ({_PART_PARAMS_SQL})
+    SELECT gid, 1 AS inside FROM p ORDER BY gid
+    """,
+)
+def point_on_surface_holed(spark, sf_dir):
+    """point_on_surface on a holed box (reference:
+    shapely/constructive.py:822): the representative point must fall in the
+    interior and OUTSIDE the hole — verified by re-testing containment with
+    the predicate kernel, so the oracle is the constant 1."""
+    params = _part_params(spark, sf_dir)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.constructive import point_on_surface
+        from .geo.geom import Geometry, POLYGON, box
+
+        for pdf in batches:
+            ok = []
+            for cx, cy, r in zip(pdf.cx, pdf.cy, pdf.r):
+                outer = box(cx - 2 * r, cy - 2 * r, cx + 2 * r, cy + 2 * r)
+                hole = box(cx - r, cy - r, cx + r, cy + r)
+                holed = Geometry(POLYGON, rings=[outer.rings[0], hole.rings[0][::-1]])
+                p = point_on_surface(holed)
+                ok.append(1 if K.contains(holed, p) else 0)
+            yield pd.DataFrame({"gid": pdf.gid, "inside": pd.Series(ok, dtype="int32")})
+
+    return params.mapInPandas(gen, "gid long, inside int").orderBy("gid")

@@ -188,6 +188,131 @@ def _build() -> dict:
         )
 
 
+    # ---- set operations / overlay (reference: shapely/set_operations.py) ---------
+
+    def _binary_geom(fn):
+        @F.pandas_udf("binary")
+        def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+            out = []
+            for g, h in zip(_geoms(a), _geoms(b)):
+                try:
+                    r = fn(g, h)
+                except NotImplementedError:
+                    r = None
+                out.append(None if r is None else to_wkb(r))
+            return pd.Series(out)
+
+        return udf
+
+    from ..geo import overlay as O
+
+    st_intersection = _binary_geom(O.intersection)
+    st_union = _binary_geom(O.union)
+    st_difference = _binary_geom(O.difference)
+    st_symdifference = _binary_geom(O.symmetric_difference)
+    st_pointonsurface = _unary_geom(C.point_on_surface)
+    st_reverse = _unary_geom(C.reverse)
+
+    # ---- inspection ---------------------------------------------------------------
+
+    @F.pandas_udf("double")
+    def st_x(wkb: pd.Series) -> pd.Series:
+        """reference: shapely/_geometry.py:274 get_x."""
+        return pd.Series(
+            [np.nan if g is None or g.is_empty or g.type_id != 0 else float(g.coords[0, 0])
+             for g in _geoms(wkb)], dtype="float64"
+        )
+
+    @F.pandas_udf("double")
+    def st_y(wkb: pd.Series) -> pd.Series:
+        """reference: shapely/_geometry.py:302 get_y."""
+        return pd.Series(
+            [np.nan if g is None or g.is_empty or g.type_id != 0 else float(g.coords[0, 1])
+             for g in _geoms(wkb)], dtype="float64"
+        )
+
+    @F.pandas_udf("int")
+    def st_numgeometries(wkb: pd.Series) -> pd.Series:
+        """reference: shapely/_geometry.py:790 get_num_geometries."""
+        return pd.Series(
+            [0 if g is None else g.num_geometries() for g in _geoms(wkb)], dtype="int32"
+        )
+
+    @F.pandas_udf("binary")
+    def st_geometryn(wkb: pd.Series, n: pd.Series) -> pd.Series:
+        """reference: shapely/_geometry.py:595 get_geometry (0-based)."""
+        out = []
+        for g, i in zip(_geoms(wkb), n):
+            r = None if g is None else g.get_geometry(int(i))
+            out.append(None if r is None else to_wkb(r))
+        return pd.Series(out)
+
+    # ---- DE-9IM / distance predicates ---------------------------------------------
+
+    @F.pandas_udf("string")
+    def st_relate(a: pd.Series, b: pd.Series) -> pd.Series:
+        """reference: shapely/predicates.py:1194 — 9-char DE-9IM matrix."""
+        return pd.Series(
+            [None if g is None or h is None else K.relate(g, h)
+             for g, h in zip(_geoms(a), _geoms(b))]
+        )
+
+    @F.pandas_udf("boolean")
+    def st_dwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
+        """reference: shapely/predicates.py:1269."""
+        return pd.Series(
+            [g is not None and h is not None and K.dwithin(g, h, float(dd))
+             for g, h, dd in zip(_geoms(a), _geoms(b), d)], dtype="bool"
+        )
+
+    @F.pandas_udf("double")
+    def st_hausdorffdistance(a: pd.Series, b: pd.Series) -> pd.Series:
+        """reference: shapely/measurement.py:200."""
+        return pd.Series(
+            [np.nan if g is None or h is None else K.hausdorff_distance(g, h)
+             for g, h in zip(_geoms(a), _geoms(b))], dtype="float64"
+        )
+
+    # ---- linear referencing (reference: shapely/linear.py) ------------------------
+
+    @F.pandas_udf("binary")
+    def st_lineinterpolatepoint(wkb: pd.Series, frac: pd.Series) -> pd.Series:
+        """reference: shapely/linear.py:26 (normalized=True)."""
+        out = []
+        for g, t in zip(_geoms(wkb), frac):
+            r = None if g is None else C.line_interpolate_point(g, float(t), normalized=True)
+            out.append(None if r is None else to_wkb(r))
+        return pd.Series(out)
+
+    @F.pandas_udf("double")
+    def st_linelocatepoint(wkb: pd.Series, pt: pd.Series) -> pd.Series:
+        """reference: shapely/linear.py:78 (normalized=True)."""
+        return pd.Series(
+            [np.nan if g is None or p is None
+             else C.line_locate_point(g, p, normalized=True)
+             for g, p in zip(_geoms(wkb), _geoms(pt))], dtype="float64"
+        )
+
+    st_linemerge = _unary_geom(C.line_merge)
+
+    @F.pandas_udf("binary")
+    def st_snap(a: pd.Series, b: pd.Series, tol: pd.Series) -> pd.Series:
+        """reference: shapely/constructive.py:1171."""
+        out = []
+        for g, h, t in zip(_geoms(a), _geoms(b), tol):
+            r = None if g is None or h is None else C.snap(g, h, float(t))
+            out.append(None if r is None else to_wkb(r))
+        return pd.Series(out)
+
+    @F.pandas_udf("binary")
+    def st_segmentize(wkb: pd.Series, maxlen: pd.Series) -> pd.Series:
+        """reference: shapely/constructive.py:1070."""
+        out = []
+        for g, m in zip(_geoms(wkb), maxlen):
+            r = None if g is None else C.segmentize(g, float(m))
+            out.append(None if r is None else to_wkb(r))
+        return pd.Series(out)
+
     @F.pandas_udf("int")
     def st_npoints(wkb: pd.Series) -> pd.Series:
         """reference: shapely/_geometry.py:173 get_num_coordinates."""
@@ -233,6 +358,24 @@ def _build() -> dict:
         "st_clip_by_rect": st_clip_by_rect,
         "st_npoints": st_npoints,
         "st_geometrytype": st_geometrytype,
+        "st_intersection": st_intersection,
+        "st_union": st_union,
+        "st_difference": st_difference,
+        "st_symdifference": st_symdifference,
+        "st_pointonsurface": st_pointonsurface,
+        "st_reverse": st_reverse,
+        "st_x": st_x,
+        "st_y": st_y,
+        "st_numgeometries": st_numgeometries,
+        "st_geometryn": st_geometryn,
+        "st_relate": st_relate,
+        "st_dwithin": st_dwithin,
+        "st_hausdorffdistance": st_hausdorffdistance,
+        "st_lineinterpolatepoint": st_lineinterpolatepoint,
+        "st_linelocatepoint": st_linelocatepoint,
+        "st_linemerge": st_linemerge,
+        "st_snap": st_snap,
+        "st_segmentize": st_segmentize,
     }
 
 

@@ -1,0 +1,172 @@
+"""Boolean overlay kernel + Spark dissolve/ST_ surface.
+
+Golden expectations mirror the reference's set-operation semantics
+(shapely/set_operations.py; shapely/tests/test_set_operations.py
+parameterizes ops over the fixture zoo — here pinned with closed-form
+box/L-shape cases where the exact result is known)."""
+
+import numpy as np
+import pytest
+
+from shapely_spark.geo import kernels as K
+from shapely_spark.geo import overlay as O
+from shapely_spark.geo.geom import MULTIPOLYGON, POLYGON, Geometry, box, point, polygon
+
+
+def A(g):
+    return K.area(g)
+
+
+class TestOverlayKernel:
+    def test_partial_overlap(self):
+        a, b = box(0, 0, 2, 2), box(1, 1, 3, 3)
+        assert A(O.intersection(a, b)) == pytest.approx(1.0)
+        assert A(O.union(a, b)) == pytest.approx(7.0)
+        assert A(O.difference(a, b)) == pytest.approx(3.0)
+        assert A(O.symmetric_difference(a, b)) == pytest.approx(6.0)
+
+    def test_identical(self):
+        a = box(0, 0, 2, 2)
+        assert A(O.intersection(a, a)) == pytest.approx(4.0)
+        assert A(O.union(a, a)) == pytest.approx(4.0)
+        assert O.difference(a, a).is_empty
+        assert O.symmetric_difference(a, a).is_empty
+
+    def test_disjoint(self):
+        a, c = box(0, 0, 2, 2), box(10, 10, 11, 11)
+        assert O.intersection(a, c).is_empty
+        u = O.union(a, c)
+        assert A(u) == pytest.approx(5.0)
+        assert u.type_id == MULTIPOLYGON
+        assert A(O.difference(a, c)) == pytest.approx(4.0)
+
+    def test_contained(self):
+        big, small = box(0, 0, 4, 4), box(1, 1, 2, 2)
+        assert A(O.intersection(big, small)) == pytest.approx(1.0)
+        assert A(O.union(big, small)) == pytest.approx(16.0)
+        d = O.difference(big, small)
+        assert A(d) == pytest.approx(15.0)
+        assert len(d.rings) == 2  # shell + hole
+
+    def test_hole_roundtrip(self):
+        holed = O.difference(box(0, 0, 4, 4), box(1, 1, 2, 2))
+        back = O.union(holed, box(1, 1, 2, 2))
+        assert A(back) == pytest.approx(16.0)
+        assert len(back.rings) == 1
+
+    def test_holed_intersection_excludes_hole(self):
+        holed = O.difference(box(0, 0, 4, 4), box(1, 1, 2, 2))
+        i = O.intersection(holed, box(0.5, 0.5, 2.5, 2.5))
+        assert A(i) == pytest.approx(3.0)  # 2x2 window minus 1x1 hole
+
+    def test_concave(self):
+        L = polygon([(0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (0, 3)])
+        assert A(O.intersection(L, box(0.5, 0.5, 2.5, 2.5))) == pytest.approx(1.75)
+
+    def test_edge_adjacent_union_merges(self):
+        u = O.union(box(0, 0, 2, 2), box(2, 0, 4, 2))
+        assert A(u) == pytest.approx(8.0)
+        assert u.type_id == POLYGON  # merged into one rectangle
+
+    def test_corner_touch_union_is_multipolygon(self):
+        u = O.union(box(0, 0, 2, 2), box(2, 2, 3, 3))
+        assert A(u) == pytest.approx(5.0)
+        assert u.type_id == MULTIPOLYGON
+
+    def test_island_in_lake(self):
+        lake = O.difference(box(0, 0, 10, 10), box(2, 2, 8, 8))
+        w = O.union(lake, box(4, 4, 6, 6))
+        assert A(w) == pytest.approx(68.0)
+
+    def test_multipolygon_input(self):
+        mp = O.union(box(0, 0, 1, 1), box(5, 0, 6, 1))  # 2 parts
+        i = O.intersection(mp, box(0.5, 0, 5.5, 1))
+        assert A(i) == pytest.approx(1.0)  # 0.5 from each part
+
+    def test_point_polygon(self):
+        a = box(0, 0, 2, 2)
+        assert not O.intersection(point(1, 1), a).is_empty
+        assert O.intersection(point(5, 5), a).is_empty
+        assert O.difference(point(5, 5), a).coords[0, 0] == 5
+
+    def test_empty_and_none(self):
+        from shapely_spark.geo.geom import empty
+
+        a = box(0, 0, 1, 1)
+        assert O.intersection(a, empty(POLYGON)).is_empty
+        assert A(O.union(a, empty(POLYGON))) == pytest.approx(1.0)
+        assert O.union(None, a) is a
+        assert O.intersection(None, a) is None
+
+    def test_union_all_chain(self):
+        parts = [box(i, 0, i + 1.5, 1) for i in range(5)]
+        assert A(O.union_all(parts)) == pytest.approx(5.5)
+
+    def test_union_all_grid_with_overlap(self):
+        # 3x3 grid of 2x2 boxes with 1.0 overlap: spans 0..4 → area 16
+        parts = [box(i, j, i + 2, j + 2) for i in range(3) for j in range(3)]
+        assert A(O.union_all(parts)) == pytest.approx(16.0)
+
+    def test_triangle_box(self):
+        tri = polygon([(0, 0), (4, 0), (0, 4)])
+        i = O.intersection(tri, box(0, 0, 2, 2))
+        # square minus the corner cut by the hypotenuse x+y=4: corner above
+        # line only at (2,2): area = 4 (whole box inside triangle? points
+        # (2,2): x+y=4 on boundary) → box entirely within closed triangle
+        assert A(i) == pytest.approx(4.0)
+        i2 = O.intersection(tri, box(1, 1, 3, 3))
+        # box [1,3]² clipped by x+y<=4: area = 4 - 2 = 2
+        assert A(i2) == pytest.approx(2.0)
+
+
+class TestOverlaySpark:
+    def test_st_overlay_functions(self, spark):
+        from shapely_spark.geo.wkb import from_wkb, to_wkb
+        from shapely_spark.spark.geometry_cols import get_functions
+
+        fns = get_functions()
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        rows = pd.DataFrame(
+            {
+                "a": [to_wkb(box(0, 0, 2, 2))],
+                "b": [to_wkb(box(1, 1, 3, 3))],
+            }
+        )
+        df = spark.createDataFrame(rows, "a binary, b binary")
+        out = df.select(
+            fns["st_area"](fns["st_intersection"]("a", "b")).alias("ia"),
+            fns["st_area"](fns["st_union"]("a", "b")).alias("ua"),
+            fns["st_area"](fns["st_difference"]("a", "b")).alias("da"),
+            fns["st_area"](fns["st_symdifference"]("a", "b")).alias("xa"),
+        ).collect()[0]
+        assert out.ia == pytest.approx(1.0)
+        assert out.ua == pytest.approx(7.0)
+        assert out.da == pytest.approx(3.0)
+        assert out.xa == pytest.approx(6.0)
+
+    def test_dissolve(self, spark):
+        import pandas as pd
+
+        from shapely_spark.geo.wkb import from_wkb, to_wkb
+        from shapely_spark.spark.overlay_ops import dissolve, dissolve_two_level
+
+        # key 0: overlapping chain (area 5.5); key 1: disjoint pair (area 2)
+        rows = [(0, to_wkb(box(i, 0, i + 1.5, 1))) for i in range(5)]
+        rows += [(1, to_wkb(box(0, 0, 1, 1))), (1, to_wkb(box(5, 0, 6, 1)))]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "wkb"]),
+                                   "k bigint, wkb binary")
+        for op in (dissolve, dissolve_two_level):
+            got = {r.k: (K.area(from_wkb(bytes(r.wkb))), r.n_parts)
+                   for r in op(df, "k").collect()}
+            assert got[0][0] == pytest.approx(5.5)
+            assert got[1][0] == pytest.approx(2.0)
+            assert got[0][1] == 5 if op is dissolve else True
+
+    def test_point_on_surface_kernel(self):
+        from shapely_spark.geo.constructive import point_on_surface
+
+        holed = O.difference(box(0, 0, 10, 10), box(3, 0.5, 7, 9.5))
+        p = point_on_surface(holed)
+        assert K.contains(holed, p)
