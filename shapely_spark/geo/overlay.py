@@ -448,3 +448,114 @@ def union_all(geoms) -> Geometry:
             nxt.append(gs[-1])
         gs = nxt
     return gs[0]
+
+
+# ---------------------------------------------------------------------------
+# planar face extraction: polygonize / build_area / make_valid
+# ---------------------------------------------------------------------------
+
+def _face_rings(segments: np.ndarray, tol: float) -> list[np.ndarray]:
+    """Node a soup of undirected segments against itself, emit each as two
+    directed half-edges, and walk faces to the left. Every bounded face
+    comes out exactly once as a CCW ring (the unbounded face walks CW and
+    is dropped by the caller)."""
+    if len(segments) == 0:
+        return []
+    params = _split_params(segments, segments, tol)
+    frags = _fragments(segments, params)
+    # dedupe identical fragments (shared boundaries contribute twice)
+    key = np.round(frags / max(tol, 1e-12)).astype(np.int64)
+    swap = (key[:, 0] > key[:, 2]) | ((key[:, 0] == key[:, 2]) & (key[:, 1] > key[:, 3]))
+    a = np.where(swap[:, None], key[:, 2:], key[:, :2])
+    b = np.where(swap[:, None], key[:, :2], key[:, 2:])
+    undirected = np.concatenate([a, b], axis=1)
+    _, uniq_idx = np.unique(undirected, axis=0, return_index=True)
+    frags = frags[np.sort(uniq_idx)]
+    both = np.concatenate([frags, frags[:, [2, 3, 0, 1]]], axis=0)
+    return _stitch(both, max(tol, 1e-11))
+
+
+def polygonize(lines) -> Geometry:
+    """Lines → maximal planar faces (reference: shapely/constructive.py:884;
+    ops.py:44 polygonize). Returns a GeometryCollection of polygons, like
+    the reference's collection output."""
+    segs = []
+    for g in lines:
+        if g is None or g.is_empty:
+            continue
+        for c in g.coord_seqs():
+            c2 = np.asarray(c)[:, :2]
+            if len(c2) >= 2:
+                segs.append(np.column_stack([c2[:-1], c2[1:]]))
+    if not segs:
+        return empty(GEOMETRYCOLLECTION)
+    segments = np.concatenate(segs, axis=0)
+    span = max(1.0, float(np.abs(segments).max()))
+    tol = span * 1e-10
+    rings = _face_rings(segments, tol)
+    polys = []
+    for r in rings:
+        a = signed_ring_area(r)
+        if a > tol * tol * 100:  # CCW bounded faces only
+            polys.append(Geometry(POLYGON, rings=[r]))
+    return Geometry(GEOMETRYCOLLECTION, parts=polys)
+
+
+def build_area(geom: Geometry) -> Geometry:
+    """Form polygons from the constituent linework of the input, holes
+    subtracted by even-odd face depth (reference: shapely/constructive.py:654
+    GEOSBuildArea). Faces covered an odd number of times become area."""
+    if geom is None or geom.is_empty:
+        return empty(POLYGON)
+    faces = polygonize([geom])
+    polys = [p for p in (faces.parts or [])]
+    if not polys:
+        return empty(POLYGON)
+    # classify each face's interior point against every face ring: depth =
+    # number of OTHER faces containing it; odd total coverage (incl. itself)
+    # at even depth → keep as shell, odd depth → hole boundary
+    from .constructive import point_on_surface
+
+    reps = [point_on_surface(p).coords[0] for p in polys]
+    keep_shell, holes = [], []
+    for i, p in enumerate(polys):
+        depth = 0
+        for j, q in enumerate(polys):
+            if i == j:
+                continue
+            cls = K.points_in_rings_class(
+                np.array([reps[i][0]]), np.array([reps[i][1]]), q.rings
+            )[0]
+            if cls == INTERIOR:
+                depth += 1
+        if depth % 2 == 0:
+            keep_shell.append(p)
+        else:
+            holes.append(p)
+    if not keep_shell:
+        return empty(POLYGON)
+    out = []
+    for p in keep_shell:
+        rings = list(p.rings)
+        for h in holes:
+            hx, hy = h.rings[0][0]
+            if K.points_in_rings_class(np.array([hx]), np.array([hy]), p.rings)[0] >= BOUNDARY:
+                rings.append(h.rings[0][::-1])
+        out.append(Geometry(POLYGON, rings=rings))
+    if len(out) == 1:
+        return out[0]
+    return multipolygon(out)
+
+
+def make_valid(geom: Geometry) -> Geometry:
+    """Repair invalid polygons (self-intersections, bowties) by re-building
+    area from the noded linework (reference: shapely/validation.py:30
+    make_valid(method='linework' behavior for polygons)). Valid inputs pass
+    through structurally unchanged (same area)."""
+    if geom is None or geom.is_empty:
+        return geom
+    if geom.type_id not in (POLYGON, MULTIPOLYGON):
+        return geom
+    if K.is_valid(geom):
+        return geom
+    return build_area(geom)

@@ -1210,3 +1210,155 @@ def point_on_surface_holed(spark, sf_dir):
             yield pd.DataFrame({"gid": pdf.gid, "inside": pd.Series(ok, dtype="int32")})
 
     return params.mapInPandas(gen, "gid long, inside int").orderBy("gid")
+
+
+# ---------------------------------------------------------------------------
+# explode / collect (reference: shapely/_geometry.py:646 get_parts,
+# shapely/coordinates.py:324 get_coordinates, shapely/creation.py indices=
+# grouped creation — SURVEY.md §2.8)
+# ---------------------------------------------------------------------------
+
+@q(
+    "explode_coordinates_ngon",
+    f"""
+    WITH p AS ({_PART_PARAMS_SQL})
+    SELECT gid, n + 1 AS n_coords,
+           round(n * cx + cx + r, 6) AS sum_x,
+           round((n + 1) * cy, 6) AS sum_y
+    FROM p ORDER BY gid
+    """,
+)
+def explode_coordinates_ngon(spark, sf_dir):
+    """get_coordinates explode → per-geometry aggregate. The regular n-gon
+    ring makes the coordinate sums closed-form: the n roots of unity sum to
+    zero, so sum(x) = n·cx + (closing vertex cx + r), sum(y) = (n+1)·cy."""
+    from .spark.parts import get_coordinates_df
+
+    params = _part_params(spark, sf_dir)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo.geom import regular_ngon
+        from .geo.wkb import to_wkb
+
+        for pdf in batches:
+            wkbs = [
+                to_wkb(regular_ngon(cx, cy, r, int(n)))
+                for cx, cy, r, n in zip(pdf.cx, pdf.cy, pdf.r, pdf.n)
+            ]
+            yield pd.DataFrame({"gid": pdf.gid, "wkb": wkbs})
+
+    geoms = params.mapInPandas(gen, "gid long, wkb binary")
+    coords = get_coordinates_df(geoms, "gid")
+    return (
+        coords.groupBy("gid")
+        .agg(
+            F.count("*").cast("int").alias("n_coords"),
+            F.round(F.sum("x"), 6).alias("sum_x"),
+            F.round(F.sum("y"), 6).alias("sum_y"),
+        )
+        .orderBy("gid")
+    )
+
+
+@q(
+    "explode_multipolygon_parts",
+    """
+    SELECT p_partkey AS gid, CAST(p_partkey % 3 + 1 AS INT) AS n_parts,
+           round((p_partkey % 3 + 1) * (1.0 + p_partkey % 4), 6) AS total_area
+    FROM part ORDER BY gid
+    """,
+)
+def explode_multipolygon_parts(spark, sf_dir):
+    """get_parts explode on multipolygons: (p%3+1) disjoint unit-height
+    boxes of width (1 + p%4) at x-stride 10 — part count and summed area
+    are closed-form."""
+    from .spark.parts import get_parts_df
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = p.select(
+        k.alias("gid"),
+        (k % 3 + 1).cast("int").alias("nparts"),
+        (1.0 + k % 4).cast("double").alias("w"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo.geom import box, multipolygon
+        from .geo.wkb import to_wkb
+
+        for pdf in batches:
+            wkbs = [
+                to_wkb(multipolygon([box(10.0 * j, 0.0, 10.0 * j + w, 1.0)
+                                     for j in range(int(np_))]))
+                for np_, w in zip(pdf.nparts, pdf.w)
+            ]
+            yield pd.DataFrame({"gid": pdf.gid, "wkb": wkbs})
+
+    geoms = params.mapInPandas(gen, "gid long, wkb binary")
+    parts = get_parts_df(geoms, "gid")
+
+    def area_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.wkb import from_wkb
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"gid": pdf.gid, "area": [K.area(from_wkb(bytes(b))) for b in pdf.wkb]}
+            )
+
+    areas = parts.mapInPandas(area_gen, "gid long, area double")
+    return (
+        areas.groupBy("gid")
+        .agg(F.count("*").cast("int").alias("n_parts"),
+             F.round(F.sum("area"), 6).alias("total_area"))
+        .orderBy("gid")
+    )
+
+
+@q(
+    "collect_multipoint_bounds",
+    """
+    WITH pts AS (
+      SELECT CAST(o_custkey % 20 AS BIGINT) AS grp,
+             (o_orderkey * 37 % 360000) / 1000.0 - 180.0 AS lon,
+             ((o_custkey * 7919 + o_orderkey) % 170000) / 1000.0 - 85.0 AS lat
+      FROM orders
+    )
+    SELECT grp, CAST(count(*) AS INT) AS n_points,
+           round(min(lon), 6) AS xmin, round(min(lat), 6) AS ymin,
+           round(max(lon), 6) AS xmax, round(max(lat), 6) AS ymax
+    FROM pts GROUP BY grp ORDER BY grp
+    """,
+)
+def collect_multipoint_bounds(spark, sf_dir):
+    """Grouped collect (creation.py indices= semantics): assemble each
+    group's points into a MULTIPOINT geometry, then take its bounds — the
+    oracle checks the group min/max directly."""
+    from .spark.parts import collect_multipoints
+
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        (F.col("o_custkey") % 20).cast("bigint").alias("grp"),
+        ((F.col("o_orderkey") * 37 % 360000) / 1000.0 - 180.0).alias("x"),
+        (((F.col("o_custkey") * 7919 + F.col("o_orderkey")) % 170000) / 1000.0 - 85.0).alias("y"),
+    )
+    mp = collect_multipoints(pts, "grp")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.wkb import from_wkb
+
+        for pdf in batches:
+            rows = []
+            for grp, b, n in zip(pdf.grp, pdf.wkb, pdf.n_points):
+                g = from_wkb(bytes(b))
+                bb = K.bounds(g)
+                rows.append((grp, int(n), round(bb[0], 6), round(bb[1], 6),
+                             round(bb[2], 6), round(bb[3], 6)))
+            yield pd.DataFrame(
+                rows, columns=["grp", "n_points", "xmin", "ymin", "xmax", "ymax"]
+            ).astype({"n_points": "int32"})
+
+    return mp.mapInPandas(
+        gen, "grp bigint, n_points int, xmin double, ymin double, xmax double, ymax double"
+    ).orderBy("grp")

@@ -212,6 +212,11 @@ def _build() -> dict:
     st_symdifference = _binary_geom(O.symmetric_difference)
     st_pointonsurface = _unary_geom(C.point_on_surface)
     st_reverse = _unary_geom(C.reverse)
+    # reference: shapely/validation.py:30 make_valid; constructive.py:654
+    # build_area; :884 polygonize (per-row over a (multi)linestring)
+    st_makevalid = _unary_geom(O.make_valid)
+    st_buildarea = _unary_geom(O.build_area)
+    st_polygonize = _unary_geom(lambda g: O.polygonize([g]))
 
     # ---- inspection ---------------------------------------------------------------
 
@@ -364,6 +369,9 @@ def _build() -> dict:
         "st_symdifference": st_symdifference,
         "st_pointonsurface": st_pointonsurface,
         "st_reverse": st_reverse,
+        "st_makevalid": st_makevalid,
+        "st_buildarea": st_buildarea,
+        "st_polygonize": st_polygonize,
         "st_x": st_x,
         "st_y": st_y,
         "st_numgeometries": st_numgeometries,

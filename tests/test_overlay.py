@@ -170,3 +170,44 @@ class TestOverlaySpark:
         holed = O.difference(box(0, 0, 10, 10), box(3, 0.5, 7, 9.5))
         p = point_on_surface(holed)
         assert K.contains(holed, p)
+
+
+class TestPlanarFaces:
+    def test_polygonize_grid(self):
+        from shapely_spark.geo.geom import linestring
+
+        lines = [linestring([(i, 0), (i, 2)]) for i in range(3)]
+        lines += [linestring([(0, j), (2, j)]) for j in range(3)]
+        fc = O.polygonize(lines)
+        assert len(fc.parts) == 4
+        assert sorted(round(A(p), 9) for p in fc.parts) == [1.0] * 4
+
+    def test_polygonize_ignores_dangles(self):
+        from shapely_spark.geo.geom import linestring
+
+        lines = [linestring([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]),
+                 linestring([(5, 5), (6, 6)])]
+        fc = O.polygonize(lines)
+        assert len(fc.parts) == 1
+        assert A(fc.parts[0]) == pytest.approx(1.0)
+
+    def test_build_area_holed(self):
+        from shapely_spark.geo.geom import geometrycollection
+
+        ba = O.build_area(geometrycollection([box(0, 0, 4, 4), box(1, 1, 2, 2)]))
+        assert A(ba) == pytest.approx(15.0)
+        assert len(ba.rings) == 2
+
+    def test_make_valid_bowtie(self):
+        bow = Geometry(
+            POLYGON,
+            rings=[np.array([[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]], dtype=float)],
+        )
+        assert not K.is_valid(bow)
+        mv = O.make_valid(bow)
+        assert A(mv) == pytest.approx(2.0)
+        assert mv.type_id == MULTIPOLYGON
+
+    def test_make_valid_passthrough(self):
+        g = box(0, 0, 1, 1)
+        assert O.make_valid(g) is g
