@@ -109,6 +109,7 @@ def run_headline(spark, n_pages: int, n_regions: int, times: dict, extras: dict,
     # ---- warmup (untimed): same plan shapes on the small slice ------------
     wpages = slim(warm_path).cache()
     wpages.count()
+    slim(warm_path).where(F.col("cell_id") >= 0).count()
     with_geo(spark.read.parquet(warm_path)).where(
         F.length("extracted_text") > 0).count()
     spatial_join(wpages, rdf, predicate="intersects").count()
@@ -117,10 +118,14 @@ def run_headline(spark, n_pages: int, n_regions: int, times: dict, extras: dict,
     wpages.unpersist()
 
     # ---- timed: steady state ---------------------------------------------
-    # pipeline timing: full scan→extract→cell job (no cache), repeated
-    n = timed("pages_pipeline", lambda: slim(pages_path).count())
+    # pipeline timing: full scan→extract→cell job, repeated. The filter on
+    # cell_id forces the whole extract chain to evaluate — a bare count()
+    # would be answered from parquet footer row counts.
+    n_geo = timed("pages_pipeline",
+                  lambda: slim(pages_path).where(F.col("cell_id") >= 0).count())
+    extras["pages_rows_geotagged"] = n_geo
     pages = slim(pages_path).cache()
-    pages.count()
+    n = pages.count()
     extras["pages_rows"] = n
     extras["pages_rows_per_sec"] = round(n / times["pages_pipeline"], 1)
 

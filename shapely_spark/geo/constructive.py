@@ -1046,3 +1046,160 @@ def point_on_surface(geom: Geometry | None) -> Geometry | None:
         return make_point(rings[0][0, 0], rings[0][0, 1])
     # collections: first part
     return point_on_surface((geom.parts or [None])[0])
+
+
+# ---------------------------------------------------------------------------
+# canonical form + clearance (reference: shapely/constructive.py:794
+# normalize; measurement.py:289 minimum_clearance; ops.py:287 shortest_line)
+# ---------------------------------------------------------------------------
+
+def _coords_key(g: Geometry) -> tuple:
+    return tuple(map(tuple, np.asarray(g.all_coords())[:, :2]))
+
+
+def normalize(geom: Geometry | None) -> Geometry | None:
+    """GEOS strict canonical form (reference: shapely/constructive.py:794;
+    golden: tests/test_constructive.py test_normalize — MultiLineString
+    parts sort DESCENDING, lines flip so the smaller endpoint comes first;
+    doc example constructive.py:523 pins shells CW starting at the min
+    vertex). Used with equals_exact for output comparison."""
+    from .geom import (
+        GEOMETRYCOLLECTION,
+        LINEARRING,
+        LINESTRING,
+        MULTILINESTRING,
+        MULTIPOINT,
+        MULTIPOLYGON,
+    )
+
+    if geom is None or geom.is_empty:
+        return geom
+    tid = geom.type_id
+    if tid == POINT:
+        return geom
+    if tid in (LINESTRING, LINEARRING):
+        c = np.asarray(geom.coords)
+        if len(c) >= 2 and tuple(c[0][:2]) > tuple(c[-1][:2]):
+            c = c[::-1]
+        return Geometry(tid, coords=c, has_z=geom.has_z, has_m=geom.has_m)
+    if tid == POLYGON:
+        rings = []
+        for i, r in enumerate(geom.rings or []):
+            c = np.asarray(r, dtype=np.float64)
+            if len(c) < 2:
+                rings.append(c)
+                continue
+            open_ = c[:-1]
+            start = int(np.lexsort((open_[:, 1], open_[:, 0]))[0])
+            open_ = np.roll(open_, -start, axis=0)
+            c = np.vstack([open_, open_[:1]])
+            a = signed_ring_area(c)
+            want_cw = i == 0  # shell CW, holes CCW (GEOS canonical form)
+            if (a < 0) != want_cw and a != 0:
+                open_r = c[:-1][::-1]
+                start = int(np.lexsort((open_r[:, 1], open_r[:, 0]))[0])
+                open_r = np.roll(open_r, -start, axis=0)
+                c = np.vstack([open_r, open_r[:1]])
+            rings.append(c)
+        return Geometry(POLYGON, rings=rings)
+    if tid in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        parts = [normalize(p) for p in (geom.parts or [])]
+        parts.sort(key=_coords_key, reverse=True)  # descending (GEOS order)
+        return Geometry(tid, parts=parts)
+    return geom
+
+
+def shortest_line(a: Geometry | None, b: Geometry | None) -> Geometry | None:
+    """The segment between the nearest points of a and b (reference:
+    shapely/ops.py:287 shortest_line / linear.py:206)."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return None
+    pa, pb = nearest_points(a, b)
+    return Geometry(
+        LINESTRING,
+        coords=np.array([[pa.coords[0, 0], pa.coords[0, 1]],
+                         [pb.coords[0, 0], pb.coords[0, 1]]]),
+    )
+
+
+def minimum_clearance(geom: Geometry | None) -> float:
+    """Smallest vertex-to-nonadjacent-edge / vertex-to-vertex distance —
+    the largest amount the geometry's vertices can move before it becomes
+    invalid (reference: shapely/measurement.py:289, GEOSMinimumClearance).
+    inf for degenerate inputs (reference returns inf for points)."""
+    from . import kernels as K
+
+    if geom is None or geom.is_empty:
+        return math.inf
+    best = math.inf
+    for c in geom.coord_seqs():
+        c2 = np.asarray(c)[:, :2]
+        n = len(c2)
+        if n < 2:
+            continue
+        closed = bool(np.all(c2[0] == c2[-1]))
+        pts = c2[:-1] if closed else c2
+        m = len(pts)
+        # vertex-vertex distances (distinct vertices)
+        d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+        iu = np.triu_indices(m, k=1)
+        vv = d2[iu]
+        vv = vv[vv > 0]
+        if len(vv):
+            best = min(best, float(np.sqrt(vv.min())))
+        # vertex-to-nonadjacent-edge
+        segs = np.column_stack([c2[:-1], c2[1:]])
+        for vi in range(m):
+            px, py = pts[vi]
+            dd = K._seg_point_dist2(px, py, segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3])
+            # mask out the (up to two) edges incident to this vertex
+            for ei in range(len(segs)):
+                p1 = segs[ei, 0:2]
+                p2 = segs[ei, 2:4]
+                if np.all(p1 == pts[vi]) or np.all(p2 == pts[vi]):
+                    dd[ei] = np.inf
+            if np.isfinite(dd).any():
+                best = min(best, float(np.sqrt(np.nanmin(np.where(np.isfinite(dd), dd, np.nan)))))
+    return best
+
+
+# ---------------------------------------------------------------------------
+# *_all reduces (reference: shapely/set_operations.py:182 intersection_all,
+# :315 symmetric_difference_all, :560 coverage_union_all)
+# ---------------------------------------------------------------------------
+
+def intersection_all(geoms) -> Geometry:
+    """Fold of intersection (reference: shapely/set_operations.py:182)."""
+    from . import overlay as O
+
+    gs = [g for g in geoms if g is not None]
+    if not gs:
+        return empty(GEOMETRYCOLLECTION)
+    acc = gs[0]
+    for g in gs[1:]:
+        if acc.is_empty:
+            return acc
+        acc = O.intersection(acc, g)
+    return acc
+
+
+def symmetric_difference_all(geoms) -> Geometry:
+    """Fold of symmetric_difference (reference: set_operations.py:315)."""
+    from . import overlay as O
+
+    gs = [g for g in geoms if g is not None]
+    if not gs:
+        return empty(GEOMETRYCOLLECTION)
+    acc = gs[0]
+    for g in gs[1:]:
+        acc = O.symmetric_difference(acc, g)
+    return acc
+
+
+def coverage_union_all(geoms) -> Geometry:
+    """Union of non-overlapping coverage polygons (reference:
+    set_operations.py:609). Shares the overlay union path — the
+    non-overlap assumption just makes every fragment exterior."""
+    from . import overlay as O
+
+    return O.union_all(geoms)

@@ -559,3 +559,118 @@ def make_valid(geom: Geometry) -> Geometry:
     if K.is_valid(geom):
         return geom
     return build_area(geom)
+
+
+# ---------------------------------------------------------------------------
+# split / shared_paths (reference: shapely/ops.py:311 SplitOp,
+# shapely/linear.py:172 shared_paths)
+# ---------------------------------------------------------------------------
+
+def split(geom: Geometry, splitter: Geometry) -> Geometry:
+    """Split geom by splitter (reference: shapely/ops.py:311): polygon by
+    line → faces of the noded linework classified inside the polygon;
+    line by line/point → fragments between intersection points. Returns a
+    GeometryCollection (reference always returns a collection)."""
+    from .geom import LINESTRING, MULTILINESTRING, MULTIPOINT
+
+    if geom is None or geom.is_empty:
+        return Geometry(GEOMETRYCOLLECTION, parts=[])
+    if geom.type_id in (POLYGON, MULTIPOLYGON):
+        # polygon by line: polygonize(boundary ∪ splitter), keep faces
+        # whose interior point is inside the original polygon
+        faces = polygonize([geom, splitter])
+        rings_src = _poly_rings_oriented(geom)
+        kept = []
+        from .constructive import point_on_surface
+
+        for p in (faces.parts or []):
+            rp = point_on_surface(p).coords[0]
+            cls = K.points_in_rings_class(
+                np.array([rp[0]]), np.array([rp[1]]), rings_src
+            )[0]
+            if cls == INTERIOR:
+                kept.append(p)
+        return Geometry(GEOMETRYCOLLECTION, parts=kept)
+    if geom.type_id in (LINESTRING, MULTILINESTRING):
+        out = []
+        line_list = [geom] if geom.type_id == LINESTRING else list(geom.parts or [])
+        for line in line_list:
+            c = np.asarray(line.coords)[:, :2]
+            if len(c) < 2:
+                continue
+            edges = np.column_stack([c[:-1], c[1:]])
+            if splitter.type_id in (POINT, MULTIPOINT):
+                pts = (
+                    splitter.coords
+                    if splitter.type_id == POINT
+                    else np.concatenate([p.coords for p in splitter.parts or []], axis=0)
+                )
+                # treat each split point as a degenerate segment
+                other = np.column_stack([pts[:, :2], pts[:, :2]])
+            else:
+                other = _edges_of(
+                    [np.asarray(s)[:, :2] for s in splitter.coord_seqs()]
+                    if splitter.type_id not in (POLYGON, MULTIPOLYGON)
+                    else _poly_rings_oriented(splitter)
+                )
+            span = max(1.0, float(np.abs(c).max()))
+            tol = span * 1e-10
+            params = _split_params(edges, other, tol)
+            # walk edges, breaking the polyline at any interior split param
+            pieces, cur = [], [c[0]]
+            for i in range(len(edges)):
+                x1, y1, x2, y2 = edges[i]
+                for t in params[i]:
+                    px, py = x1 + t * (x2 - x1), y1 + t * (y2 - y1)
+                    cur.append([px, py])
+                    pieces.append(np.array(cur))
+                    cur = [[px, py]]
+                cur.append([x2, y2])
+            pieces.append(np.array(cur))
+            out.extend(
+                Geometry(LINESTRING, coords=p) for p in pieces if len(p) >= 2
+            )
+        return Geometry(GEOMETRYCOLLECTION, parts=out)
+    raise NotImplementedError("split supports (multi)polygon and (multi)linestring")
+
+
+def shared_paths(a: Geometry, b: Geometry) -> Geometry:
+    """Collinear shared segments of two lines, grouped by direction
+    (reference: shapely/linear.py:172): GEOMETRYCOLLECTION(
+    MULTILINESTRING same-direction, MULTILINESTRING opposite)."""
+    from .geom import LINESTRING, MULTILINESTRING
+
+    ea = _edges_of([np.asarray(s)[:, :2] for s in a.coord_seqs()])
+    eb = _edges_of([np.asarray(s)[:, :2] for s in b.coord_seqs()])
+    span = max(1.0, float(np.abs(ea).max()) if len(ea) else 1.0)
+    tol = span * 1e-10
+    fa = _fragments(ea, _split_params(ea, eb, tol))
+    same, opp = [], []
+    if len(fa) and len(eb):
+        mx = (fa[:, 0] + fa[:, 2]) / 2.0
+        my = (fa[:, 1] + fa[:, 3]) / 2.0
+        onb = K.points_on_segments(mx, my, eb, eps=tol)
+        dxa = fa[:, 2] - fa[:, 0]
+        dya = fa[:, 3] - fa[:, 1]
+        for i in np.nonzero(onb)[0]:
+            # find a collinear b-edge containing the midpoint to compare
+            # direction
+            for j in range(len(eb)):
+                x1, y1, x2, y2 = eb[j]
+                cross = (x2 - x1) * (my[i] - y1) - (y2 - y1) * (mx[i] - x1)
+                within = (
+                    min(x1, x2) - tol <= mx[i] <= max(x1, x2) + tol
+                    and min(y1, y2) - tol <= my[i] <= max(y1, y2) + tol
+                )
+                if abs(cross) <= tol * span and within:
+                    dot = dxa[i] * (x2 - x1) + dya[i] * (y2 - y1)
+                    seg = Geometry(LINESTRING, coords=fa[i].reshape(2, 2))
+                    (same if dot > 0 else opp).append(seg)
+                    break
+    return Geometry(
+        GEOMETRYCOLLECTION,
+        parts=[
+            Geometry(MULTILINESTRING, parts=same),
+            Geometry(MULTILINESTRING, parts=opp),
+        ],
+    )

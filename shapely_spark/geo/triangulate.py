@@ -1,0 +1,280 @@
+"""Triangulation & derived constructions — pure NumPy/Python.
+
+Reference semantics: shapely/constructive.py:491 delaunay_triangles, :1270
+voronoi_polygons, algorithms/polylabel.py:7 polylabel, constructive.py:1473
+maximum_inscribed_circle. Independent implementations: Bowyer–Watson for
+Delaunay (O(n²), fine for per-row UDF workloads), half-plane intersection
+for Voronoi cells (robust, no dual bookkeeping), quadtree refinement for
+the pole of inaccessibility.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+
+from . import kernels as K
+from .geom import (
+    GEOMETRYCOLLECTION,
+    LINESTRING,
+    MULTILINESTRING,
+    POLYGON,
+    Geometry,
+    empty,
+    point as make_point,
+)
+
+
+def _unique_points(geom: Geometry, tolerance: float = 0.0) -> np.ndarray:
+    c = np.asarray(geom.all_coords())[:, :2]
+    if len(c) == 0:
+        return c
+    if tolerance > 0:
+        # GEOS snapping semantics: a vertex within tolerance of an
+        # already-accepted vertex is merged into it (keep-first, input order)
+        kept: list[np.ndarray] = []
+        for p in c:
+            if not any((p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2 <= tolerance * tolerance
+                       for q in kept):
+                kept.append(p)
+        c = np.array(kept)
+    return np.unique(c, axis=0)
+
+
+def _circumcircle(a, b, c):
+    """(center, r²) of the triangle abc; None for degenerate."""
+    ax, ay = a
+    bx, by = b
+    cx, cy = c
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if d == 0:
+        return None
+    ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay)
+          + (cx * cx + cy * cy) * (ay - by)) / d
+    uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx)
+          + (cx * cx + cy * cy) * (bx - ax)) / d
+    r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+    return (ux, uy), r2
+
+
+def _delaunay(pts: np.ndarray) -> list[tuple[int, int, int]]:
+    """Bowyer–Watson incremental triangulation; returns index triples.
+
+    Degeneracy handling: exactly-cocircular inputs (regular n-gons) make
+    the incircle sign ambiguous and can leave holes in the cavity. A
+    deterministic per-index jitter (≈1e-9 of the span) is applied to the
+    PREDICATE copy of the points only — emitted triangles use the original
+    coordinates — the cheap form of simulation-of-simplicity."""
+    n = len(pts)
+    if n < 3:
+        return []
+    # super-triangle containing everything
+    cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
+    span = max(np.ptp(pts[:, 0]), np.ptp(pts[:, 1]), 1.0) * 100.0
+    P = np.vstack([pts, [[cx - 2 * span, cy - span], [cx + 2 * span, cy - span],
+                         [cx, cy + 2 * span]]])
+    eps = max(np.ptp(pts[:, 0]), np.ptp(pts[:, 1]), 1.0) * 1e-9
+    idx = np.arange(len(P), dtype=np.int64)
+    jx = (((idx * 2654435761) % 1013) / 1013.0 - 0.5) * eps
+    jy = (((idx * 40503 + 7) % 997) / 997.0 - 0.5) * eps
+    P = P + np.column_stack([jx, jy])
+    s0, s1, s2 = n, n + 1, n + 2
+    tris = [(s0, s1, s2)]
+    circ = {(s0, s1, s2): _circumcircle(P[s0], P[s1], P[s2])}
+    for i in range(n):
+        px, py = P[i]
+        bad, polygon_edges = [], {}
+        for t in tris:
+            cc = circ[t]
+            if cc is None:
+                continue
+            (ux, uy), r2 = cc
+            if (px - ux) ** 2 + (py - uy) ** 2 <= r2 * (1 + 1e-12):
+                bad.append(t)
+                for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                    k = (min(e), max(e))
+                    polygon_edges[k] = polygon_edges.get(k, 0) + 1
+        for t in bad:
+            tris.remove(t)
+            del circ[t]
+        boundary = [e for e, cnt in polygon_edges.items() if cnt == 1]
+        for (a, b) in boundary:
+            t = (a, b, i)
+            tris.append(t)
+            circ[t] = _circumcircle(P[a], P[b], P[i])
+    out = []
+    for t in tris:
+        if s0 in t or s1 in t or s2 in t:
+            continue
+        out.append(t)
+    return out
+
+
+def delaunay_triangles(geom: Geometry | None, tolerance: float = 0.0,
+                       only_edges: bool = False) -> Geometry | None:
+    """reference: shapely/constructive.py:491 — GeometryCollection of CCW
+    triangles (or MultiLineString of unique edges with only_edges)."""
+    if geom is None:
+        return None
+    pts = _unique_points(geom, tolerance)
+    tris = _delaunay(pts)
+    if only_edges:
+        edges = set()
+        for a, b, c in tris:
+            for e in ((a, b), (b, c), (c, a)):
+                edges.add((min(e), max(e)))
+        lines = [
+            Geometry(LINESTRING, coords=np.vstack([pts[a], pts[b]]))
+            for a, b in sorted(edges)
+        ]
+        if not lines:
+            return empty(MULTILINESTRING)
+        return Geometry(MULTILINESTRING, parts=lines)
+    polys = []
+    for a, b, c in tris:
+        ring = np.vstack([pts[a], pts[b], pts[c], pts[a]])
+        if K.signed_ring_area(ring) < 0:
+            ring = ring[::-1]
+        polys.append(Geometry(POLYGON, rings=[ring]))
+    return Geometry(GEOMETRYCOLLECTION, parts=polys)
+
+
+def voronoi_polygons(geom: Geometry | None, extend_to: Geometry | None = None,
+                     tolerance: float = 0.0, only_edges: bool = False) -> Geometry | None:
+    """reference: shapely/constructive.py:1270. Each input point's cell is
+    the intersection of the (expanded) envelope with the half-planes closer
+    to it than to every other point — O(n²) half-plane clipping instead of
+    the dual-graph walk, trivially robust for UDF-scale inputs. Envelope
+    matches GEOS: input envelope expanded by ~50% of its larger span
+    (or the extend_to geometry's envelope)."""
+    from .constructive import _clip_halfplane
+
+    if geom is None:
+        return None
+    pts = _unique_points(geom, tolerance)
+    if len(pts) == 0:
+        return empty(GEOMETRYCOLLECTION)
+    if extend_to is not None:
+        bb = K.bounds(extend_to)
+    else:
+        bb = np.array([pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()])
+        pad = max(bb[2] - bb[0], bb[3] - bb[1], 1.0) * 0.5
+        bb = np.array([bb[0] - pad, bb[1] - pad, bb[2] + pad, bb[3] + pad])
+    env = np.array([[bb[0], bb[1]], [bb[2], bb[1]], [bb[2], bb[3]], [bb[0], bb[3]]])
+    cells = []
+    edge_set = set()
+    for i, p in enumerate(pts):
+        cell = env
+        for j, q in enumerate(pts):
+            if i == j or cell is None:
+                continue
+            # bisector half-plane keeping the side of p: edge through the
+            # midpoint, direction perpendicular to (q-p) rotated so that
+            # "inside" (left) contains p
+            mid = (p + q) / 2.0
+            d = q - p
+            # left of (e0→e1) must contain p: choose e1-e0 = rotate90(d)
+            e0 = mid
+            e1 = mid + np.array([-d[1], d[0]])
+            # inside test in _clip_halfplane keeps left side; check p is left
+            if (e1[0] - e0[0]) * (p[1] - e0[1]) - (e1[1] - e0[1]) * (p[0] - e0[0]) < 0:
+                e0, e1 = e1, e0
+            cell = _clip_halfplane(cell, e0, e1)
+        if cell is None or len(cell) < 3:
+            continue
+        ring = np.vstack([cell, cell[:1]])
+        if K.signed_ring_area(ring) < 0:
+            ring = ring[::-1]
+        cells.append(Geometry(POLYGON, rings=[ring]))
+        if only_edges:
+            for k in range(len(ring) - 1):
+                a, b = tuple(np.round(ring[k], 9)), tuple(np.round(ring[k + 1], 9))
+                edge_set.add((min(a, b), max(a, b)))
+    if only_edges:
+        lines = [Geometry(LINESTRING, coords=np.array([a, b])) for a, b in sorted(edge_set)]
+        if not lines:
+            return empty(MULTILINESTRING)
+        return Geometry(MULTILINESTRING, parts=lines)
+    return Geometry(GEOMETRYCOLLECTION, parts=cells)
+
+
+# ---------------------------------------------------------------------------
+# pole of inaccessibility / maximum inscribed circle
+# ---------------------------------------------------------------------------
+
+def _signed_dist_to_polygon(x: float, y: float, geom: Geometry) -> float:
+    """Positive inside, negative outside; magnitude = distance to boundary."""
+    rings = K._rings_of(geom)
+    segs = K._edges(geom)
+    d2 = K._seg_point_dist2(x, y, segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3])
+    d = math.sqrt(float(np.min(d2))) if len(segs) else 0.0
+    cls = K.points_in_rings_class(np.array([x]), np.array([y]), rings)[0]
+    return d if cls == K.INTERIOR else (0.0 if cls == K.BOUNDARY else -d)
+
+
+def polylabel(geom: Geometry, tolerance: float = 1.0):
+    """Pole of inaccessibility via quadtree refinement (reference:
+    shapely/algorithms/polylabel.py:7 — same cell-queue algorithm).
+    Returns (point, distance)."""
+    b = K.bounds(geom)
+    w, h = b[2] - b[0], b[3] - b[1]
+    size = min(w, h)
+    if size == 0:
+        return make_point(b[0], b[1]), 0.0
+    half = size / 2.0
+    heap = []
+    counter = 0
+
+    def push(cx, cy, hh):
+        nonlocal counter
+        d = _signed_dist_to_polygon(cx, cy, geom)
+        potential = d + hh * math.sqrt(2)
+        heapq.heappush(heap, (-potential, counter, cx, cy, hh, d))
+        counter += 1
+
+    x = b[0]
+    while x < b[2]:
+        y = b[1]
+        while y < b[3]:
+            push(x + half, y + half, half)
+            y += size
+        x += size
+    # centroid seed (the reference seeds with the centroid too)
+    from .constructive import centroid
+
+    c = centroid(geom)
+    best_x, best_y = float(c.coords[0, 0]), float(c.coords[0, 1])
+    best_d = _signed_dist_to_polygon(best_x, best_y, geom)
+    while heap:
+        neg_pot, _, cx, cy, hh, d = heapq.heappop(heap)
+        if d > best_d:
+            best_x, best_y, best_d = cx, cy, d
+        if -neg_pot - best_d <= tolerance:
+            continue
+        q = hh / 2.0
+        for dx in (-q, q):
+            for dy in (-q, q):
+                push(cx + dx, cy + dy, q)
+    return make_point(best_x, best_y), best_d
+
+
+def maximum_inscribed_circle(geom: Geometry, tolerance: float | None = None) -> Geometry:
+    """Center→boundary 2-point linestring, like GEOS (reference:
+    shapely/constructive.py:1473). Radius = polylabel distance."""
+    if tolerance is None:
+        b = K.bounds(geom)
+        tolerance = max(b[2] - b[0], b[3] - b[1]) / 1000.0
+    center, r = polylabel(geom, tolerance)
+    cx, cy = float(center.coords[0, 0]), float(center.coords[0, 1])
+    # nearest boundary point
+    segs = K._edges(geom)
+    d2 = K._seg_point_dist2(cx, cy, segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3])
+    i = int(np.argmin(d2))
+    x1, y1, x2, y2 = segs[i]
+    dx, dy = x2 - x1, y2 - y1
+    L2 = dx * dx + dy * dy
+    t = 0.0 if L2 == 0 else max(0.0, min(1.0, ((cx - x1) * dx + (cy - y1) * dy) / L2))
+    bx, by = x1 + t * dx, y1 + t * dy
+    return Geometry(LINESTRING, coords=np.array([[cx, cy], [bx, by]]))

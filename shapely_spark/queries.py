@@ -1362,3 +1362,156 @@ def collect_multipoint_bounds(spark, sf_dir):
     return mp.mapInPandas(
         gen, "grp bigint, n_points int, xmin double, ymin double, xmax double, ymax double"
     ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# triangulation / canonical form / clearance (reference:
+# shapely/constructive.py:491 delaunay, :1270 voronoi; measurement.py:289
+# minimum_clearance; ops.py:287 shortest_line)
+# ---------------------------------------------------------------------------
+
+@q(
+    "delaunay_hull_area",
+    f"""
+    WITH p AS ({_PART_PARAMS_SQL})
+    SELECT gid, round(n * r * r * sin(2 * pi() / n) / 2.0, 6) AS hull_area
+    FROM p ORDER BY gid
+    """,
+)
+def delaunay_hull_area(spark, sf_dir):
+    """Delaunay triangulation of an n-gon's vertices + centroid: the
+    triangle areas sum to the hull (= n-gon) area, closed-form
+    n·r²·sin(2π/n)/2. Exercises Bowyer–Watson under mapInPandas."""
+    params = _part_params(spark, sf_dir)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.geom import Geometry, MULTIPOINT, point, regular_ngon
+        from .geo.triangulate import delaunay_triangles
+
+        for pdf in batches:
+            vals = []
+            for cx, cy, r, n in zip(pdf.cx, pdf.cy, pdf.r, pdf.n):
+                ngon = regular_ngon(cx, cy, r, int(n))
+                pts = [point(x, y) for x, y in ngon.rings[0][:-1]] + [point(cx, cy)]
+                dt = delaunay_triangles(Geometry(MULTIPOINT, parts=pts))
+                vals.append(sum(K.area(t) for t in dt.parts))
+            yield pd.DataFrame({"gid": pdf.gid, "hull_area": np.round(vals, 6)})
+
+    return params.mapInPandas(gen, "gid long, hull_area double").orderBy("gid")
+
+
+@q(
+    "voronoi_two_cell_areas",
+    """
+    SELECT p_partkey AS gid,
+           round((1.0 + p_partkey % 5 / 2.0 + p_partkey % 3) * 4.0, 6) AS left_area,
+           round((1.0 + p_partkey % 5 / 2.0 + p_partkey % 4) * 4.0, 6) AS right_area
+    FROM part ORDER BY gid
+    """,
+)
+def voronoi_two_cell_areas(spark, sf_dir):
+    """Voronoi of two points inside an asymmetric extend_to box: the
+    vertical bisector splits the box, so each cell area is closed-form.
+    Points (0,0),(w,0) with w = 2+p%5, box x∈[-a, w+b], y∈[-2,2],
+    a=p%3, b=p%4 → left = (w/2+a)·4, right = (w/2+b)·4."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = p.select(
+        k.alias("gid"),
+        (2 + k % 5).cast("double").alias("w"),
+        (k % 3).cast("double").alias("a"),
+        (k % 4).cast("double").alias("b"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.geom import box, multipoint
+        from .geo.triangulate import voronoi_polygons
+
+        for pdf in batches:
+            la, ra = [], []
+            for w, a, b in zip(pdf.w, pdf.a, pdf.b):
+                v = voronoi_polygons(
+                    multipoint([(0.0, 0.0), (w, 0.0)]),
+                    extend_to=box(-a, -2.0, w + b, 2.0),
+                )
+                # left cell contains (0,0) → the one with smaller centroid x
+                cells = sorted(v.parts, key=lambda g: g.all_coords()[:, 0].mean())
+                la.append(K.area(cells[0]))
+                ra.append(K.area(cells[1]))
+            yield pd.DataFrame(
+                {"gid": pdf.gid, "left_area": np.round(la, 6), "right_area": np.round(ra, 6)}
+            )
+
+    return params.mapInPandas(
+        gen, "gid long, left_area double, right_area double"
+    ).orderBy("gid")
+
+
+@q(
+    "minimum_clearance_box",
+    """
+    SELECT p_partkey AS gid,
+           round(least(CAST(2 + p_partkey % 5 AS DOUBLE),
+                       CAST(1 + p_partkey % 7 AS DOUBLE)), 6) AS clearance
+    FROM part ORDER BY gid
+    """,
+)
+def minimum_clearance_box(spark, sf_dir):
+    """minimum_clearance of a w×h box = min(w, h)."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = p.select(
+        k.alias("gid"),
+        (2 + k % 5).cast("double").alias("w"),
+        (1 + k % 7).cast("double").alias("h"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo.constructive import minimum_clearance
+        from .geo.geom import box
+
+        for pdf in batches:
+            vals = [minimum_clearance(box(0, 0, w, h)) for w, h in zip(pdf.w, pdf.h)]
+            yield pd.DataFrame({"gid": pdf.gid, "clearance": np.round(vals, 6)})
+
+    return params.mapInPandas(gen, "gid long, clearance double").orderBy("gid")
+
+
+@q(
+    "shortest_line_gap",
+    """
+    SELECT p_partkey AS gid,
+           round(sqrt(pow(CAST(1 + p_partkey % 4 AS DOUBLE), 2)
+                    + pow(CAST(p_partkey % 3 AS DOUBLE), 2)), 6) AS gap
+    FROM part ORDER BY gid
+    """,
+)
+def shortest_line_gap(spark, sf_dir):
+    """Length of shortest_line between two disjoint unit boxes offset by
+    (1 + gx, 1 + gy) → gap = hypot(gx+? …) closed form: second box at
+    x∈[2+gx, 3+gx], y∈[1+gy, 2+gy] with gx=p%4, gy=p%3 gives corner gap
+    √((1+gx)² + gy²)."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = p.select(
+        k.alias("gid"),
+        (k % 4).cast("double").alias("gx"),
+        (k % 3).cast("double").alias("gy"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.constructive import shortest_line
+        from .geo.geom import box
+
+        for pdf in batches:
+            vals = []
+            for gx, gy in zip(pdf.gx, pdf.gy):
+                a = box(0.0, 0.0, 1.0, 1.0)
+                b = box(2.0 + gx, 1.0 + gy, 3.0 + gx, 2.0 + gy)
+                vals.append(K.length(shortest_line(a, b)))
+            yield pd.DataFrame({"gid": pdf.gid, "gap": np.round(vals, 6)})
+
+    return params.mapInPandas(gen, "gid long, gap double").orderBy("gid")

@@ -218,6 +218,26 @@ def _build() -> dict:
     st_buildarea = _unary_geom(O.build_area)
     st_polygonize = _unary_geom(lambda g: O.polygonize([g]))
 
+    from ..geo import triangulate as T
+
+    # reference: shapely/constructive.py:794 normalize; :491 delaunay;
+    # :1270 voronoi; :1473 maximum_inscribed_circle; ops.py:287
+    # shortest_line; measurement.py:289 minimum_clearance
+    st_normalize = _unary_geom(C.normalize)
+    st_delaunaytriangles = _unary_geom(T.delaunay_triangles)
+    st_voronoipolygons = _unary_geom(T.voronoi_polygons)
+    st_maximuminscribedcircle = _unary_geom(T.maximum_inscribed_circle)
+    st_shortestline = _binary_geom(C.shortest_line)
+    # reference: shapely/ops.py:311 split; linear.py:172 shared_paths
+    st_split = _binary_geom(O.split)
+    st_sharedpaths = _binary_geom(O.shared_paths)
+
+    @F.pandas_udf("double")
+    def st_minimumclearance(wkb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [C.minimum_clearance(g) for g in _geoms(wkb)], dtype="float64"
+        )
+
     # ---- inspection ---------------------------------------------------------------
 
     @F.pandas_udf("double")
@@ -372,6 +392,14 @@ def _build() -> dict:
         "st_makevalid": st_makevalid,
         "st_buildarea": st_buildarea,
         "st_polygonize": st_polygonize,
+        "st_normalize": st_normalize,
+        "st_delaunaytriangles": st_delaunaytriangles,
+        "st_voronoipolygons": st_voronoipolygons,
+        "st_maximuminscribedcircle": st_maximuminscribedcircle,
+        "st_shortestline": st_shortestline,
+        "st_minimumclearance": st_minimumclearance,
+        "st_split": st_split,
+        "st_sharedpaths": st_sharedpaths,
         "st_x": st_x,
         "st_y": st_y,
         "st_numgeometries": st_numgeometries,
