@@ -64,10 +64,15 @@ def run_headline(spark, n_pages: int, n_regions: int, times: dict, extras: dict,
     from shapely_spark.spark.session import get_spark  # noqa: F401
     from shapely_spark.spark.tiles import tile_counts
 
+    agg = os.environ.get("SPARK_GRAFT_BENCH_AGG", "median")
+
     def timed(name, fn, setup=None):
-        """Median of `repeat` runs — the sandbox host has intermittent
-        multi-second stalls (measured 0.3 s vs 31 s for an identical warm
-        job), so a single sample is meaningless."""
+        """Median (default) or min of `repeat` runs. The sandbox host is
+        time-sliced with no steal accounting — an identical warm job
+        measured anywhere from 4 s to 85 s — so a single sample is
+        meaningless; under additive host interference the MIN is the best
+        estimator of uncontended runtime (set SPARK_GRAFT_BENCH_AGG=min
+        for scaling-efficiency studies)."""
         samples = []
         out = None
         for _ in range(max(1, repeat)):
@@ -76,7 +81,8 @@ def run_headline(spark, n_pages: int, n_regions: int, times: dict, extras: dict,
             t0 = time.time()
             out = fn()
             samples.append(time.time() - t0)
-        times[name] = round(sorted(samples)[len(samples) // 2], 3)
+        picked = min(samples) if agg == "min" else sorted(samples)[len(samples) // 2]
+        times[name] = round(picked, 3)
         return out
 
     pages_path = prepare_pages(spark, n_pages)

@@ -1203,3 +1203,125 @@ def coverage_union_all(geoms) -> Geometry:
     from . import overlay as O
 
     return O.union_all(geoms)
+
+
+def minimum_clearance_line(geom: Geometry | None) -> Geometry | None:
+    """The 2-point line realizing minimum_clearance (reference:
+    shapely/constructive.py:758 GEOSMinimumClearanceLine)."""
+    from . import kernels as K
+
+    if geom is None or geom.is_empty:
+        return None
+    best = math.inf
+    best_pair = None
+    for c in geom.coord_seqs():
+        c2 = np.asarray(c)[:, :2]
+        n = len(c2)
+        if n < 2:
+            continue
+        closed = bool(np.all(c2[0] == c2[-1]))
+        pts = c2[:-1] if closed else c2
+        segs = np.column_stack([c2[:-1], c2[1:]])
+        for vi in range(len(pts)):
+            px, py = pts[vi]
+            for ei in range(len(segs)):
+                p1, p2 = segs[ei, 0:2], segs[ei, 2:4]
+                if np.all(p1 == pts[vi]) or np.all(p2 == pts[vi]):
+                    continue
+                dx, dy = p2 - p1
+                L2 = dx * dx + dy * dy
+                t = 0.0 if L2 == 0 else max(0.0, min(1.0, ((px - p1[0]) * dx + (py - p1[1]) * dy) / L2))
+                qx, qy = p1[0] + t * dx, p1[1] + t * dy
+                d = math.hypot(px - qx, py - qy)
+                if 0 < d < best:
+                    best = d
+                    best_pair = ((px, py), (qx, qy))
+    if best_pair is None:
+        return None
+    return Geometry(LINESTRING, coords=np.array(best_pair))
+
+
+def minimum_width(geom: Geometry | None) -> Geometry | None:
+    """Rotating-calipers minimum width of the convex hull, returned as the
+    realizing 2-point line (reference: shapely/constructive.py:1434
+    minimum_width / GEOSMinimumWidth)."""
+    if geom is None or geom.is_empty:
+        return None
+    hull = convex_hull(geom)
+    if hull.type_id != POLYGON:
+        return None
+    ring = np.asarray(hull.rings[0])[:, :2]
+    pts = ring[:-1]
+    n = len(pts)
+    best = math.inf
+    best_line = None
+    for i in range(n):
+        p1, p2 = ring[i], ring[i + 1]
+        d = p2 - p1
+        L = math.hypot(*d)
+        if L == 0:
+            continue
+        # farthest hull point from the edge line
+        dist = np.abs((d[0] * (pts[:, 1] - p1[1]) - d[1] * (pts[:, 0] - p1[0])) / L)
+        j = int(np.argmax(dist))
+        w = float(dist[j])
+        if w < best:
+            best = w
+            # foot of perpendicular from pts[j] onto the edge line
+            t = ((pts[j, 0] - p1[0]) * d[0] + (pts[j, 1] - p1[1]) * d[1]) / (L * L)
+            foot = p1 + t * d
+            best_line = (tuple(foot), tuple(pts[j]))
+    if best_line is None:
+        return None
+    return Geometry(LINESTRING, coords=np.array(best_line))
+
+
+def force_3d(geom: Geometry | None, z: float = 0.0) -> Geometry | None:
+    """Pad coordinates to XYZ (reference: shapely/_geometry.py:982)."""
+    if geom is None:
+        return None
+    if geom.has_z:
+        return geom
+
+    def pad(c):
+        return np.column_stack([np.asarray(c)[:, :2], np.full(len(c), z)])
+
+    if geom.type_id in (POINT, LINESTRING):
+        return Geometry(geom.type_id, coords=pad(geom.coords), has_z=True)
+    if geom.type_id == POLYGON:
+        return Geometry(POLYGON, rings=[pad(r) for r in (geom.rings or [])], has_z=True)
+    return Geometry(
+        geom.type_id, parts=[force_3d(p, z) for p in (geom.parts or [])], has_z=True
+    )
+
+
+def get_segments(geom: Geometry | None):
+    """(n,4) array of 2-point segments (reference: shapely/_geometry.py:1020
+    get_segments)."""
+    from . import kernels as K
+
+    if geom is None or geom.is_empty:
+        return np.zeros((0, 4))
+    return K._edges(geom)
+
+
+def set_coordinates(geom: Geometry, coords: np.ndarray) -> Geometry:
+    """Replace all coordinates in-order (reference:
+    shapely/coordinates.py:398 set_coordinates) — the inverse of
+    get_coordinates for an unchanged structure."""
+    coords = np.asarray(coords, dtype=np.float64)
+    pos = [0]
+
+    def take(n):
+        c = coords[pos[0] : pos[0] + n]
+        pos[0] += n
+        return c.copy()
+
+    def rebuild(g: Geometry) -> Geometry:
+        if g.type_id in (POINT, LINESTRING):
+            return Geometry(g.type_id, coords=take(len(g.coords)))
+        if g.type_id == POLYGON:
+            return Geometry(POLYGON, rings=[take(len(r)) for r in (g.rings or [])])
+        return Geometry(g.type_id, parts=[rebuild(p) for p in (g.parts or [])])
+
+    return rebuild(geom)

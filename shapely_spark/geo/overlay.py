@@ -674,3 +674,116 @@ def shared_paths(a: Geometry, b: Geometry) -> Geometry:
             Geometry(MULTILINESTRING, parts=opp),
         ],
     )
+
+
+def node(geom: Geometry) -> Geometry:
+    """Node linework: split all constituent segments at every intersection
+    and return the unique fragments as a MultiLineString (reference:
+    shapely/constructive.py:850 GEOSNode)."""
+    from .geom import LINESTRING, MULTILINESTRING
+
+    if geom is None or geom.is_empty:
+        return Geometry(MULTILINESTRING, parts=[])
+    segs = []
+    for c in geom.coord_seqs():
+        c2 = np.asarray(c)[:, :2]
+        if len(c2) >= 2:
+            segs.append(np.column_stack([c2[:-1], c2[1:]]))
+    if not segs:
+        return Geometry(MULTILINESTRING, parts=[])
+    segments = np.concatenate(segs, axis=0)
+    span = max(1.0, float(np.abs(segments).max()))
+    tol = span * 1e-10
+    frags = _fragments(segments, _split_params(segments, segments, tol))
+    key = np.round(frags / max(tol, 1e-12)).astype(np.int64)
+    swap = (key[:, 0] > key[:, 2]) | ((key[:, 0] == key[:, 2]) & (key[:, 1] > key[:, 3]))
+    a = np.where(swap[:, None], key[:, 2:], key[:, :2])
+    b = np.where(swap[:, None], key[:, :2], key[:, 2:])
+    _, uniq = np.unique(np.concatenate([a, b], axis=1), axis=0, return_index=True)
+    frags = frags[np.sort(uniq)]
+    return Geometry(
+        MULTILINESTRING,
+        parts=[Geometry(LINESTRING, coords=f.reshape(2, 2)) for f in frags],
+    )
+
+
+def concave_hull(geom: Geometry, ratio: float = 0.0, allow_holes: bool = False) -> Geometry:
+    """Concave hull via Delaunay border erosion (reference:
+    shapely/constructive.py:431; same chi-shape family as GEOS
+    ConcaveHull): triangulate the points, repeatedly remove border
+    triangles whose border edge is longer than the length threshold
+    interpolated by `ratio` between the longest and shortest edge
+    (ratio=1 → convex hull). The surviving triangles' outer boundary is
+    stitched into the hull polygon."""
+    from .triangulate import _delaunay, _unique_points
+
+    pts = _unique_points(geom)
+    if len(pts) < 3:
+        return empty(POLYGON)
+    tris = _delaunay(pts)
+    if not tris:
+        return empty(POLYGON)
+
+    def elen(e):
+        return float(np.hypot(*(pts[e[0]] - pts[e[1]])))
+
+    all_edges = {}
+    for t in tris:
+        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            k = (min(e), max(e))
+            all_edges.setdefault(k, []).append(t)
+    lens = [elen(k) for k in all_edges]
+    lo, hi = min(lens), max(lens)
+    threshold = lo + max(0.0, min(1.0, ratio)) * (hi - lo)
+    alive = set(tris)
+    # erode: border edges (in exactly one alive triangle) longer than
+    # threshold remove their triangle, unless that would orphan a vertex
+    changed = True
+    while changed:
+        changed = False
+        counts = {}
+        for t in alive:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (min(e), max(e))
+                counts[k] = counts.get(k, 0) + 1
+        border = sorted(
+            (k for k, c in counts.items() if c == 1 and elen(k) > threshold),
+            key=elen, reverse=True,
+        )
+        for k in border:
+            owners = [t for t in all_edges[k] if t in alive]
+            if len(owners) != 1:
+                continue
+            t = owners[0]
+            # removing t must not disconnect: keep if the opposite vertex
+            # would lose all its alive triangles
+            opp = [v for v in t if v not in k][0]
+            deg = sum(1 for tt in alive if opp in tt)
+            if deg <= 1 and len(alive) > 1:
+                continue
+            alive.discard(t)
+            changed = True
+            break  # recompute border after each removal (chi-shape order)
+    # boundary = edges used once, directed per CCW triangles → stitch
+    dir_edges = {}
+    for t in alive:
+        ring = np.vstack([pts[t[0]], pts[t[1]], pts[t[2]], pts[t[0]]])
+        if signed_ring_area(ring) < 0:
+            t = (t[0], t[2], t[1])
+        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            k = (min(e), max(e))
+            dir_edges.setdefault(k, []).append(e)
+    boundary = [es[0] for es in dir_edges.values() if len(es) == 1]
+    if not boundary:
+        return empty(POLYGON)
+    frags = np.array([[*pts[a], *pts[b]] for a, b in boundary])
+    span = max(1.0, float(np.abs(pts).max()))
+    rings = _stitch(frags, span * 1e-10)
+    shells = [r for r in rings if signed_ring_area(r) > 0]
+    holes = [r for r in rings if signed_ring_area(r) < 0]
+    if not shells:
+        return empty(POLYGON)
+    out_rings = [max(shells, key=signed_ring_area)]
+    if allow_holes:
+        out_rings.extend(holes)
+    return Geometry(POLYGON, rings=out_rings)

@@ -231,6 +231,13 @@ def _build() -> dict:
     # reference: shapely/ops.py:311 split; linear.py:172 shared_paths
     st_split = _binary_geom(O.split)
     st_sharedpaths = _binary_geom(O.shared_paths)
+    # reference: constructive.py:850 node; :431 concave_hull; :1434
+    # minimum_width; :758 minimum_clearance_line; _geometry.py:982 force_3d
+    st_node = _unary_geom(O.node)
+    st_concavehull = _unary_geom(O.concave_hull)
+    st_minimumwidth = _unary_geom(C.minimum_width)
+    st_minimumclearanceline = _unary_geom(C.minimum_clearance_line)
+    st_force3d = _unary_geom(C.force_3d)
 
     @F.pandas_udf("double")
     def st_minimumclearance(wkb: pd.Series) -> pd.Series:
@@ -400,6 +407,11 @@ def _build() -> dict:
         "st_minimumclearance": st_minimumclearance,
         "st_split": st_split,
         "st_sharedpaths": st_sharedpaths,
+        "st_node": st_node,
+        "st_concavehull": st_concavehull,
+        "st_minimumwidth": st_minimumwidth,
+        "st_minimumclearanceline": st_minimumclearanceline,
+        "st_force3d": st_force3d,
         "st_x": st_x,
         "st_y": st_y,
         "st_numgeometries": st_numgeometries,

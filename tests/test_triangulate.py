@@ -166,3 +166,46 @@ class TestSplitSharedPaths:
         same2, opp2 = O.shared_paths(a, linestring([(2, 0), (1, 0)])).parts
         assert len(same2.parts) == 0
         assert sum(K.length(s) for s in opp2.parts) == pytest.approx(1.0)
+
+
+class TestSmallConstructive:
+    def test_node_crossing(self):
+        from shapely_spark.geo import overlay as O
+
+        nd = O.node(multilinestring([[(0, 0), (2, 2)], [(0, 2), (2, 0)]]))
+        assert len(nd.parts) == 4
+
+    def test_concave_hull_ratio1_is_convex(self):
+        from shapely_spark.geo import overlay as O
+
+        pts = multipoint([(0, 0), (3, 0), (3, 3), (0, 3), (1.5, 0.2)])
+        ch = O.concave_hull(pts, ratio=1.0)
+        assert K.area(ch) == pytest.approx(9.0, abs=1e-6)
+
+    def test_minimum_clearance_line_matches_value(self):
+        from shapely_spark.geo.constructive import (
+            minimum_clearance,
+            minimum_clearance_line,
+        )
+
+        g = box(0, 0, 2, 1)
+        assert K.length(minimum_clearance_line(g)) == pytest.approx(
+            minimum_clearance(g)
+        )
+
+    def test_minimum_width(self):
+        from shapely_spark.geo.constructive import minimum_width
+
+        assert K.length(minimum_width(box(0, 0, 4, 1))) == pytest.approx(1.0)
+
+    def test_force_3d_set_coordinates(self):
+        from shapely_spark.geo.constructive import force_3d, set_coordinates
+
+        g3 = force_3d(box(0, 0, 1, 1), z=5.0)
+        assert g3.has_z and g3.rings[0].shape[1] == 3
+        g = polygon([(0, 0), (2, 0), (2, 2), (0, 2)])
+        c = g.all_coords().copy()
+        c[:, 0] += 10
+        g2 = set_coordinates(g, c)
+        assert K.area(g2) == pytest.approx(4.0)
+        assert K.bounds(g2)[0] == 10.0
