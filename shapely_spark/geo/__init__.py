@@ -6,5 +6,13 @@ from .geom import (  # noqa: F401
 )
 from .wkb import from_wkb, to_wkb, from_wkb_batch, to_wkb_batch  # noqa: F401
 from .wkt import from_wkt, to_wkt  # noqa: F401
-from . import kernels, constructive  # noqa: F401
+from .geojson import from_geojson, to_geojson  # noqa: F401
+from . import kernels, constructive, overlay, triangulate  # noqa: F401
+from .overlay import (  # noqa: F401
+    build_area, concave_hull, difference, intersection, make_valid, node,
+    polygonize, shared_paths, split, symmetric_difference, union, union_all,
+)
+from .triangulate import (  # noqa: F401
+    delaunay_triangles, maximum_inscribed_circle, polylabel, voronoi_polygons,
+)
 from .strtree import STRtree  # noqa: F401

@@ -42,16 +42,28 @@ def extract_text_re(html: Column) -> Column:
     return F.regexp_extract(F.decode(html, "UTF-8"), _TEXT_RE, 1)
 
 
+def geotag_content(html: Column) -> Column:
+    """The raw 'lat;lon' fragment of the geo.position meta (or a non-numeric
+    fragment when the marker is absent — downstream try_cast turns that
+    into NULL)."""
+    decoded = F.decode(html, "UTF-8")
+    return F.substring_index(F.substring_index(decoded, _GEO_MARK, -1), '"', 1)
+
+
 def extract_geotag(html: Column) -> tuple[Column, Column]:
     """(lat, lon) from the geo.position meta; NULL when absent/malformed.
     String ops + try_cast instead of Java regex: a content part that isn't
-    a decimal casts to NULL (malformed geotags), a missing marker yields a
-    non-numeric fragment → NULL. Matches extract_geotag_re on the corpus."""
-    decoded = F.decode(html, "UTF-8")
-    content = F.substring_index(F.substring_index(decoded, _GEO_MARK, -1), '"', 1)
-    two = F.size(F.split(content, ";", -1)) == 2
-    lat = F.when(two, F.substring_index(content, ";", 1).try_cast("double"))
-    lon = F.when(two, F.substring_index(content, ";", -1).try_cast("double"))
+    a decimal casts to NULL (malformed geotags like 'not;a;coordinate'),
+    and a missing marker yields a non-numeric html fragment → NULL.
+    Matches extract_geotag_re on the corpus.
+
+    NOTE for plan authors: prefer with_geo(), which materializes the
+    content fragment as its own column — these expressions inline the
+    whole decode chain per use, and a filter pushed through the aliases
+    re-evaluates it per reference (observed 12× decode/row)."""
+    content = geotag_content(html)
+    lat = F.substring_index(content, ";", 1).try_cast("double")
+    lon = F.substring_index(content, ";", -1).try_cast("double")
     return lat, lon
 
 
@@ -67,11 +79,20 @@ def extract_geotag_re(html: Column) -> tuple[Column, Column]:
 
 def with_geo(pages: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
     """pages + (extracted_text, lat, lon, cell_id). The ingest derivation
-    step of every spatial plan."""
-    lat, lon = extract_geotag(F.col("html"))
+    step of every spatial plan.
+
+    The content fragment is materialized as an intermediate column that
+    both lat and lon reference: Catalyst's CollapseProject keeps a
+    non-cheap alias with >1 reference as its own Project, so the
+    decode+search chain runs ONCE per row instead of once per reference
+    (and a pushed-down filter on lat/lon duplicates only the cheap
+    substring_index+try_cast tail, not the decode)."""
+    content = geotag_content(F.col("html"))
     return (
         pages.withColumn("extracted_text", extract_text(F.col("html")))
-        .withColumn("lat", lat)
-        .withColumn("lon", lon)
+        .withColumn("__geo_content", content)
+        .withColumn("lat", F.substring_index(F.col("__geo_content"), ";", 1).try_cast("double"))
+        .withColumn("lon", F.substring_index(F.col("__geo_content"), ";", -1).try_cast("double"))
         .withColumn("cell_id", cell_col(F.col("lat"), F.col("lon"), res))
+        .drop("__geo_content")
     )

@@ -57,6 +57,24 @@ def _build() -> dict:
         """reference: shapely/io.py:33 to_wkt."""
         return pd.Series([None if g is None else to_wkt(g) for g in _geoms(wkb)])
 
+    @F.pandas_udf("string")
+    def st_asgeojson(wkb: pd.Series) -> pd.Series:
+        """reference: shapely/io.py:206 to_geojson."""
+        from ..geo.geojson import to_geojson
+
+        return pd.Series([None if g is None else to_geojson(g) for g in _geoms(wkb)])
+
+    @F.pandas_udf("binary")
+    def st_geomfromgeojson(txt: pd.Series) -> pd.Series:
+        """reference: shapely/io.py:362 from_geojson."""
+        from ..geo.geojson import from_geojson
+
+        out = []
+        for t in txt:
+            g = from_geojson(t, on_invalid="ignore") if t is not None else None
+            out.append(None if g is None else to_wkb(g))
+        return pd.Series(out)
+
 
     # ---- measurement (reference: shapely/measurement.py) ------------------------
 
@@ -364,6 +382,8 @@ def _build() -> dict:
         "st_point": st_point,
         "st_geomfromtext": st_geomfromtext,
         "st_astext": st_astext,
+        "st_asgeojson": st_asgeojson,
+        "st_geomfromgeojson": st_geomfromgeojson,
         "st_area": st_area,
         "st_length": st_length,
         "st_bounds": st_bounds,

@@ -209,3 +209,45 @@ class TestSmallConstructive:
         g2 = set_coordinates(g, c)
         assert K.area(g2) == pytest.approx(4.0)
         assert K.bounds(g2)[0] == 10.0
+
+
+class TestGeoJSON:
+    def test_roundtrip_all_types(self):
+        from shapely_spark.geo.geojson import from_geojson, to_geojson
+        from shapely_spark.geo.geom import (
+            geometrycollection,
+            multilinestring,
+            multipolygon,
+            point,
+        )
+
+        zoo = [
+            point(1.5, 2.5),
+            linestring([(0, 0), (1, 1), (2, 0)]),
+            polygon([(0, 0), (4, 0), (4, 4), (0, 4)], holes=[[(1, 1), (2, 1), (2, 2), (1, 2)]]),
+            multipoint([(0, 0), (1, 1)]),
+            multilinestring([[(0, 0), (1, 1)], [(2, 2), (3, 3)]]),
+            multipolygon([box(0, 0, 1, 1), box(5, 5, 6, 6)]),
+            geometrycollection([point(0, 0), box(1, 1, 2, 2)]),
+        ]
+        for g in zoo:
+            g2 = from_geojson(to_geojson(g))
+            assert g2.type_id == g.type_id
+            assert np.allclose(g2.all_coords()[:, :2], g.all_coords()[:, :2])
+
+    def test_feature_and_collection(self):
+        from shapely_spark.geo.geojson import from_geojson
+
+        f = '{"type":"Feature","properties":{},"geometry":{"type":"Point","coordinates":[1,2]}}'
+        g = from_geojson(f)
+        assert g.type_id == 0 and g.coords[0, 0] == 1.0
+        fc = '{"type":"FeatureCollection","features":[' + f + "," + f + "]}"
+        gc = from_geojson(fc)
+        assert gc.type_id == 7 and len(gc.parts) == 2
+
+    def test_invalid(self):
+        from shapely_spark.geo.geojson import from_geojson
+
+        with pytest.raises(ValueError):
+            from_geojson('{"type":"Nope"}')
+        assert from_geojson("not json", on_invalid="ignore") is None
