@@ -170,17 +170,81 @@ def buffer(geom: Geometry | None, distance: float, quad_segs: int = 8) -> Geomet
         return Geometry(POLYGON, rings=[ring])
     if geom.type_id == MULTIPOINT:
         return multipolygon([buffer(p, distance, quad_segs) for p in geom.parts])
-    if geom.type_id == POLYGON and distance > 0:
+    if geom.type_id == POLYGON and distance > 0 and len(geom.rings or []) == 1:
+        # convex fast path: direct arc-offset ring, no overlay needed
         shell = np.asarray(geom.rings[0])[:, :2]
         if signed_ring_area(shell) < 0:
             shell = shell[::-1]
         out = _offset_convex_ring(shell, distance, quad_segs)
         if out is not None:
             return Geometry(POLYGON, rings=[out])
-    raise NotImplementedError(
-        "buffer(): round-1 kernel supports point/multipoint and convex "
-        "polygon outward buffers (constructive.py:142 parity tracked)"
-    )
+    return _buffer_general(geom, distance, quad_segs)
+
+
+def _circle_ngon(cx: float, cy: float, d: float, n: int) -> Geometry:
+    ang = 2.0 * math.pi * np.arange(n) / n
+    ring = np.column_stack([cx + d * np.cos(ang), cy + d * np.sin(ang)])
+    return Geometry(POLYGON, rings=[np.vstack([ring, ring[:1]])])
+
+
+def _segment_capsule(p1, p2, d: float, n: int) -> list[Geometry]:
+    """Rectangle + endpoint circles covering the d-neighborhood of segment
+    p1→p2 (circle = inscribed 4·quad_segs-gon, GEOS vertex placement)."""
+    dx, dy = p2[0] - p1[0], p2[1] - p1[1]
+    L = math.hypot(dx, dy)
+    pieces = [_circle_ngon(p1[0], p1[1], d, n), _circle_ngon(p2[0], p2[1], d, n)]
+    if L > 0:
+        nx, ny = -dy / L * d, dx / L * d
+        rect = np.array([
+            [p1[0] + nx, p1[1] + ny],
+            [p2[0] + nx, p2[1] + ny],
+            [p2[0] - nx, p2[1] - ny],
+            [p1[0] - nx, p1[1] - ny],
+            [p1[0] + nx, p1[1] + ny],
+        ])
+        if signed_ring_area(rect) < 0:
+            rect = rect[::-1]
+        pieces.append(Geometry(POLYGON, rings=[rect]))
+    return pieces
+
+
+def _boundary_buffer_pieces(geom: Geometry, d: float, n: int) -> list[Geometry]:
+    pieces: list[Geometry] = []
+    for c in geom.coord_seqs():
+        c2 = np.asarray(c)[:, :2]
+        for i in range(len(c2) - 1):
+            pieces.extend(_segment_capsule(c2[i], c2[i + 1], d, n))
+    return pieces
+
+
+def _buffer_general(geom: Geometry, distance: float, quad_segs: int) -> Geometry:
+    """General buffer via capsule union (reference semantics:
+    shapely/constructive.py:142; vertex placement matches the point-buffer
+    n-gon discretization so areas agree with the closed-form
+    2dL + n_cap·d²·sin(2π/n_cap)/2 capsule formula for a single segment):
+
+      line      → ⋃ segment capsules
+      polygon+d → polygon ∪ boundary-capsules
+      polygon−d → polygon ∖ boundary-capsules
+    """
+    from . import overlay as O
+
+    n = max(4, 4 * quad_segs)
+    tid = geom.type_id
+    if tid in (LINESTRING, LINEARRING, MULTILINESTRING):
+        if distance < 0:
+            return empty(POLYGON)
+        return O.union_all(_boundary_buffer_pieces(geom, distance, n))
+    if tid in (POLYGON, MULTIPOLYGON):
+        band = O.union_all(_boundary_buffer_pieces(geom, abs(distance), n))
+        if distance > 0:
+            return O.union(geom, band)
+        return O.difference(geom, band)
+    if tid == GEOMETRYCOLLECTION:
+        parts = [buffer(p, distance, quad_segs) for p in (geom.parts or [])]
+        parts = [p for p in parts if p is not None and not p.is_empty]
+        return O.union_all(parts) if parts else empty(POLYGON)
+    raise NotImplementedError(f"buffer for type {tid}")
 
 
 def _offset_convex_ring(ring: np.ndarray, d: float, quad_segs: int) -> np.ndarray | None:

@@ -1515,3 +1515,41 @@ def shortest_line_gap(spark, sf_dir):
             yield pd.DataFrame({"gid": pdf.gid, "gap": np.round(vals, 6)})
 
     return params.mapInPandas(gen, "gid long, gap double").orderBy("gid")
+
+
+@q(
+    "buffer_line_capsule_area",
+    """
+    SELECT p_partkey AS gid,
+           round(2.0 * ((1 + p_partkey % 4) / 2.0) * (5.0 + p_partkey % 7)
+                 + 32.0 * sin(2 * pi() / 32.0) / 2.0
+                   * pow((1 + p_partkey % 4) / 2.0, 2), 6) AS buf_area
+    FROM part ORDER BY gid
+    """,
+)
+def buffer_line_capsule_area(spark, sf_dir):
+    """General line buffer (reference: shapely/constructive.py:142 on
+    LineString input): a single-segment capsule of length L and radius d
+    has closed-form area 2dL + n·d²·sin(2π/n)/2 with n = 4·quad_segs = 32
+    inscribed-circle caps."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = p.select(
+        k.alias("gid"),
+        ((1 + k % 4) / 2.0).alias("d"),
+        (5.0 + k % 7).cast("double").alias("L"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.constructive import buffer
+        from .geo.geom import linestring
+
+        for pdf in batches:
+            vals = [
+                K.area(buffer(linestring([(0.0, 0.0), (L, 0.0)]), d, 8))
+                for d, L in zip(pdf.d, pdf.L)
+            ]
+            yield pd.DataFrame({"gid": pdf.gid, "buf_area": np.round(vals, 6)})
+
+    return params.mapInPandas(gen, "gid long, buf_area double").orderBy("gid")

@@ -211,3 +211,48 @@ class TestPlanarFaces:
     def test_make_valid_passthrough(self):
         g = box(0, 0, 1, 1)
         assert O.make_valid(g) is g
+
+
+class TestGeneralBuffer:
+    QS = 8
+    N = 32
+    CAP = N * np.sin(2 * np.pi / N) / 2  # unit n-gon area ≈ π
+
+    def test_segment_capsule_closed_form(self):
+        from shapely_spark.geo.constructive import buffer
+        from shapely_spark.geo.geom import linestring
+
+        b = buffer(linestring([(0, 0), (10, 0)]), 2.0, self.QS)
+        assert A(b) == pytest.approx(2 * 2 * 10 + self.CAP * 4, abs=1e-6)
+
+    def test_polyline_corner_overlap(self):
+        from shapely_spark.geo.constructive import buffer
+        from shapely_spark.geo.geom import linestring
+
+        b = buffer(linestring([(0, 0), (10, 0), (10, 10)]), 1.0, self.QS)
+        assert 2 * 10 * 2 < A(b) < (2 * 10 + self.CAP) * 2
+
+    def test_concave_polygon_positive(self):
+        from shapely_spark.geo.constructive import buffer
+
+        L = polygon([(0, 0), (6, 0), (6, 2), (2, 2), (2, 6), (0, 6)])
+        assert A(buffer(L, 0.5, self.QS)) > A(L) + 0.5 * 0.8 * K.length(L)
+
+    def test_negative_box(self):
+        from shapely_spark.geo.constructive import buffer
+
+        assert A(buffer(box(0, 0, 4, 2), -0.5, self.QS)) == pytest.approx(3.0, abs=0.02)
+        assert buffer(box(0, 0, 1, 1), -0.6, self.QS).is_empty
+
+    def test_negative_holed_rounds_hole_corners(self):
+        from shapely_spark.geo.constructive import buffer
+
+        holed = Geometry(
+            POLYGON,
+            rings=[box(0, 0, 10, 10).rings[0], box(4, 4, 6, 6).rings[0][::-1]],
+        )
+        b = buffer(holed, -0.5, self.QS)
+        # eroded shell: exact 9×9; dilated hole: 3×3 with radius-.5 rounded
+        # corners → 9 − (4−π)/4
+        expect = 81.0 - (9.0 - (4.0 - np.pi) * 0.25)
+        assert A(b) == pytest.approx(expect, abs=0.02)
