@@ -188,24 +188,28 @@ def _circle_ngon(cx: float, cy: float, d: float, n: int) -> Geometry:
 
 
 def _segment_capsule(p1, p2, d: float, n: int) -> list[Geometry]:
-    """Rectangle + endpoint circles covering the d-neighborhood of segment
-    p1→p2 (circle = inscribed 4·quad_segs-gon, GEOS vertex placement)."""
+    """The d-neighborhood of segment p1→p2 as ONE analytic capsule ring:
+    rectangle sides + two semicircular caps of n/2 arc steps each (the
+    caps' vertices lie on the circles at 2π/n spacing, so the two caps
+    together enclose exactly the inscribed n-gon area — same closed form
+    as the point-buffer n-gon, no overlay needed)."""
     dx, dy = p2[0] - p1[0], p2[1] - p1[1]
     L = math.hypot(dx, dy)
-    pieces = [_circle_ngon(p1[0], p1[1], d, n), _circle_ngon(p2[0], p2[1], d, n)]
-    if L > 0:
-        nx, ny = -dy / L * d, dx / L * d
-        rect = np.array([
-            [p1[0] + nx, p1[1] + ny],
-            [p2[0] + nx, p2[1] + ny],
-            [p2[0] - nx, p2[1] - ny],
-            [p1[0] - nx, p1[1] - ny],
-            [p1[0] + nx, p1[1] + ny],
-        ])
-        if signed_ring_area(rect) < 0:
-            rect = rect[::-1]
-        pieces.append(Geometry(POLYGON, rings=[rect]))
-    return pieces
+    if L == 0:
+        return [_circle_ngon(p1[0], p1[1], d, n)]
+    phi = math.atan2(dy, dx)
+    steps = max(2, n // 2)
+    # cap at p2: phi-90° → phi+90°; cap at p1: phi+90° → phi+270°
+    a2 = phi - math.pi / 2 + math.pi * np.arange(steps + 1) / steps
+    a1 = phi + math.pi / 2 + math.pi * np.arange(steps + 1) / steps
+    pts = np.concatenate([
+        np.column_stack([p2[0] + d * np.cos(a2), p2[1] + d * np.sin(a2)]),
+        np.column_stack([p1[0] + d * np.cos(a1), p1[1] + d * np.sin(a1)]),
+    ])
+    ring = np.vstack([pts, pts[:1]])
+    if signed_ring_area(ring) < 0:
+        ring = ring[::-1]
+    return [Geometry(POLYGON, rings=[ring])]
 
 
 def _boundary_buffer_pieces(geom: Geometry, d: float, n: int) -> list[Geometry]:

@@ -331,7 +331,28 @@ def _points_of(g: Geometry) -> np.ndarray:
         else np.zeros((0, 2))
 
 
+def _combine_parts(a: Geometry, b: Geometry) -> Geometry:
+    """Union of KNOWN-disjoint polygonal geometries: concatenate parts."""
+    parts = []
+    for g in (a, b):
+        if g.type_id == POLYGON:
+            parts.append(g)
+        else:
+            parts.extend(p for p in (g.parts or []) if p.type_id == POLYGON)
+    return multipolygon(parts) if len(parts) != 1 else parts[0]
+
+
 def _overlay(a: Geometry, b: Geometry, op: str) -> Geometry:
+    # bbox short-circuit: disjoint envelopes decide every op in O(1) —
+    # turns union_all over disjoint inputs (dissolve of a coverage) from
+    # O(n²) noding into part concatenation
+    ba, bb = K.bounds(a), K.bounds(b)
+    if ba[2] < bb[0] or bb[2] < ba[0] or ba[3] < bb[1] or bb[3] < ba[1]:
+        if op == "intersection":
+            return empty(POLYGON)
+        if op == "difference":
+            return a
+        return _combine_parts(a, b)
     tol = _tolerance(a, b)
     ra, rb = _poly_rings_oriented(a), _poly_rings_oriented(b)
     if not ra:
