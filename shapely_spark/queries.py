@@ -1553,3 +1553,64 @@ def buffer_line_capsule_area(spark, sf_dir):
             yield pd.DataFrame({"gid": pdf.gid, "buf_area": np.round(vals, 6)})
 
     return params.mapInPandas(gen, "gid long, buf_area double").orderBy("gid")
+
+
+@q(
+    "spatial_join_geom_boxes",
+    """
+    WITH lb AS (
+      SELECT p_partkey AS gid,
+             CAST(p_partkey % 340 - 170 AS DOUBLE) AS x1,
+             CAST(p_partkey % 150 - 75 AS DOUBLE) AS y1,
+             CAST(2 + p_partkey % 5 AS DOUBLE) AS w,
+             CAST(2 + p_partkey % 4 AS DOUBLE) AS h
+      FROM part
+    ),
+    rb AS (
+      SELECT n_nationkey AS region_id,
+             CAST(-180 + n_nationkey * 14 AS DOUBLE) AS rx, 12.0 AS rw,
+             CAST(-85 + (n_nationkey * 37) % 160 AS DOUBLE) AS ry, 9.0 AS rh
+      FROM nation
+    )
+    SELECT lb.gid, rb.region_id
+    FROM lb JOIN rb
+      ON lb.x1 <= rb.rx + rb.rw AND rb.rx <= lb.x1 + lb.w
+     AND lb.y1 <= rb.ry + rb.rh AND rb.ry <= lb.y1 + lb.h
+    ORDER BY gid, region_id
+    """,
+)
+def spatial_join_geom_boxes(spark, sf_dir):
+    """Geometry×geometry spatial join (polygon left side — the general
+    STRtree.query pair semantics, shapely/strtree.py:229): part-derived
+    boxes ⋈ the 25 nation boxes on intersects. For axis-aligned boxes,
+    intersects ⇔ bbox overlap, so DuckDB verifies the pair set with
+    min/max arithmetic."""
+    from .spark.join import spatial_join_geom
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    lparams = p.select(
+        k.alias("gid"),
+        (k % 340 - 170).cast("double").alias("x1"),
+        (k % 150 - 75).cast("double").alias("y1"),
+        (2 + k % 5).cast("double").alias("w"),
+        (2 + k % 4).cast("double").alias("h"),
+    )
+
+    def lgen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo.geom import box
+        from .geo.wkb import to_wkb
+
+        for pdf in batches:
+            wkbs = [
+                to_wkb(box(x, y, x + w, y + h))
+                for x, y, w, h in zip(pdf.x1, pdf.y1, pdf.w, pdf.h)
+            ]
+            yield pd.DataFrame({"gid": pdf.gid, "wkb": wkbs})
+
+    left = lparams.mapInPandas(lgen, "gid long, wkb binary")
+    right = _nation_regions_df(spark, sf_dir)
+    return (
+        spatial_join_geom(left, right, predicate="intersects", left_id="gid")
+        .orderBy("gid", "region_id")
+    )

@@ -220,3 +220,113 @@ def spatial_join(
         full = j.where(F.col("__full")).select(*out_cols)
         return full.unionByName(partial)
     return partial  # touches: full-interior cells can never touch the boundary
+
+
+def spatial_join_geom(
+    left: DataFrame,
+    right: DataFrame,
+    predicate: str = "intersects",
+    res: int = JOIN_RES - 2,
+    left_id: str = "left_id",
+    right_id: str = "region_id",
+) -> DataFrame:
+    """Geometry×geometry spatial join: left(left_id, wkb) ⋈ right(right_id,
+    wkb) → (left_id, right_id) pairs satisfying the predicate.
+
+    Semantics: STRtree.query(geoms, predicate) pair semantics generalized
+    to arbitrary geometry on BOTH sides (shapely/strtree.py:229-266) —
+    point-side joins should use spatial_join (cheaper: no left geometry).
+
+    Plan: both sides explode to their bbox cell covers at `res`; equi-join
+    on cell. A pair that shares k cells would appear k times, so each
+    candidate is emitted only in ONE deterministic cell — the cell of the
+    lower-left corner of the bbox intersection (computable from the two
+    bbox columns JVM-side, no dedup shuffle). Refine runs the exact
+    DE-9IM kernel per pair with the right-side geometries broadcast.
+    """
+    from ..index.cells import cover_bbox, grid_n
+
+    n = grid_n(res)
+
+    def covers(df: DataFrame, id_col: str, with_wkb: bool) -> DataFrame:
+        schema = f"{id_col} long, cell_id long, bxmin double, bymin double"
+        if with_wkb:
+            schema += ", wkb binary"
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ..geo import kernels as K
+            from ..geo.wkb import from_wkb
+
+            for pdf in batches:
+                ids, cells, bx, by, wk = [], [], [], [], []
+                for i, b in zip(pdf[id_col], pdf["wkb"]):
+                    g = from_wkb(bytes(b), on_invalid="ignore") if b is not None else None
+                    if g is None or g.is_empty:
+                        continue
+                    bb = K.bounds(g)
+                    cc = cover_bbox(bb[0], bb[1], bb[2], bb[3], res)
+                    for c in cc.tolist():
+                        ids.append(i)
+                        cells.append(c)
+                        bx.append(bb[0])
+                        by.append(bb[1])
+                        if with_wkb:
+                            wk.append(bytes(b))
+                data = {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "cell_id": pd.Series(cells, dtype="int64"),
+                    "bxmin": pd.Series(bx, dtype="float64"),
+                    "bymin": pd.Series(by, dtype="float64"),
+                }
+                if with_wkb:
+                    data["wkb"] = pd.Series(wk, dtype="object")
+                yield pd.DataFrame(data)
+
+        return df.select(id_col, "wkb").mapInPandas(gen, schema)
+
+    lcov = covers(left, left_id, with_wkb=True).select(
+        F.col(left_id), F.col("cell_id").alias("__lc"),
+        F.col("bxmin").alias("__lx"), F.col("bymin").alias("__ly"),
+        F.col("wkb").alias("__lwkb"),
+    )
+    rcov = F.broadcast(covers(right, right_id, with_wkb=False).select(
+        F.col(right_id), F.col("cell_id").alias("__rc"),
+        F.col("bxmin").alias("__rx"), F.col("bymin").alias("__ry"),
+    ))
+
+    geo_rows = right.select(right_id, "wkb").collect()
+    bc = left.sparkSession.sparkContext.broadcast(
+        {int(r[0]): bytes(r[1]) for r in geo_rows if r[1] is not None}
+    )
+
+    j = lcov.join(rcov, F.col("__lc") == F.col("__rc"), "inner")
+    # emit each candidate pair exactly once: in the cell holding the
+    # lower-left corner of the bbox intersection (cell arithmetic mirrors
+    # columns.cell_col)
+    ix = F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor(
+        (F.greatest("__lx", "__rx") + 180.0) / 360.0 * n)))
+    iy = F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor(
+        (F.greatest("__ly", "__ry") + 90.0) / 180.0 * n)))
+    j = j.where(F.col("__lc") == (iy * n + ix).cast("bigint"))
+
+    @F.pandas_udf("boolean")
+    def refine(rid: pd.Series, lwkb: pd.Series) -> pd.Series:
+        from ..geo import kernels as K
+        from ..geo.wkb import from_wkb
+
+        fn = getattr(K, predicate)
+        out = []
+        for r, lw in zip(rid, lwkb):
+            rg_wkb = bc.value.get(int(r))
+            if rg_wkb is None or lw is None:
+                out.append(False)
+                continue
+            lg = from_wkb(bytes(lw), on_invalid="ignore")
+            rg = from_wkb(rg_wkb, on_invalid="ignore")
+            out.append(bool(lg is not None and rg is not None and fn(lg, rg)))
+        return pd.Series(out, dtype="bool")
+
+    return (
+        j.where(refine(F.col(right_id), F.col("__lwkb")))
+        .select(left_id, right_id)
+    )

@@ -100,3 +100,39 @@ def test_shuffle_mode_same_result(spark, pages, regions):
     a = spatial_join(pages, rdf, res=RES, broadcast=True).select("url", "region_id")
     b = spatial_join(pages, rdf, res=RES, broadcast=False).select("url", "region_id")
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_spatial_join_geom_matches_bruteforce(spark):
+    """Geometry×geometry join on irregular polygons vs O(n²) kernel oracle."""
+    import pandas as pd
+
+    from shapely_spark.geo import kernels as K
+    from shapely_spark.geo.geom import regular_ngon
+    from shapely_spark.geo.wkb import from_wkb, to_wkb
+    from shapely_spark.spark.join import spatial_join_geom
+    from shapely_spark.spark.pages import regions_df, synth_regions
+
+    rng_regions = synth_regions(40, seed=7)
+    right = regions_df(spark, rng_regions)
+    # left: n-gons scattered over the same hotspots
+    lgeoms = []
+    for i in range(120):
+        hy, hx = (40.71, -74.00) if i % 2 else (51.51, -0.13)
+        g = regular_ngon(hx + (i % 11) * 0.2 - 1.0, hy + (i % 7) * 0.2 - 0.6,
+                         0.15 + (i % 5) * 0.05, 5 + i % 6, theta0=i * 0.3)
+        lgeoms.append((i, g))
+    left = spark.createDataFrame(
+        pd.DataFrame({"left_id": [i for i, _ in lgeoms],
+                      "wkb": [to_wkb(g) for _, g in lgeoms]}),
+        "left_id long, wkb binary",
+    )
+    got = {(r.left_id, r.region_id)
+           for r in spatial_join_geom(left, right, left_id="left_id").collect()}
+    want = set()
+    for i, lg in lgeoms:
+        for rid, name, rg, kind in rng_regions:
+            if rg.is_empty:
+                continue
+            if K.intersects(lg, rg):
+                want.add((i, rid))
+    assert got == want
