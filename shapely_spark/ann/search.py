@@ -179,3 +179,90 @@ def cosine_topk_lsh(
         .where(F.col("rank") <= k)
         .select(F.col("qid").alias(id_col), F.col("tid").alias("target_id"), "rank", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the scale path: k-means-partitioned target
+# lists; queries probe only the nprobe nearest lists. nprobe=n_lists
+# degenerates to exact brute force (used by the oracle-checked query);
+# recall/cost trades off via nprobe at fixed index build cost.
+# ---------------------------------------------------------------------------
+
+def _kmeans_centroids(T: np.ndarray, n_lists: int, iters: int = 8) -> np.ndarray:
+    """Deterministic spherical k-means: evenly-strided init over the
+    id-sorted normalized target matrix, fixed iteration count, empty
+    clusters keep their previous centroid. No RNG → same index on every
+    build."""
+    n = len(T)
+    n_lists = min(n_lists, n)
+    C = T[np.linspace(0, n - 1, n_lists).astype(int)].copy()
+    for _ in range(iters):
+        assign = np.argmax(T @ C.T, axis=1)
+        for j in range(n_lists):
+            sel = assign == j
+            if sel.any():
+                m = T[sel].mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    C[j] = m / nm
+    return C
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 1,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF top-k: index built driver-side (targets are the broadcastable
+    dictionary), probed per Arrow batch. Output schema matches
+    cosine_topk_bruteforce; with nprobe >= n_lists results are identical
+    to it (exact search, all lists probed)."""
+    t_ids, T = _collect_targets(targets, id_col, vec_col)
+    C = _kmeans_centroids(T, n_lists)
+    assign = np.argmax(T @ C.T, axis=1)
+    lists = [np.nonzero(assign == j)[0] for j in range(len(C))]
+    bc = queries.sparkSession.sparkContext.broadcast((t_ids, T, C, lists))
+    kk, npb = k, min(nprobe, len(C))
+    out_schema = f"{id_col} long, target_id long, rank int"
+
+    def gen(batches):
+        ids, Tm, Cm, lst = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qn = np.linalg.norm(Q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            Q = Q / qn
+            q_ids = pdf[id_col].to_numpy(np.int64)
+            probes = np.argpartition(-(Q @ Cm.T), npb - 1, axis=1)[:, :npb]
+            out_q, out_t, out_r = [], [], []
+            for r in range(len(Q)):
+                cand = np.concatenate([lst[j] for j in probes[r]]) if npb else np.zeros(0, int)
+                if len(cand) == 0:
+                    continue
+                s = Tm[cand] @ Q[r]
+                order = np.lexsort((ids[cand], -s))
+                cnt = 0
+                for c in order:
+                    tid = int(ids[cand[c]])
+                    if exclude_self and tid == int(q_ids[r]):
+                        continue
+                    cnt += 1
+                    out_q.append(int(q_ids[r]))
+                    out_t.append(tid)
+                    out_r.append(cnt)
+                    if cnt >= kk:
+                        break
+            yield pd.DataFrame(
+                {id_col: pd.Series(out_q, dtype="int64"),
+                 "target_id": pd.Series(out_t, dtype="int64"),
+                 "rank": pd.Series(out_r, dtype="int32")}
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(gen, out_schema)

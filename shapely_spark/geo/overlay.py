@@ -369,8 +369,13 @@ def _overlay(a: Geometry, b: Geometry, op: str) -> Geometry:
     return _assemble(rings, max(tol, 1e-11))
 
 
-def intersection(a: Geometry, b: Geometry) -> Geometry:
+def intersection(a: Geometry, b: Geometry, grid_size: float = 0.0) -> Geometry:
     """reference: shapely/set_operations.py:114."""
+    if grid_size:
+        from .constructive import set_precision
+
+        a = set_precision(a, grid_size)
+        b = set_precision(b, grid_size)
     if a is None or b is None:
         return None
     if a.is_empty or b.is_empty:
@@ -391,8 +396,13 @@ def intersection(a: Geometry, b: Geometry) -> Geometry:
     raise NotImplementedError("overlay supports point/polygon inputs")
 
 
-def union(a: Geometry, b: Geometry) -> Geometry:
+def union(a: Geometry, b: Geometry, grid_size: float = 0.0) -> Geometry:
     """reference: shapely/set_operations.py:395."""
+    if grid_size:
+        from .constructive import set_precision
+
+        a = set_precision(a, grid_size)
+        b = set_precision(b, grid_size)
     if a is None:
         return b
     if b is None:
@@ -410,8 +420,13 @@ def union(a: Geometry, b: Geometry) -> Geometry:
     raise NotImplementedError("overlay supports point/polygon inputs")
 
 
-def difference(a: Geometry, b: Geometry) -> Geometry:
+def difference(a: Geometry, b: Geometry, grid_size: float = 0.0) -> Geometry:
     """reference: shapely/set_operations.py:41."""
+    if grid_size:
+        from .constructive import set_precision
+
+        a = set_precision(a, grid_size)
+        b = set_precision(b, grid_size)
     if a is None or b is None:
         return None
     if a.is_empty:
@@ -432,8 +447,13 @@ def difference(a: Geometry, b: Geometry) -> Geometry:
     raise NotImplementedError("overlay supports point/polygon inputs")
 
 
-def symmetric_difference(a: Geometry, b: Geometry) -> Geometry:
+def symmetric_difference(a: Geometry, b: Geometry, grid_size: float = 0.0) -> Geometry:
     """reference: shapely/set_operations.py:247 — (A−B) ⊎ (B−A)."""
+    if grid_size:
+        from .constructive import set_precision
+
+        a = set_precision(a, grid_size)
+        b = set_precision(b, grid_size)
     if a is None or b is None:
         return None
     d1 = difference(a, b)

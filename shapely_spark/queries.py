@@ -1614,3 +1614,36 @@ def spatial_join_geom_boxes(spark, sf_dir):
         spatial_join_geom(left, right, predicate="intersects", left_id="gid")
         .orderBy("gid", "region_id")
     )
+
+
+@q(
+    "ann_cosine_ivf_top1",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    c AS (SELECT q.vec_id, e.vec_id AS target_id,
+                 list_cosine_similarity(q.embedding, e.embedding) AS s
+          FROM e q CROSS JOIN e WHERE q.vec_id != e.vec_id)
+    SELECT vec_id, target_id, 1 AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, target_id) rn FROM c)
+    WHERE rn = 1 ORDER BY vec_id
+    """,
+)
+def ann_cosine_ivf_top1(spark, sf_dir):
+    """IVF ANN probed with nprobe=n_lists — exact by construction, so the
+    brute-force DuckDB oracle verifies the full IVF plumbing (index build,
+    list assignment, probe, refine). Production recall mode = nprobe <
+    n_lists (ann_cosine_ivf_probe2)."""
+    from .ann.search import cosine_topk_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(e, e, k=1, n_lists=8, nprobe=8,
+                           exclude_self=True).orderBy("vec_id")
+
+
+@q("ann_cosine_ivf_probe2")  # rows-only: approximate by construction
+def ann_cosine_ivf_probe2(spark, sf_dir):
+    from .ann.search import cosine_topk_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(e, e, k=1, n_lists=8, nprobe=2,
+                           exclude_self=True).orderBy("vec_id")
