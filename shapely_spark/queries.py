@@ -1647,3 +1647,84 @@ def ann_cosine_ivf_probe2(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return cosine_topk_ivf(e, e, k=1, n_lists=8, nprobe=2,
                            exclude_self=True).orderBy("vec_id")
+
+
+@q(
+    "tpch_q5",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local-supplier revenue): the join-ordering workout —
+    Catalyst broadcast-joins the three dimension tables and shuffles only
+    the orders⋈lineitem fact join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .where((F.col("r_name") == "ASIA")
+               & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+               & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date")))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@q(
+    "tpch_q10_variant",
+    """
+    SELECT c_custkey, c_name,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents,
+           n_name
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue_cents DESC, c_custkey LIMIT 20
+    """,
+)
+def tpch_q10_variant(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting, columns restricted to the
+    synthetic schema): fact-fact join + top-k by aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+               & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+               & (F.col("l_returnflag") == "R"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+                   .cast("bigint")).alias("revenue_cents"))
+        .select("c_custkey", "c_name", "revenue_cents", "n_name")
+        .orderBy(F.desc("revenue_cents"), "c_custkey")
+        .limit(20)
+    )

@@ -193,3 +193,49 @@ def regions_df(spark: SparkSession, regions) -> DataFrame:
         }
     )
     return spark.createDataFrame(pdf, "region_id long, name string, wkb binary, kind string")
+
+
+# ---------------------------------------------------------------------------
+# Clustered storage layout — partition pruning at 100 TB
+# ---------------------------------------------------------------------------
+
+def write_pages_clustered(pages_geo: DataFrame, path: str, prefix_shift: int = 12,
+                          mode: str = "overwrite") -> None:
+    """Write pages partitioned by cell prefix (cell_id >> prefix_shift) and
+    sorted by (cell_id, hilbert-ish order) within partitions.
+
+    At 10^12 rows this is the layout contract that makes spatial queries
+    cheap: directory-level partition pruning on cell_prefix (Catalyst
+    PartitionFilters — no file even opened outside the query region) plus
+    parquet row-group min/max stats on cell_id within each partition. The
+    same layout maps 1:1 onto an Iceberg partition spec
+    (truncate/shift transform on cell_id)."""
+    from pyspark.sql import functions as F
+
+    (
+        pages_geo.withColumn(
+            "cell_prefix", F.shiftrightunsigned(F.col("cell_id"), prefix_shift)
+        )
+        .repartition("cell_prefix")
+        .sortWithinPartitions("cell_id")
+        .write.mode(mode)
+        .partitionBy("cell_prefix")
+        .parquet(path)
+    )
+
+
+def read_pages_cell_range(spark: SparkSession, path: str, cell_min: int,
+                          cell_max: int, prefix_shift: int = 12) -> DataFrame:
+    """Scan only the partitions overlapping [cell_min, cell_max]: the
+    cell_prefix predicate is a pure partition filter (pruned BEFORE any
+    file is read); the cell_id predicate prunes row groups via min/max
+    stats inside surviving files."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    return df.where(
+        (F.col("cell_prefix") >= (cell_min >> prefix_shift))
+        & (F.col("cell_prefix") <= (cell_max >> prefix_shift))
+        & (F.col("cell_id") >= cell_min)
+        & (F.col("cell_id") <= cell_max)
+    )

@@ -136,3 +136,54 @@ def test_spatial_join_geom_matches_bruteforce(spark):
             if K.intersects(lg, rg):
                 want.add((i, rid))
     assert got == want
+
+
+def test_spatial_join_plan_is_broadcast_no_pages_shuffle(spark):
+    """Plan guard: the covers side must broadcast — the points side of the
+    join never shuffles (the engine's core scale property)."""
+    import io
+    from contextlib import redirect_stdout
+
+    import pandas as pd
+
+    from shapely_spark.spark.join import spatial_join
+    from shapely_spark.spark.pages import regions_df, synth_regions
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"url": ["a", "b"], "lat": [40.7, 51.5], "lon": [-74.0, -0.1]})
+    )
+    rdf = regions_df(spark, synth_regions(20, seed=42))
+    plan = spatial_join(pts, rdf)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # no sort-merge/shuffled-hash join of the points side
+    assert "SortMergeJoin" not in plan
+
+
+def test_clustered_write_prunes_partitions(spark, tmp_path):
+    """Cell-prefix partitioning must surface as Catalyst PartitionFilters:
+    a small cell-range query may not even open files outside its region."""
+    from pyspark.sql import functions as F
+
+    from shapely_spark.spark.extract import with_geo
+    from shapely_spark.spark.pages import (
+        read_pages_cell_range,
+        synth_pages,
+        write_pages_clustered,
+    )
+
+    path = str(tmp_path / "clustered")
+    pages = with_geo(synth_pages(spark, 20000)).select("url", "lat", "lon", "cell_id")
+    write_pages_clustered(pages, path, prefix_shift=12)
+
+    # pick a populated cell range (one prefix bucket)
+    some = pages.where(F.col("cell_id") >= 0).select("cell_id").first()[0]
+    lo = (some >> 12) << 12
+    hi = lo + (1 << 12) - 1
+    q = read_pages_cell_range(spark, path, lo, hi, prefix_shift=12)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cell_prefix" in plan.split("PartitionFilters", 1)[1][:400]
+    # correctness: matches an unpruned filter over the same range
+    full = spark.read.parquet(path).where(
+        (F.col("cell_id") >= lo) & (F.col("cell_id") <= hi))
+    assert q.count() == full.count() > 0

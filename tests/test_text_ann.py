@@ -120,3 +120,27 @@ def test_ann_lsh_recall(spark, vectors):
     hits = sum(1 for i, t in lsh.items() if brute.get(i) == t)
     recall = hits / len(brute)
     assert recall >= 0.8, f"LSH top-1 recall {recall:.2f}"
+
+
+def test_ivf_exact_mode_matches_bruteforce(spark):
+    """nprobe=n_lists probes every list → identical result to brute force."""
+    from shapely_spark.ann.search import cosine_topk_bruteforce, cosine_topk_ivf
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = {(r.vec_id, r.target_id) for r in
+          cosine_topk_bruteforce(e, e, k=1).collect()}
+    ivf = {(r.vec_id, r.target_id) for r in
+           cosine_topk_ivf(e, e, k=1, n_lists=8, nprobe=8).collect()}
+    assert ivf == bf
+
+
+def test_ivf_probe_recall(spark):
+    """nprobe=2/8 keeps most true top-1 neighbors (clustered embeddings)."""
+    from shapely_spark.ann.search import cosine_topk_bruteforce, cosine_topk_ivf
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = {r.vec_id: r.target_id for r in cosine_topk_bruteforce(e, e, k=1).collect()}
+    ivf = {r.vec_id: r.target_id for r in
+           cosine_topk_ivf(e, e, k=1, n_lists=8, nprobe=2).collect()}
+    hits = sum(1 for q, t in bf.items() if ivf.get(q) == t)
+    assert hits / len(bf) >= 0.5
