@@ -828,3 +828,68 @@ def concave_hull(geom: Geometry, ratio: float = 0.0, allow_holes: bool = False) 
     if allow_holes:
         out_rings.extend(holes)
     return Geometry(POLYGON, rings=out_rings)
+
+
+def polygonize_full(lines):
+    """Like polygonize, but also reports the leftover linework (reference:
+    shapely/constructive.py:939 polygonize_full): returns (polygons,
+    cut_edges, dangles, invalid_rings) as GeometryCollections /
+    MultiLineStrings. Dangles have a free endpoint; cut edges are
+    connected at both ends but border no face. invalid_rings is always
+    empty here (noding repairs crossing rings before face extraction)."""
+    from .geom import LINESTRING, MULTILINESTRING
+
+    faces = polygonize(lines)
+    # re-node the input to the same fragment set polygonize used
+    segs = []
+    for g in lines:
+        if g is None or g.is_empty:
+            continue
+        for c in g.coord_seqs():
+            c2 = np.asarray(c)[:, :2]
+            if len(c2) >= 2:
+                segs.append(np.column_stack([c2[:-1], c2[1:]]))
+    if not segs:
+        return faces, Geometry(MULTILINESTRING, parts=[]), \
+            Geometry(MULTILINESTRING, parts=[]), Geometry(MULTILINESTRING, parts=[])
+    segments = np.concatenate(segs, axis=0)
+    span = max(1.0, float(np.abs(segments).max()))
+    tol = span * 1e-10
+    frags = _fragments(segments, _split_params(segments, segments, tol))
+
+    def ekey(x1, y1, x2, y2):
+        a = (round(x1 / tol), round(y1 / tol))
+        b = (round(x2 / tol), round(y2 / tol))
+        return (a, b) if a <= b else (b, a)
+
+    used = set()
+    for p in (faces.parts or []):
+        r = p.rings[0]
+        for i in range(len(r) - 1):
+            used.add(ekey(r[i, 0], r[i, 1], r[i + 1, 0], r[i + 1, 1]))
+    leftover = {}
+    for f in frags:
+        k = ekey(*f)
+        if k not in used and k not in leftover:
+            leftover[k] = f
+    # endpoint degrees over the leftover subgraph + face-ring nodes
+    deg = {}
+    for k in leftover:
+        for node in k:
+            deg[node] = deg.get(node, 0) + 1
+    face_nodes = set()
+    for p in (faces.parts or []):
+        r = p.rings[0]
+        for i in range(len(r) - 1):
+            face_nodes.add((round(r[i, 0] / tol), round(r[i, 1] / tol)))
+    dangles, cuts = [], []
+    for k, f in leftover.items():
+        free_end = any(deg.get(node, 0) == 1 and node not in face_nodes for node in k)
+        seg = Geometry(LINESTRING, coords=f.reshape(2, 2))
+        (dangles if free_end else cuts).append(seg)
+    return (
+        faces,
+        Geometry(MULTILINESTRING, parts=cuts),
+        Geometry(MULTILINESTRING, parts=dangles),
+        Geometry(MULTILINESTRING, parts=[]),
+    )

@@ -256,3 +256,18 @@ class TestGeneralBuffer:
         # corners → 9 − (4−π)/4
         expect = 81.0 - (9.0 - (4.0 - np.pi) * 0.25)
         assert A(b) == pytest.approx(expect, abs=0.02)
+
+
+def test_polygonize_full_classifies_leftovers():
+    from shapely_spark.geo import overlay as O
+    from shapely_spark.geo.geom import linestring
+
+    lines = [
+        linestring([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]),
+        linestring([(1, 0.5), (2, 0.5)]),
+        linestring([(10, 10), (11, 11)]),
+    ]
+    faces, cuts, dangles, invalid = O.polygonize_full(lines)
+    assert len(faces.parts) == 1
+    assert len(dangles.parts) == 2
+    assert len(invalid.parts) == 0

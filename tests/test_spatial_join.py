@@ -187,3 +187,37 @@ def test_clustered_write_prunes_partitions(spark, tmp_path):
     full = spark.read.parquet(path).where(
         (F.col("cell_id") >= lo) & (F.col("cell_id") <= hi))
     assert q.count() == full.count() > 0
+
+
+def test_salted_join_pattern_matches_plain_join(spark):
+    """The documented hot-cell skew remedy (SURVEY §2.9): salt the big side
+    by a per-row unique column, explode the small side across all salts,
+    join on (key, salt) — result set identical to the plain join while no
+    single task owns a whole hot key."""
+    from pyspark.sql import functions as F
+
+    from shapely_spark.spark.columns import salt_col
+
+    SALTS = 8
+    # 10k rows, 90% in one hot cell
+    big = spark.range(10_000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(42)).otherwise(F.col("id") % 100).alias("cell"),
+    )
+    small = spark.range(100).select(
+        F.col("id").alias("cell"), (F.col("id") * 7).alias("payload"))
+
+    plain = big.join(small, "cell")
+    salted_big = big.withColumn("salt", salt_col(F.col("row_id"), SALTS))
+    salted_small = small.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(SALTS)])))
+    salted = salted_big.join(salted_small, ["cell", "salt"])
+
+    assert salted.count() == plain.count()
+    a = {(r.row_id, r.payload) for r in plain.collect()}
+    b = {(r.row_id, r.payload) for r in salted.collect()}
+    assert a == b
+    # the salt actually splits the hot key
+    per_salt = (salted_big.where(F.col("cell") == 42)
+                .groupBy("salt").count().collect())
+    assert len(per_salt) == SALTS
