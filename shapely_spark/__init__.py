@@ -7,3 +7,28 @@ for exact geometry math, a SQL-expressible cell grid for partition pruning.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API — Spark-side entry points import pyspark, so they
+    resolve on first access instead of at package import."""
+    surface = {
+        "spatial_join": ("shapely_spark.spark.join", "spatial_join"),
+        "spatial_join_geom": ("shapely_spark.spark.join", "spatial_join_geom"),
+        "knn_join": ("shapely_spark.spark.knn", "knn_join"),
+        "knn_join_broadcast": ("shapely_spark.spark.knn", "knn_join_broadcast"),
+        "tile_counts": ("shapely_spark.spark.tiles", "tile_counts"),
+        "dissolve": ("shapely_spark.spark.overlay_ops", "dissolve"),
+        "with_geo": ("shapely_spark.spark.extract", "with_geo"),
+        "get_spark": ("shapely_spark.spark.session", "get_spark"),
+        "register_sql_functions": (
+            "shapely_spark.spark.geometry_cols", "register_sql_functions"),
+        "geo": ("shapely_spark.geo", None),
+    }
+    if name in surface:
+        import importlib
+
+        mod, attr = surface[name]
+        m = importlib.import_module(mod)
+        return getattr(m, attr) if attr else m
+    raise AttributeError(name)

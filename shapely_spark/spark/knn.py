@@ -61,6 +61,7 @@ def knn_join(
     k_ring: int = 2,
     max_distance_km: float | None = None,
     ties: str = "break",
+    exclusive: bool = False,
     point_id: str = "url",
     target_id: str = "target_id",
     point_cols: tuple[str, str] = ("lat", "lon"),
@@ -81,6 +82,10 @@ def knn_join(
     dist = haversine_col(F.col(plat), F.col(plon), F.col(tlat), F.col(tlon))
 
     def ranked(cand: DataFrame) -> DataFrame:
+        if exclusive:
+            # query_nearest(exclusive=True): drop targets identical to the
+            # query point (shapely/strtree.py:409 — equal geometry excluded)
+            cand = cand.where(F.col("dist_km") > 0)
         w = Window.partitionBy(point_id).orderBy(F.col("dist_km").asc(), F.col(target_id).asc())
         rank_fn = F.rank() if ties == "keep" else F.row_number()
         out = cand.withColumn("knn_rank", rank_fn.over(w)).where(F.col("knn_rank") <= k)
@@ -132,6 +137,7 @@ def knn_join_broadcast(
     targets: DataFrame,
     k: int = 1,
     max_distance_km: float | None = None,
+    exclusive: bool = False,
     point_id: str = "url",
     target_id: str = "target_id",
     point_cols: tuple[str, str] = ("lat", "lon"),
@@ -161,7 +167,7 @@ def knn_join_broadcast(
     t_ids, t_lat, t_lon = t_ids[order], t_lat[order], t_lon[order]
     sc = points.sparkSession.sparkContext
     bc = sc.broadcast((t_ids, t_lat, t_lon))
-    kk = k
+    kk, excl = k, exclusive
 
     src = points.where(F.col(plat).isNotNull() & F.col(plon).isNotNull()).select(
         F.col(point_id).alias("__pid"), F.col(plat).alias("__lat"), F.col(plon).alias("__lon")
@@ -187,7 +193,7 @@ def knn_join_broadcast(
         T3 = np.vstack([np.cos(tl) * np.cos(tn), np.cos(tl) * np.sin(tn), np.sin(tl)])
         R2 = 2.0 * 6371.0088
         BLOCK = 256
-        keff = max(1, min(kk, T))
+        keff = max(1, min(kk + (1 if excl else 0), T))
         for pdf in batches:
             n = len(pdf)
             if n == 0:
@@ -238,18 +244,30 @@ def knn_join_broadcast(
             best_d = R2 * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
             if keff == 1:
                 dd, ii = best_d, all_i
+            elif excl:
+                # identical points (dist 0) sort last, then are dropped
+                zero = best_d <= 0.0
+                ordk = np.lexsort((ids[all_i], best_d, zero), axis=1)
+                dd = best_d[rows, ordk]
+                ii = all_i[rows, ordk]
             else:
                 ordk = np.lexsort((ids[all_i], best_d), axis=1)
                 dd = best_d[rows, ordk]
                 ii = all_i[rows, ordk]
             out = pd.DataFrame(
                 {
-                    point_id: pdf["__pid"].to_numpy().repeat(keff),
+                    point_id: pdf["__pid"].to_numpy().repeat(dd.shape[1]),
                     target_id: ids[ii].ravel(),
                     "dist_km": dd.ravel(),
-                    "knn_rank": np.tile(np.arange(1, keff + 1, dtype=np.int32), n),
+                    "knn_rank": np.tile(np.arange(1, dd.shape[1] + 1, dtype=np.int32), n),
                 }
             )
+            if excl:
+                out = out[(out["dist_km"] > 0) & (out["knn_rank"] <= kk + 1)]
+                out = out.assign(
+                    knn_rank=out.groupby(point_id).cumcount().astype("int32") + 1
+                )
+                out = out[out["knn_rank"] <= kk]
             if max_distance_km is not None:
                 out = out[out["dist_km"] <= max_distance_km]
             yield out

@@ -108,3 +108,35 @@ def test_knn_broadcast_equals_cell_path(spark, pages, targets):
     pa = {(r.url, r.target_id, round(r.dist_km, 9)) for r in a.collect()}
     pb = {(r.url, r.target_id, round(r.dist_km, 9)) for r in b.collect()}
     assert pa == pb
+
+
+def test_knn_exclusive_self_join(spark):
+    """query_nearest(exclusive=True) semantics (shapely/strtree.py:409):
+    a point's nearest neighbor among the targets is never itself."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from shapely_spark.spark.knn import knn_join, knn_join_broadcast
+
+    pdf = pd.DataFrame({
+        "pid": list(range(6)),
+        "lat": [0.0, 0.0, 1.1, 1.3, 2.0, 50.0],
+        "lon": [0.0, 1.0, 0.2, 1.1, 2.2, 50.0],
+    })
+    pts = spark.createDataFrame(pdf, "pid long, lat double, lon double")
+    tgts = pts.select(F.col("pid").alias("target_id"),
+                      F.col("lat").alias("t_lat"), F.col("lon").alias("t_lon"))
+    for fn in (knn_join_broadcast,):
+        got = {r.pid: r.target_id for r in fn(
+            pts, tgts, k=1, exclusive=True, point_id="pid").collect()}
+        assert all(got[p] != p for p in got), got
+        assert got[0] == 1  # (0,0) → nearest other is (0,1)
+    # inclusive: nearest is itself at distance 0
+    inc = {r.pid: r.target_id for r in knn_join_broadcast(
+        pts, tgts, k=1, exclusive=False, point_id="pid").collect()}
+    assert all(inc[p] == p for p in inc)
+    # cell-ring variant agrees
+    got2 = {r.pid: r.target_id for r in knn_join(
+        pts, tgts, k=1, exclusive=True, point_id="pid").collect()}
+    assert got2 == {r.pid: r.target_id for r in knn_join_broadcast(
+        pts, tgts, k=1, exclusive=True, point_id="pid").collect()}
