@@ -271,3 +271,87 @@ def test_polygonize_full_classifies_leftovers():
     assert len(faces.parts) == 1
     assert len(dangles.parts) == 2
     assert len(invalid.parts) == 0
+
+
+class TestOverlayProperties:
+    """Measure-theoretic identities that must hold for ANY pair:
+       area(A∩B) + area(A∖B) = area(A)
+       area(A∪B) = area(A) + area(B) − area(A∩B)
+       area(A⊕B) = area(A∪B) − area(A∩B)
+    Fuzzed over random convex/star polygons (seeded — deterministic)."""
+
+    @staticmethod
+    def _rand_poly(rng):
+        n = rng.randint(3, 12)
+        cx, cy = rng.uniform(-5, 5, 2)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rad = rng.uniform(0.5, 4.0, n)  # star-shaped (possibly concave)
+        ring = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+        return Geometry(POLYGON, rings=[np.vstack([ring, ring[:1]])])
+
+    def test_area_identities_fuzz(self):
+        rng = np.random.RandomState(1234)
+        checked = 0
+        for _ in range(60):
+            a, b = self._rand_poly(rng), self._rand_poly(rng)
+            aa, ab = A(a), A(b)
+            inter = A(O.intersection(a, b))
+            diff = A(O.difference(a, b))
+            union = A(O.union(a, b))
+            xor = A(O.symmetric_difference(a, b))
+            scale = max(aa, ab, 1.0)
+            assert inter + diff == pytest.approx(aa, abs=1e-6 * scale)
+            assert union == pytest.approx(aa + ab - inter, abs=1e-6 * scale)
+            assert xor == pytest.approx(union - inter, abs=1e-6 * scale)
+            checked += 1
+        assert checked == 60
+
+    def test_union_contains_both_fuzz(self):
+        rng = np.random.RandomState(99)
+        for _ in range(20):
+            a, b = self._rand_poly(rng), self._rand_poly(rng)
+            u = O.union(a, b)
+            # every vertex of both inputs is covered by the union
+            for g in (a, b):
+                c = g.all_coords()[:, :2]
+                cls = K.points_in_rings_class(
+                    c[:, 0], c[:, 1], u.rings if u.type_id == POLYGON
+                    else [r for p in u.parts for r in p.rings])
+                assert (cls >= K.BOUNDARY).all()
+
+
+class TestRaggedLayout:
+    def test_roundtrip_all_types(self, spark):
+        import pandas as pd
+
+        from shapely_spark.geo.geom import (
+            linestring,
+            multilinestring,
+            multipoint,
+            multipolygon,
+            point,
+        )
+        from shapely_spark.geo.wkb import from_wkb, to_wkb
+        from shapely_spark.spark.ragged import ragged_to_wkb, wkb_to_ragged
+
+        zoo = [
+            point(1.5, 2.5),
+            linestring([(0, 0), (1, 1), (2, 0)]),
+            polygon([(0, 0), (4, 0), (4, 4), (0, 4)],
+                    holes=[[(1, 1), (2, 1), (2, 2), (1, 2)]]),
+            multipoint([(0, 0), (1, 1), (2, 2)]),
+            multilinestring([[(0, 0), (1, 1)], [(2, 2), (3, 3), (4, 2)]]),
+            multipolygon([box(0, 0, 1, 1), box(5, 5, 7, 7)]),
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame({"gid": range(len(zoo)), "wkb": [to_wkb(g) for g in zoo]}),
+            "gid long, wkb binary",
+        )
+        ragged = wkb_to_ragged(df, "gid")
+        back = {r.gid: from_wkb(bytes(r.wkb))
+                for r in ragged_to_wkb(ragged, "gid").collect()}
+        for i, g in enumerate(zoo):
+            g2 = back[i]
+            assert g2.type_id == g.type_id
+            assert np.allclose(g2.all_coords()[:, :2], g.all_coords()[:, :2])
+            assert K.area(g2) == pytest.approx(K.area(g))
