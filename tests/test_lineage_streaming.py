@@ -132,3 +132,62 @@ def test_streaming_foreach_batch_spatial_join(spark, tmp_path):
         .collect()
     }
     assert set(results) == want
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState session operator: closed sessions emitted by
+    the stream must be a subset of (and in the common case equal to) the
+    batch sessionization's non-final sessions, with identical aggregates."""
+    from pyspark.sql import functions as F
+
+    from shapely_spark.streaming.stateful import sessionize_stream
+
+    src = str(tmp_path / "events_src")
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    )
+    # several files, range-ordered by event time: the file source lists
+    # part files in name order, so microbatches arrive in event-time order
+    # (cross-batch disorder with a 0s watermark would drop late events and
+    # legitimately split sessions — a property, not a bug, but it would
+    # make this equality test nondeterministic)
+    events.repartitionByRange(3, "ts").sortWithinPartitions("ts").write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, round(r.session_start, 3)): (r.n_events, round(r.sum_value, 2))
+        for r in spark.sql("select * from sessions").collect()
+    }
+    assert len(got) > 0
+
+    # batch truth: same gap sessionization
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    lag_ts = F.lag("ts").over(w)
+    gap = F.col("ts").cast("double") - lag_ts.cast("double")
+    sess = (
+        events.withColumn("new_s", F.when(lag_ts.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("sid", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min(F.col("ts").cast("double")).alias("start"),
+             F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    truth = {
+        (r.user_id, round(r.start, 3)): (r.n, r.s)
+        for r in sess.collect()
+    }
+    for k, v in got.items():
+        assert k in truth, k
+        assert truth[k][0] == v[0] and abs(truth[k][1] - v[1]) < 0.05, (k, v, truth[k])
