@@ -46,7 +46,11 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # bigger Arrow batches amortize per-batch Python overhead in the
+        # refine/kNN kernels (measured 2× on the spatial join at 64k vs
+        # 10k); 32k keeps text-heavy batches (docs ~KB/row) under ~100 MB
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "32768"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
