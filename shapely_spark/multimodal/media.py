@@ -115,3 +115,44 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     v = media.where(F.col("kind") == "video")
     ts = F.sequence(F.lit(0), F.col("meta.duration_ms").cast("long"), F.lit(int(every_ms)))
     return v.select("url", F.explode(ts).alias("frame_ms"))
+
+
+def decode_audio_stub(payload: bytes, sample_rate: int) -> np.ndarray:
+    """STUB audio decoder: deterministic waveform derived from the fake
+    header (real deployments: ffmpeg/soundfile — contract is bytes →
+    float32 mono [-1, 1])."""
+    head = bytes(payload[:17]).decode("ascii", errors="replace")
+    if not head.startswith("MM01:"):
+        raise NotImplementedError(
+            "real audio decoding not available in this container"
+        )
+    seed = int(head[5:10])
+    n = max(256, sample_rate // 10)  # 100 ms of samples
+    t = np.arange(n, dtype=np.float64)
+    return np.sin(2 * np.pi * (seed % 97 + 1) * t / sample_rate).astype(np.float32)
+
+
+def audio_features(media: DataFrame, n_bands: int = 8) -> DataFrame:
+    """bytes → band-energy vector (rFFT magnitude pooled into n_bands).
+    Output: (url, feature array<double>, n_samples)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, feats, ns = [], [], []
+            for url, payload, meta in zip(pdf["url"], pdf["payload"], pdf["meta"]):
+                sr = int(meta["sample_rate"]) if meta is not None else 16000
+                wave = decode_audio_stub(payload, sr)
+                spec = np.abs(np.fft.rfft(wave.astype(np.float64)))
+                bands = np.array_split(spec, n_bands)
+                e = np.array([float((b ** 2).sum()) for b in bands])
+                tot = e.sum() or 1.0
+                urls.append(url)
+                feats.append((e / tot).tolist())
+                ns.append(len(wave))
+            yield pd.DataFrame(
+                {"url": urls, "feature": feats, "n_samples": pd.Series(ns, dtype="int32")}
+            )
+
+    return media.where(F.col("kind") == "audio").select("url", "payload", "meta").mapInPandas(
+        gen, "url string, feature array<double>, n_samples int"
+    )

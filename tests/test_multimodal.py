@@ -63,3 +63,16 @@ def test_frame_sample_plan(media):
     assert out.select("url").distinct().count() == n_videos
     g = out.groupBy("url").agg(F.count("*").alias("n"), F.max("frame_ms").alias("mx")).first()
     assert g.n >= 1 and g.mx % 1000 == 0
+
+
+def test_audio_features_deterministic(spark):
+    from shapely_spark.multimodal.media import audio_features, synth_media
+
+    m = synth_media(spark, 60)
+    f1 = {r.url: tuple(round(x, 9) for x in r.feature)
+          for r in audio_features(m).collect()}
+    f2 = {r.url: tuple(round(x, 9) for x in r.feature)
+          for r in audio_features(m).collect()}
+    assert f1 == f2 and len(f1) == 20  # every third row is audio
+    for v in f1.values():
+        assert abs(sum(v) - 1.0) < 1e-6  # normalized band energies (rounded at 9dp)
