@@ -278,3 +278,136 @@ def maximum_inscribed_circle(geom: Geometry, tolerance: float | None = None) -> 
     t = 0.0 if L2 == 0 else max(0.0, min(1.0, ((cx - x1) * dx + (cy - y1) * dy) / L2))
     bx, by = x1 + t * dx, y1 + t * dy
     return Geometry(LINESTRING, coords=np.array([[cx, cy], [bx, by]]))
+
+
+def constrained_delaunay_triangles(geom: Geometry | None) -> Geometry | None:
+    """Triangulation of a polygon's interior (reference:
+    shapely/constructive.py:546 constrained_delaunay_triangles): ear
+    clipping over the shell with holes bridged in, then Lawson edge flips
+    toward the Delaunay criterion where flips keep triangles inside.
+    Returns a GeometryCollection of triangles whose union is the input."""
+    from .geom import MULTIPOLYGON
+
+    if geom is None:
+        return None
+    if geom.is_empty:
+        return Geometry(GEOMETRYCOLLECTION, parts=[])
+    if geom.type_id == MULTIPOLYGON:
+        parts = []
+        for p in geom.parts or []:
+            sub = constrained_delaunay_triangles(p)
+            parts.extend(sub.parts or [])
+        return Geometry(GEOMETRYCOLLECTION, parts=parts)
+    if geom.type_id != POLYGON:
+        # points/lines: plain Delaunay (GEOS behavior for non-areal input)
+        return delaunay_triangles(geom)
+
+    # bridge holes into the shell (simple polygon) — connect each hole's
+    # rightmost vertex to a visible shell vertex (Held's bridging)
+    shell = np.asarray(geom.rings[0])[:, :2]
+    if K.signed_ring_area(shell) < 0:
+        shell = shell[::-1]
+    ring = list(map(tuple, shell[:-1]))
+    holes = []
+    for h in (geom.rings or [])[1:]:
+        hh = np.asarray(h)[:, :2]
+        if K.signed_ring_area(hh) > 0:
+            hh = hh[::-1]  # holes CW for bridging
+        holes.append(hh[:-1])
+    for hole in sorted(holes, key=lambda h: -h[:, 0].max()):
+        hi = int(np.argmax(hole[:, 0]))
+        hx, hy = hole[hi]
+        # nearest shell vertex to the right-ish (simple visibility choice:
+        # minimize distance among vertices with x >= hx, fall back to all)
+        cand = [(j, (vx - hx) ** 2 + (vy - hy) ** 2)
+                for j, (vx, vy) in enumerate(ring)]
+        right = [c for c in cand if ring[c[0]][0] >= hx]
+        j = min(right or cand, key=lambda c: c[1])[0]
+        bridge = [ring[j]] + [tuple(p) for p in np.roll(hole, -hi, axis=0)] \
+            + [tuple(hole[hi]), ring[j]]
+        ring = ring[: j + 1] + bridge[1:] + ring[j + 1:]
+
+    pts = np.array(ring, dtype=np.float64)
+    n = len(pts)
+    if n < 3:
+        return Geometry(GEOMETRYCOLLECTION, parts=[])
+    idx = list(range(n))
+    tris = []
+
+    def cross(o, a, b):
+        return (pts[a, 0] - pts[o, 0]) * (pts[b, 1] - pts[o, 1]) - \
+               (pts[a, 1] - pts[o, 1]) * (pts[b, 0] - pts[o, 0])
+
+    guard = 0
+    while len(idx) > 3 and guard < 10 * n * n:
+        guard += 1
+        ear_found = False
+        for k in range(len(idx)):
+            i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % len(idx)]
+            if cross(i0, i1, i2) <= 1e-14:
+                continue  # reflex or degenerate
+            # no other vertex strictly inside the candidate ear
+            ax, ay = pts[i0]
+            bx, by = pts[i1]
+            cx, cy = pts[i2]
+            ok = True
+            for j in idx:
+                if j in (i0, i1, i2):
+                    continue
+                px, py = pts[j]
+                d1 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+                d2 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+                d3 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+                if d1 > 1e-14 and d2 > 1e-14 and d3 > 1e-14:
+                    ok = False
+                    break
+            if ok:
+                tris.append((i0, i1, i2))
+                idx.pop(k)
+                ear_found = True
+                break
+        if not ear_found:
+            break
+    if len(idx) == 3:
+        tris.append((idx[0], idx[1], idx[2]))
+
+    # Lawson flips toward Delaunay (bounded passes; constraint edges —
+    # consecutive ring indices — never flip)
+    constrained = {(min(a, b), max(a, b)) for a, b in zip(range(n), list(range(1, n)) + [0])}
+    for _ in range(4):
+        edge_tris = {}
+        for t in tris:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                edge_tris.setdefault((min(e), max(e)), []).append(t)
+        flipped = False
+        for e, ts in edge_tris.items():
+            if len(ts) != 2 or e in constrained:
+                continue
+            t1, t2 = ts
+            if t1 not in tris or t2 not in tris:
+                continue
+            o1 = [v for v in t1 if v not in e][0]
+            o2 = [v for v in t2 if v not in e][0]
+            cc = _circumcircle(pts[t1[0]], pts[t1[1]], pts[t1[2]])
+            if cc is None:
+                continue
+            (ux, uy), r2 = cc
+            if (pts[o2, 0] - ux) ** 2 + (pts[o2, 1] - uy) ** 2 < r2 * (1 - 1e-12):
+                na = (o1, e[0], o2)
+                nb = (o1, o2, e[1])
+                # only flip if both new triangles are non-degenerate & CCW-able
+                if abs(cross(*na)) > 1e-14 and abs(cross(*nb)) > 1e-14:
+                    tris.remove(t1)
+                    tris.remove(t2)
+                    tris.extend([na, nb])
+                    flipped = True
+        if not flipped:
+            break
+
+    out = []
+    for a, b, c in tris:
+        tri_ring = np.vstack([pts[a], pts[b], pts[c], pts[a]])
+        if K.signed_ring_area(tri_ring) < 0:
+            tri_ring = tri_ring[::-1]
+        out.append(Geometry(POLYGON, rings=[tri_ring]))
+    return Geometry(GEOMETRYCOLLECTION, parts=out)

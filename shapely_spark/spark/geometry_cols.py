@@ -243,6 +243,7 @@ def _build() -> dict:
     # shortest_line; measurement.py:289 minimum_clearance
     st_normalize = _unary_geom(C.normalize)
     st_delaunaytriangles = _unary_geom(T.delaunay_triangles)
+    st_constraineddelaunaytriangles = _unary_geom(T.constrained_delaunay_triangles)
     st_voronoipolygons = _unary_geom(T.voronoi_polygons)
     st_maximuminscribedcircle = _unary_geom(T.maximum_inscribed_circle)
     st_shortestline = _binary_geom(C.shortest_line)
@@ -421,6 +422,7 @@ def _build() -> dict:
         "st_polygonize": st_polygonize,
         "st_normalize": st_normalize,
         "st_delaunaytriangles": st_delaunaytriangles,
+        "st_constraineddelaunaytriangles": st_constraineddelaunaytriangles,
         "st_voronoipolygons": st_voronoipolygons,
         "st_maximuminscribedcircle": st_maximuminscribedcircle,
         "st_shortestline": st_shortestline,

@@ -251,3 +251,31 @@ class TestGeoJSON:
         with pytest.raises(ValueError):
             from_geojson('{"type":"Nope"}')
         assert from_geojson("not json", on_invalid="ignore") is None
+
+
+class TestConstrainedDelaunay:
+    def test_square_two_triangles(self):
+        from shapely_spark.geo.triangulate import constrained_delaunay_triangles
+
+        t = constrained_delaunay_triangles(box(0, 0, 2, 2))
+        assert len(t.parts) == 2
+        assert sum(K.area(p) for p in t.parts) == pytest.approx(4.0)
+
+    def test_concave_preserves_area(self):
+        from shapely_spark.geo.triangulate import constrained_delaunay_triangles
+
+        L = polygon([(0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (0, 3)])
+        t = constrained_delaunay_triangles(L)
+        assert len(t.parts) == 4  # n-2 for a simple hexagon
+        assert sum(K.area(p) for p in t.parts) == pytest.approx(K.area(L))
+
+    def test_holed_triangles_stay_inside(self):
+        from shapely_spark.geo import overlay as O
+        from shapely_spark.geo.constructive import point_on_surface
+        from shapely_spark.geo.triangulate import constrained_delaunay_triangles
+
+        holed = O.difference(box(0, 0, 6, 6), box(2, 2, 4, 4))
+        t = constrained_delaunay_triangles(holed)
+        assert sum(K.area(p) for p in t.parts) == pytest.approx(32.0)
+        for p in t.parts:
+            assert K.covers(holed, point_on_surface(p))
