@@ -1728,3 +1728,55 @@ def tpch_q10_variant(spark, sf_dir):
         .orderBy(F.desc("revenue_cents"), "c_custkey")
         .limit(20)
     )
+
+
+@q(
+    "crosses_segments",
+    """
+    WITH s AS (
+      SELECT p_partkey AS gid,
+             CAST(p_partkey % 17 AS DOUBLE) AS ax, CAST(p_partkey % 11 AS DOUBLE) AS ay,
+             CAST(p_partkey % 17 + 4 AS DOUBLE) AS bx, CAST(p_partkey % 11 + 3 AS DOUBLE) AS by,
+             CAST(p_partkey % 13 AS DOUBLE) AS cx, CAST(p_partkey % 11 + 3 AS DOUBLE) AS cy,
+             CAST(p_partkey % 13 + 5 AS DOUBLE) AS dx, CAST(p_partkey % 11 AS DOUBLE) AS dy
+      FROM part
+    )
+    SELECT gid,
+           CASE WHEN sign((bx-ax)*(cy-ay)-(by-ay)*(cx-ax))
+                     * sign((bx-ax)*(dy-ay)-(by-ay)*(dx-ax)) < 0
+                 AND sign((dx-cx)*(ay-cy)-(dy-cy)*(ax-cx))
+                     * sign((dx-cx)*(by-cy)-(dy-cy)*(bx-cx)) < 0
+                THEN TRUE ELSE FALSE END AS crosses
+    FROM s ORDER BY gid
+    """,
+)
+def crosses_segments(spark, sf_dir):
+    """crosses on segment pairs (reference: shapely/predicates.py:500,
+    DE-9IM dim-sensitive): proper interior-interior crossing of two open
+    segments. Oracle: the classic ccw sign test in SQL — the pairs are
+    built so boundary-touching/collinear degeneracies (where 'crosses'
+    and the strict sign test diverge) cannot occur."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = p.select(
+        k.alias("gid"),
+        (k % 17).cast("double").alias("ax"), (k % 11).cast("double").alias("ay"),
+        (k % 17 + 4).cast("double").alias("bx"), (k % 11 + 3).cast("double").alias("by"),
+        (k % 13).cast("double").alias("cx"), (k % 11 + 3).cast("double").alias("cy"),
+        (k % 13 + 5).cast("double").alias("dx"), (k % 11).cast("double").alias("dy"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.geom import linestring
+
+        for pdf in batches:
+            vals = [
+                bool(K.crosses(linestring([(ax, ay), (bx, by)]),
+                               linestring([(cx, cy), (dx, dy)])))
+                for ax, ay, bx, by, cx, cy, dx, dy in zip(
+                    pdf.ax, pdf.ay, pdf.bx, pdf.by, pdf.cx, pdf.cy, pdf.dx, pdf.dy)
+            ]
+            yield pd.DataFrame({"gid": pdf.gid, "crosses": pd.Series(vals, dtype="bool")})
+
+    return params.mapInPandas(gen, "gid long, crosses boolean").orderBy("gid")
