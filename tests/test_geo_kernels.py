@@ -378,3 +378,67 @@ def test_haversine():
     # quarter meridian ≈ 10,007.5 km
     d = K.haversine_km(0.0, 0.0, 90.0, 0.0)
     assert d == pytest.approx(math.pi / 2 * K.EARTH_RADIUS_KM, rel=1e-9)
+
+
+class TestCodecFuzz:
+    """Roundtrip fuzz: random geometries of every type survive WKB and WKT
+    byte-exactly (WKB) / to fp-print precision (WKT)."""
+
+    @staticmethod
+    def _rand_geom(rng, tid):
+        from shapely_spark.geo.geom import (
+            Geometry,
+            geometrycollection,
+            linestring,
+            multilinestring,
+            multipoint,
+            multipolygon,
+            point,
+            polygon,
+        )
+
+        def ring(n):
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+            r = rng.uniform(0.5, 3.0, n)
+            cx, cy = rng.uniform(-50, 50, 2)
+            return list(zip(cx + r * np.cos(ang), cy + r * np.sin(ang)))
+
+        if tid == 0:
+            return point(*rng.uniform(-50, 50, 2))
+        if tid == 1:
+            return linestring(rng.uniform(-50, 50, (rng.randint(2, 8), 2)))
+        if tid == 3:
+            return polygon(ring(rng.randint(3, 9)))
+        if tid == 4:
+            return multipoint(rng.uniform(-50, 50, (rng.randint(1, 5), 2)))
+        if tid == 5:
+            return multilinestring(
+                [rng.uniform(-50, 50, (rng.randint(2, 5), 2)) for _ in range(rng.randint(1, 4))])
+        if tid == 6:
+            return multipolygon([polygon(ring(rng.randint(3, 7))) for _ in range(rng.randint(1, 3))])
+        return geometrycollection(
+            [point(*rng.uniform(-50, 50, 2)), polygon(ring(4))])
+
+    def test_wkb_roundtrip_fuzz(self):
+        from shapely_spark.geo.wkb import from_wkb, to_wkb
+
+        rng = np.random.RandomState(77)
+        for _ in range(120):
+            tid = int(rng.choice([0, 1, 3, 4, 5, 6, 7]))
+            g = self._rand_geom(rng, tid)
+            g2 = from_wkb(to_wkb(g))
+            assert g2.type_id == g.type_id
+            assert np.array_equal(g2.all_coords(), g.all_coords())
+            # double roundtrip is byte-stable
+            assert to_wkb(g2) == to_wkb(g)
+
+    def test_wkt_roundtrip_fuzz(self):
+        from shapely_spark.geo.wkt import from_wkt, to_wkt
+
+        rng = np.random.RandomState(78)
+        for _ in range(60):
+            tid = int(rng.choice([0, 1, 3, 4, 5, 6, 7]))
+            g = self._rand_geom(rng, tid)
+            g2 = from_wkt(to_wkt(g, rounding_precision=12))
+            assert g2.type_id == g.type_id
+            assert np.allclose(g2.all_coords(), g.all_coords(), atol=1e-11)
