@@ -1,21 +1,32 @@
 """Deduplication operators for web-text corpora.
 
-Engine additions for the training-data pipeline. All hot paths stay
-JVM-side (xxhash64, higher-order array functions); only SimHash drops to a
-pandas UDF (bit-level accumulation).
+Engine additions for the training-data pipeline. Hot paths are either
+JVM expressions (shingling, tokenizing, one xxhash64 per shingle/token,
+banded bucketing, candidate equi-join) or vectorized Arrow-batched numpy
+(the 64-way MinHash family, the SimHash bit accumulation) — never
+row-at-a-time Python.
 
 - exact_dedup: hash-groupBy on content → keeper per group.
 - minhash_signatures / minhash_lsh_candidates / minhash_dedup_pairs:
-  shingle → 64-perm MinHash (xxhash64 salted) → banded LSH buckets →
-  candidate pairs → exact Jaccard verify. The standard scale path:
-  candidate generation is a groupBy on band-bucket (shuffle bounded by
-  bucket sizes), never an all-pairs join.
-- simhash_64: 64-bit SimHash + banded buckets for Hamming-near candidates.
+  shingle → xxhash64 base hash (JVM, once per shingle) → 64-way
+  multiply-shift universal family + per-position min (numpy, one pass)
+  → banded LSH buckets → candidate pairs → exact Jaccard verify. The
+  standard scale path: candidate generation is an equi-join on
+  band-bucket (shuffle bounded by bucket sizes), never an all-pairs join.
+- simhash_64 / simhash_candidates / simhash_dedup_pairs: 64-bit SimHash
+  over xxhash64 token hashes (JVM) with vectorized bit accumulation
+  (numpy segment sums) + banded buckets for Hamming-near candidates.
+
+Skew safety: both LSH candidate generators cap bucket size
+(`max_bucket`); a degenerate bucket (boilerplate/identical docs) would
+otherwise emit O(n²) pairs. Oversized buckets are DROPPED from candidate
+generation — run `exact_dedup` first so identical content never reaches
+LSH, and audit with `oversized_buckets()` (no silent truncation: the
+helper reports exactly which buckets were cut and how many docs each
+held).
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -24,6 +35,7 @@ from pyspark.sql import functions as F
 
 N_MINHASH = 64
 N_BANDS = 16  # 16 bands × 4 rows
+DEFAULT_MAX_BUCKET = 4096
 
 
 def shingles_col(text_col, n: int = 3):
@@ -52,29 +64,101 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _minhash_family(n_hashes: int, seed: int):
+    """Deterministic multiply-shift universal family over uint64: odd
+    multipliers + offsets. One strong base hash (xxhash64) + a linear
+    family is the standard cheap MinHash construction."""
+    rng = np.random.RandomState(seed)
+    A = rng.randint(0, 2**63, size=n_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    B = rng.randint(0, 2**63, size=n_hashes, dtype=np.uint64)
+    return A, B
+
+
+def _minhash_sig_udf(n_hashes: int, seed: int):
+    A, B = _minhash_family(n_hashes, seed)
+
+    @F.pandas_udf("array<long>")
+    def sig(hashes: pd.Series) -> pd.Series:
+        out: list = []
+        vals = [np.asarray(h, dtype=np.int64) for h in hashes]
+        lens = np.array([len(v) for v in vals], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.Series([None] * len(vals))
+        # chunk on doc boundaries so the (shingles × n_hashes) block stays
+        # cache-sized (CLAUDE.md: cache-block O(batch × targets) kernels)
+        CHUNK = 100_000
+        i = 0
+        while i < len(vals):
+            j, tot = i, 0
+            while j < len(vals) and (tot == 0 or tot + lens[j] <= CHUNK):
+                tot += lens[j]
+                j += 1
+            seg_lens = lens[i:j]
+            nz = seg_lens > 0
+            mins = None
+            if nz.any():
+                flat = np.concatenate([v for v in vals[i:j] if len(v)]).view(np.uint64)
+                M = flat[:, None] * A[None, :] + B[None, :]  # uint64 wraps
+                offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+                np.cumsum(seg_lens[nz][:-1], out=offsets[1:])
+                mins = np.minimum.reduceat(M, offsets, axis=0).view(np.int64)
+            k = 0
+            for keep in nz:
+                if keep:
+                    out.append(mins[k].tolist())
+                    k += 1
+                else:
+                    out.append(None)
+            i = j
+        return pd.Series(out)
+
+    return sig
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n_hashes: int = N_MINHASH, shingle_n: int = 3,
+    n_hashes: int = N_MINHASH, shingle_n: int = 3, seed: int = 7,
 ) -> DataFrame:
-    """(id, minhash array<long>) — min over shingles of xxhash64(shingle, salt_j),
-    one salted hash family per signature position. Entirely JVM expressions."""
+    """(id, minhash array<long>) — per-position min over the universal
+    family applied to xxhash64(shingle). One JVM hash per shingle, one
+    vectorized numpy pass for the 64-way family. Docs with no shingles
+    (shorter than shingle_n tokens) get a NULL signature — they cannot
+    near-dup and are dropped by the LSH stage."""
     sh = shingles_col(F.col(text_col), shingle_n)
-    mins = F.array(
-        *[
-            F.array_min(F.transform(F.col("__sh"), lambda s, j=j: F.xxhash64(s, F.lit(j))))
-            for j in range(n_hashes)
-        ]
-    )
-    return docs.select(F.col(id_col), sh.alias("__sh")).select(
-        id_col, mins.alias("minhash")
+    base = F.transform(sh, lambda s: F.xxhash64(s))
+    sig = _minhash_sig_udf(n_hashes, seed)
+    return docs.select(F.col(id_col), base.alias("__h")).select(
+        id_col, sig("__h").alias("minhash")
     )
 
 
-def minhash_lsh_candidates(
+def _cap_buckets(exploded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop buckets holding more than max_bucket docs (the O(n²) pair-bomb
+    guard). Inner join against the under-cap bucket list; AQE handles the
+    count-side skew."""
+    if max_bucket is None:
+        return exploded
+    ok = (
+        exploded.groupBy("bucket").agg(F.count("*").alias("__bc"))
+        .where(F.col("__bc") <= max_bucket)
+        .select("bucket")
+    )
+    return exploded.join(ok, "bucket")
+
+
+def oversized_buckets(exploded: DataFrame, max_bucket: int) -> DataFrame:
+    """Audit helper: (bucket, n_docs) for buckets the cap would drop."""
+    return (
+        exploded.groupBy("bucket").agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket)
+    )
+
+
+def minhash_band_buckets(
     sigs: DataFrame, id_col: str = "doc_id", n_bands: int = N_BANDS,
     n_hashes: int = N_MINHASH,
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket → candidate pairs (a < b)."""
+    """(id, bucket) — one row per band; bucket = hash of the band's rows."""
     rows_per_band = n_hashes // n_bands
     bands = F.array(
         *[
@@ -85,7 +169,17 @@ def minhash_lsh_candidates(
             for b in range(n_bands)
         ]
     )
-    exploded = sigs.select(F.col(id_col), F.explode(bands).alias("bucket"))
+    return sigs.where(F.col("minhash").isNotNull()).select(
+        F.col(id_col), F.explode(bands).alias("bucket")
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, id_col: str = "doc_id", n_bands: int = N_BANDS,
+    n_hashes: int = N_MINHASH, max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket → candidate pairs (a < b)."""
+    exploded = _cap_buckets(minhash_band_buckets(sigs, id_col, n_bands, n_hashes), max_bucket)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -95,17 +189,14 @@ def minhash_lsh_candidates(
     )
 
 
-def minhash_dedup_pairs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    threshold: float = 0.5, shingle_n: int = 3,
+def _verify_pairs(
+    docs: DataFrame, cand: DataFrame, text_col: str, id_col: str,
+    threshold: float, shingle_n: int,
 ) -> DataFrame:
-    """Full MinHash→LSH→verify pipeline: candidate pairs verified with exact
-    shingle-set Jaccard ≥ threshold. Output (doc_a, doc_b, jaccard)."""
+    """Exact shingle-set Jaccard verify over candidate pairs only."""
     sh = docs.select(F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("sh")).where(
         F.size("sh") > 0  # shingle-less docs (shorter than n tokens) can't near-dup
     )
-    sigs = minhash_signatures(docs, text_col, id_col, shingle_n=shingle_n)
-    cand = minhash_lsh_candidates(sigs, id_col)
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = cand.join(a, "doc_a").join(b, "doc_b")
@@ -119,46 +210,97 @@ def minhash_dedup_pairs(
     )
 
 
-def _md5_int64(token: str) -> int:
-    return int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "little", signed=True)
+def minhash_dedup_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.5, shingle_n: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: candidate pairs verified with exact
+    shingle-set Jaccard ≥ threshold. Output (doc_a, doc_b, jaccard)."""
+    sigs = minhash_signatures(docs, text_col, id_col, shingle_n=shingle_n)
+    cand = minhash_lsh_candidates(sigs, id_col, max_bucket=max_bucket)
+    return _verify_pairs(docs, cand, text_col, id_col, threshold, shingle_n)
 
 
 def simhash_64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over whitespace tokens (md5-derived token hashes —
-    deterministic across processes, unlike Python's builtin hash)."""
+    """64-bit SimHash over whitespace tokens. Token hashes are xxhash64
+    JVM-side (one hash per token); the 64-way ±1 bit accumulation is a
+    vectorized numpy segment sum — no per-token Python."""
+    toks = F.split(F.col(text_col), " ")
+    base = F.transform(toks, lambda t: F.xxhash64(t))
+    shifts = np.arange(64, dtype=np.uint64)
 
-    def gen(batches):
-        for pdf in batches:
-            out = []
-            for t in pdf[text_col]:
-                toks = t.split(" ") if t else []
-                acc = np.zeros(64, dtype=np.int64)
-                for tok in toks:
-                    h = _md5_int64(tok)
-                    bits = (h >> np.arange(64)) & 1
-                    acc += np.where(bits == 1, 1, -1)
-                sh = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-                out.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
-            yield pd.DataFrame({id_col: pdf[id_col], "simhash": pd.Series(out, dtype="int64")})
+    @F.pandas_udf("long")
+    def sim(hashes: pd.Series) -> pd.Series:
+        vals = [np.asarray(h, dtype=np.int64) for h in hashes]
+        lens = np.array([len(v) for v in vals], dtype=np.int64)
+        out = np.zeros(len(vals), dtype=np.int64)
+        CHUNK = 100_000
+        i = 0
+        while i < len(vals):
+            j, tot = i, 0
+            while j < len(vals) and (tot == 0 or tot + lens[j] <= CHUNK):
+                tot += lens[j]
+                j += 1
+            seg_lens = lens[i:j]
+            nz = seg_lens > 0
+            if nz.any():
+                flat = np.concatenate([v for v in vals[i:j] if len(v)]).view(np.uint64)
+                bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+                contrib = 2 * bits - 1
+                offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+                np.cumsum(seg_lens[nz][:-1], out=offsets[1:])
+                acc = np.add.reduceat(contrib, offsets, axis=0)
+                packed = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                ).view(np.int64)
+                out[np.arange(i, j)[nz]] = packed
+            i = j
+        return pd.Series(out)
 
-    return docs.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, simhash long")
+    return docs.select(id_col, base.alias("__th")).select(
+        id_col, sim("__th").alias("simhash")
+    )
 
 
-def simhash_candidates(sim: DataFrame, id_col: str = "doc_id", bands: int = 4) -> DataFrame:
-    """Docs sharing any 16-bit SimHash band (Hamming ≤ ~3·16 heuristic)."""
+def simhash_band_buckets(sim: DataFrame, id_col: str = "doc_id", bands: int = 4) -> DataFrame:
+    """(id, bucket) — one row per SimHash band (64/bands bits each)."""
     width = 64 // bands
     mask = (1 << width) - 1
     band_arr = F.array(
         *[
             (F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
-             + F.lit(b << 32)).cast("long")
+             + F.lit(b << 48)).cast("long")
             for b in range(bands)
         ]
     )
-    e = sim.select(F.col(id_col), F.explode(band_arr).alias("bucket"))
+    return sim.select(F.col(id_col), F.explode(band_arr).alias("bucket"))
+
+
+def simhash_candidates(
+    sim: DataFrame, id_col: str = "doc_id", bands: int = 4,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Docs sharing any SimHash band (Hamming ≤ 64·(bands-1)/bands heuristic
+    guarantee: any pair within Hamming < bands shares ≥1 intact band)."""
+    e = _cap_buckets(simhash_band_buckets(sim, id_col, bands), max_bucket)
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def simhash_dedup_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.5, shingle_n: int = 3, bands: int = 8,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """SimHash→banded candidates→exact-Jaccard verify. Same output contract
+    as minhash_dedup_pairs (doc_a, doc_b, jaccard ≥ threshold): the
+    sketch only generates candidates; the verify stage makes the result
+    exact-checkable (candidates ⊇ true pairs ⇒ output = true pairs)."""
+    sim = simhash_64(docs, text_col, id_col)
+    cand = simhash_candidates(sim, id_col, bands=bands, max_bucket=max_bucket)
+    return _verify_pairs(docs, cand, text_col, id_col, threshold, shingle_n)

@@ -144,3 +144,71 @@ def test_ivf_probe_recall(spark):
            cosine_topk_ivf(e, e, k=1, n_lists=8, nprobe=2).collect()}
     hits = sum(1 for q, t in bf.items() if ivf.get(q) == t)
     assert hits / len(bf) >= 0.5
+
+
+def test_minhash_signature_family_independence(docs):
+    """Regression for the r1 salt bug (a 2-arg transform lambda binds the
+    array INDEX, collapsing all 64 positions to one hash function): two
+    docs sharing ~37/38 shingles must agree on ~sim·64 signature positions,
+    and the 64 positions of one signature must not all be equal."""
+    from shapely_spark.text.dedup import minhash_signatures
+
+    sigs = {r.doc_id: np.array(r.minhash) for r in minhash_signatures(docs).collect()}
+    a, b = sigs[0], sigs[100]  # planted near-dup pair (1 of 40 words changed)
+    agree = int((a == b).sum())
+    assert agree >= 48, f"near-dup signature agreement {agree}/64 too low"
+    assert len(set(a.tolist())) > 32, "signature positions are not independent"
+    # exact dup → identical signature
+    assert (sigs[20] == sigs[200]).all()
+
+
+def test_minhash_short_doc_null_signature(spark):
+    from shapely_spark.text.dedup import minhash_signatures
+
+    d = spark.createDataFrame([(1, "only two"), (2, "a b c d")], "doc_id long, text string")
+    out = {r.doc_id: r.minhash for r in minhash_signatures(d).collect()}
+    assert out[1] is None
+    assert out[2] is not None and len(out[2]) == 64
+
+
+def test_lsh_bucket_cap_bounds_adversarial_corpus(spark):
+    """A duplicate-heavy corpus (one boilerplate text repeated 300×) must
+    not emit O(n²) candidate pairs when the bucket cap is on, and the
+    audit helper must report the dropped buckets (no silent truncation)."""
+    from shapely_spark.text.dedup import (
+        minhash_band_buckets, minhash_lsh_candidates, minhash_signatures,
+        oversized_buckets,
+    )
+
+    boiler = " ".join(f"tok{i}" for i in range(30))
+    rows = [(i, boiler) for i in range(300)] + [
+        (1000 + i, " ".join(f"u{i}w{j}" for j in range(30))) for i in range(20)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(d)
+    capped = minhash_lsh_candidates(sigs, max_bucket=50)
+    assert capped.count() == 0  # boilerplate bucket dropped, uniques don't collide
+    audit = oversized_buckets(minhash_band_buckets(sigs), max_bucket=50).collect()
+    assert len(audit) >= 1 and all(r.n_docs == 300 for r in audit)
+    uncapped = minhash_lsh_candidates(sigs, max_bucket=None)
+    assert uncapped.count() == 300 * 299 // 2
+
+
+def test_simhash_dedup_pairs_matches_exact(docs):
+    """SimHash candidates + exact verify finds exactly the planted pairs."""
+    from shapely_spark.text.dedup import simhash_dedup_pairs
+
+    pairs = {(r.doc_a, r.doc_b) for r in simhash_dedup_pairs(docs, threshold=0.5).collect()}
+    planted = {(i, 100 + i) for i in range(10)} | {(20, 200)}
+    assert pairs == planted
+
+
+def test_ann_recall_contract_row(spark, vectors):
+    from shapely_spark.ann.search import (
+        cosine_topk_bruteforce, cosine_topk_lsh, topk_recall_contract,
+    )
+
+    lsh = cosine_topk_lsh(vectors, vectors, k=1, n_tables=16, n_bits=4)
+    brute = cosine_topk_bruteforce(vectors, vectors, k=1)
+    row = topk_recall_contract(lsh, brute, floor=0.8).first()
+    assert row.recall_ok and row.n_queries == vectors.count() and row.floor == 0.8
