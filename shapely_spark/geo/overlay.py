@@ -516,10 +516,51 @@ def _face_rings(segments: np.ndarray, tol: float) -> list[np.ndarray]:
     return _stitch(both, max(tol, 1e-11))
 
 
+def _ring_strictly_contains(shell: np.ndarray, ring: np.ndarray) -> bool:
+    """True iff some vertex of `ring` that is NOT on `shell`'s boundary lies
+    strictly inside `shell` (GEOS EdgeRing-style containment probe: rings of
+    the same noded arrangement never properly cross, so one off-boundary
+    vertex decides containment)."""
+    cls = K.points_in_rings_class(ring[:-1, 0], ring[:-1, 1], [shell])
+    off = cls != BOUNDARY
+    if not off.any():
+        return False  # same linework (a face and its own reverse walk)
+    return bool(cls[off][0] == INTERIOR)
+
+
+def _nest_faces(rings: list[np.ndarray], tol: float) -> list[Geometry]:
+    """Ring-containment nesting (GEOS polygonizer EdgeRing tree,
+    reference: shapely/constructive.py:884 semantics): CCW walks are face
+    shells; CW walks are either the unbounded face of their component
+    (discarded) or the boundary between a containing face and a nested
+    component — assigned as a hole of the SMALLEST shell that strictly
+    contains them (the immediate parent face; exactly one assignment, so
+    nothing is double-subtracted under deeper nesting)."""
+    eps = tol * tol * 100
+    shells, hole_rings = [], []
+    for r in rings:
+        a = signed_ring_area(r)
+        if a > eps:
+            shells.append((a, r))
+        elif a < -eps:
+            hole_rings.append(r)
+    shells.sort(key=lambda t: t[0])  # smallest-area-first → innermost parent
+    rings_per_shell: list[list[np.ndarray]] = [[s] for _, s in shells]
+    for h in hole_rings:
+        for i, (_, s) in enumerate(shells):
+            if _ring_strictly_contains(s, h):
+                rings_per_shell[i].append(h)  # CW walk is already hole-oriented
+                break
+        # no strict container → the global unbounded face: discard
+    return [Geometry(POLYGON, rings=rs) for rs in rings_per_shell]
+
+
 def polygonize(lines) -> Geometry:
     """Lines → maximal planar faces (reference: shapely/constructive.py:884;
     ops.py:44 polygonize). Returns a GeometryCollection of polygons, like
-    the reference's collection output."""
+    the reference's collection output. Nested (non-crossing) rings nest as
+    holes of their immediate parent face — two concentric squares yield an
+    annulus face plus the inner face, not two overlapping filled faces."""
     segs = []
     for g in lines:
         if g is None or g.is_empty:
@@ -534,55 +575,40 @@ def polygonize(lines) -> Geometry:
     span = max(1.0, float(np.abs(segments).max()))
     tol = span * 1e-10
     rings = _face_rings(segments, tol)
-    polys = []
-    for r in rings:
-        a = signed_ring_area(r)
-        if a > tol * tol * 100:  # CCW bounded faces only
-            polys.append(Geometry(POLYGON, rings=[r]))
-    return Geometry(GEOMETRYCOLLECTION, parts=polys)
+    return Geometry(GEOMETRYCOLLECTION, parts=_nest_faces(rings, tol))
 
 
 def build_area(geom: Geometry) -> Geometry:
-    """Form polygons from the constituent linework of the input, holes
-    subtracted by even-odd face depth (reference: shapely/constructive.py:654
-    GEOSBuildArea). Faces covered an odd number of times become area."""
+    """Form polygons from the constituent linework of the input
+    (reference: shapely/constructive.py:654 GEOSBuildArea): faces at even
+    nesting depth in the shell-containment tree become area (keeping their
+    immediate holes); faces at odd depth are holes and are dropped. Two
+    concentric squares → the holed annulus; three → annulus + filled core."""
     if geom is None or geom.is_empty:
         return empty(POLYGON)
-    faces = polygonize([geom])
-    polys = [p for p in (faces.parts or [])]
-    if not polys:
+    faces = [p for p in (polygonize([geom]).parts or [])]
+    if not faces:
         return empty(POLYGON)
-    # classify each face's interior point against every face ring: depth =
-    # number of OTHER faces containing it; odd total coverage (incl. itself)
-    # at even depth → keep as shell, odd depth → hole boundary
     from .constructive import point_on_surface
 
-    reps = [point_on_surface(p).coords[0] for p in polys]
-    keep_shell, holes = [], []
-    for i, p in enumerate(polys):
+    reps = [point_on_surface(p).coords[0] for p in faces]
+    out = []
+    for i, p in enumerate(faces):
         depth = 0
-        for j, q in enumerate(polys):
+        for j, q in enumerate(faces):
             if i == j:
                 continue
+            # depth counts SHELL containment only (the hole regions of q
+            # still nest p's rep point inside q's shell ring)
             cls = K.points_in_rings_class(
-                np.array([reps[i][0]]), np.array([reps[i][1]]), q.rings
+                np.array([reps[i][0]]), np.array([reps[i][1]]), [q.rings[0]]
             )[0]
             if cls == INTERIOR:
                 depth += 1
         if depth % 2 == 0:
-            keep_shell.append(p)
-        else:
-            holes.append(p)
-    if not keep_shell:
+            out.append(p)
+    if not out:
         return empty(POLYGON)
-    out = []
-    for p in keep_shell:
-        rings = list(p.rings)
-        for h in holes:
-            hx, hy = h.rings[0][0]
-            if K.points_in_rings_class(np.array([hx]), np.array([hy]), p.rings)[0] >= BOUNDARY:
-                rings.append(h.rings[0][::-1])
-        out.append(Geometry(POLYGON, rings=rings))
     if len(out) == 1:
         return out[0]
     return multipolygon(out)

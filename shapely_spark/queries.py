@@ -916,11 +916,18 @@ WITH sh AS (
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
   WHERE len(w) >= 3
 ),
+e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+),
 p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         round(len(list_intersect(a.s, b.s))::DOUBLE
-               / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  SELECT cand.da AS doc_a, cand.db AS doc_b,
+         round(len(list_intersect(sa.s, sb.s))::DOUBLE
+               / len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.da
+  JOIN sh sb ON sb.doc_id = cand.db
 )
 SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.2
 ORDER BY doc_a, doc_b

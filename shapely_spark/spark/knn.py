@@ -263,6 +263,32 @@ def knn_join_broadcast(
                 }
             )
             if excl:
+                # ≥2 coincident targets eat the single reserved extra slot
+                # (keff = k+1) and would leave < k neighbors: re-scan those
+                # rows exactly over all targets (rare — duplicate target
+                # coordinates only)
+                nzero = (best_d <= 0.0).sum(axis=1)
+                bad = np.nonzero(nzero > 1)[0]
+                if len(bad):
+                    keep_mask = ~np.isin(np.repeat(np.arange(n), dd.shape[1]), bad)
+                    out = out[keep_mask]
+                    pids = pdf["__pid"].to_numpy()
+                    extra = []
+                    for r in bad:
+                        aa = (
+                            np.sin((tl - pl[r]) / 2.0) ** 2
+                            + np.cos(pl[r]) * np.cos(tl) * np.sin((tn - pn[r]) / 2.0) ** 2
+                        )
+                        d_all = R2 * np.arcsin(np.sqrt(np.clip(aa, 0.0, 1.0)))
+                        ordx = np.lexsort((ids, d_all))
+                        ordx = ordx[d_all[ordx] > 0.0][:kk]
+                        extra.append(pd.DataFrame({
+                            point_id: np.repeat(pids[r], len(ordx)),
+                            target_id: ids[ordx],
+                            "dist_km": d_all[ordx],
+                            "knn_rank": np.arange(1, len(ordx) + 1, dtype=np.int32),
+                        }))
+                    out = pd.concat([out] + extra, ignore_index=True)
                 out = out[(out["dist_km"] > 0) & (out["knn_rank"] <= kk + 1)]
                 out = out.assign(
                     knn_rank=out.groupby(point_id).cumcount().astype("int32") + 1

@@ -140,3 +140,23 @@ def test_knn_exclusive_self_join(spark):
         pts, tgts, k=1, exclusive=True, point_id="pid").collect()}
     assert got2 == {r.pid: r.target_id for r in knn_join_broadcast(
         pts, tgts, k=1, exclusive=True, point_id="pid").collect()}
+
+
+def test_knn_broadcast_exclusive_duplicate_targets(spark):
+    """≥2 targets coinciding with the query point must still yield k
+    neighbors in exclusive mode (regression: one reserved slot was eaten
+    by the second zero-distance duplicate)."""
+    from shapely_spark.spark.knn import knn_join_broadcast
+
+    pts = spark.createDataFrame([(1, 10.0, 20.0)], "pid long, lat double, lon double")
+    tgts = spark.createDataFrame(
+        [(100, 10.0, 20.0), (101, 10.0, 20.0), (102, 10.0, 20.0),
+         (200, 10.5, 20.0), (201, 11.0, 20.0), (202, 11.5, 20.0)],
+        "tid long, lat double, lon double",
+    )
+    out = knn_join_broadcast(
+        pts, tgts, k=2, point_id="pid", target_id="tid",
+        point_cols=("lat", "lon"), target_cols=("lat", "lon"), exclusive=True,
+    ).collect()
+    got = sorted((r.knn_rank, r.tid) for r in out)
+    assert got == [(1, 200), (2, 201)], got

@@ -355,3 +355,54 @@ class TestRaggedLayout:
             assert g2.type_id == g.type_id
             assert np.allclose(g2.all_coords()[:, :2], g.all_coords()[:, :2])
             assert K.area(g2) == pytest.approx(K.area(g))
+
+
+class TestRingNesting:
+    """Containment-tree goldens (GEOS polygonizer/BuildArea semantics) for
+    nested non-crossing rings — regression for the filled-face bug."""
+
+    def test_polygonize_concentric_squares_nest_as_hole(self):
+        from shapely_spark.geo import from_wkt, polygonize
+        from shapely_spark.geo import kernels as K
+
+        outer = from_wkt("LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0)")
+        inner = from_wkt("LINESTRING (3 3, 7 3, 7 7, 3 7, 3 3)")
+        faces = polygonize([outer, inner]).parts
+        assert sorted(round(K.area(p), 6) for p in faces) == [16.0, 84.0]
+        annulus = max(faces, key=K.area)
+        assert len(annulus.rings) == 2  # shell + hole, not a filled face
+
+    def test_build_area_shell_plus_hole(self):
+        from shapely_spark.geo import from_wkt, build_area
+        from shapely_spark.geo import kernels as K
+
+        mls = from_wkt(
+            "MULTILINESTRING ((0 0, 10 0, 10 10, 0 10, 0 0),"
+            " (3 3, 7 3, 7 7, 3 7, 3 3))"
+        )
+        out = build_area(mls)
+        assert round(K.area(out), 6) == 84.0
+        assert len(out.rings) == 2
+
+    def test_build_area_three_concentric_even_odd(self):
+        from shapely_spark.geo import from_wkt, build_area
+        from shapely_spark.geo import kernels as K
+
+        mls = from_wkt(
+            "MULTILINESTRING ((0 0, 10 0, 10 10, 0 10, 0 0),"
+            " (3 3, 7 3, 7 7, 3 7, 3 3), (4 4, 6 4, 6 6, 4 6, 4 4))"
+        )
+        # even-odd: annulus (depth 0) + filled core (depth 2) = 84 + 4
+        assert round(K.area(build_area(mls)), 6) == 88.0
+
+    def test_build_area_siblings_single_parent(self):
+        from shapely_spark.geo import from_wkt, build_area
+        from shapely_spark.geo import kernels as K
+
+        mls = from_wkt(
+            "MULTILINESTRING ((0 0, 10 0, 10 10, 0 10, 0 0),"
+            " (1 1, 3 1, 3 3, 1 3, 1 1), (6 6, 8 6, 8 8, 6 8, 6 6))"
+        )
+        out = build_area(mls)
+        assert round(K.area(out), 6) == 92.0  # 100 - 4 - 4
+        assert len(out.rings) == 3

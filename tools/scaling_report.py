@@ -31,6 +31,9 @@ def load(path):
 
 
 def table(rows, hw_eff=None):
+    """hw_eff: optional {cpus: seconds} pure-CPU calibration times; adds a
+    hardware-ceiling row so each path's efficiency can be read relative to
+    what the VM itself achieves on embarrassingly-parallel work."""
     rows = sorted(rows, key=lambda r: r["cpus"])
     cpus = [r["cpus"] for r in rows]
     hdr = ["path"] + [f"local[{c}] s" for c in cpus]
@@ -54,12 +57,33 @@ def table(rows, hw_eff=None):
     for (a, b), (ca, cb) in zip(zip(totals, totals[1:]), zip(cpus, cpus[1:])):
         cells.append(f"**{a / b / (cb / ca):.2f}**")
     lines.append("| " + " | ".join(cells) + " |")
+    if hw_eff:
+        t = [hw_eff.get(c) for c in cpus]
+        cells = ["hw ceiling (pure CPU)"] + [
+            f"{v:.2f}" if v is not None else "—" for v in t
+        ]
+        for (a, b), (ca, cb) in zip(zip(t, t[1:]), zip(cpus, cpus[1:])):
+            if a is None or b is None:
+                cells.append("—")
+            else:
+                cells.append(f"{a / b / (cb / ca):.2f}")
+        lines.append("| " + " | ".join(cells) + " |")
     return "\n".join(lines)
+
+
+def _parse_hw(s):
+    out = {}
+    for part in s.split(","):
+        c, sec = part.split(":")
+        out[int(c)] = float(sec)
+    return out
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("jsonl")
+    ap.add_argument("--hw", type=_parse_hw, default=None,
+                    help="pure-CPU calibration as cpus:sec pairs, e.g. 2:60.74,8:16.09,32:5.49")
     args = ap.parse_args()
     rows = load(args.jsonl)
     by_size = {}
@@ -67,7 +91,7 @@ def main():
         by_size.setdefault(r["extras"].get("pages_rows"), []).append(r)
     for size, rs in sorted(by_size.items()):
         print(f"\n### {size:,} pages\n")
-        print(table(rs))
+        print(table(rs, hw_eff=args.hw))
         for r in sorted(rs, key=lambda r: r["cpus"]):
             e = r["extras"]
             print(f"\n- local[{r['cpus']}]: join "
