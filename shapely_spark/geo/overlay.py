@@ -369,6 +369,206 @@ def _overlay(a: Geometry, b: Geometry, op: str) -> Geometry:
     return _assemble(rings, max(tol, 1e-11))
 
 
+# ---------------------------------------------------------------------------
+# lineal overlay (reference: shapely/set_operations.py:114,41,247,395 —
+# GEOS OverlayNG supports every type combo; these cover line×line,
+# line×polygon, point×line and the degenerate polygon×polygon results)
+# ---------------------------------------------------------------------------
+
+def _is_lineal(g: Geometry) -> bool:
+    from .geom import LINESTRING, MULTILINESTRING
+
+    if g.type_id in (LINESTRING, MULTILINESTRING):
+        return True
+    if g.type_id == GEOMETRYCOLLECTION:
+        return bool(g.parts) and all(_is_lineal(p) for p in g.parts)
+    return False
+
+
+def _line_edges(g: Geometry) -> np.ndarray:
+    """(n,4) directed segments of all constituent lines."""
+    segs = []
+    for c in g.coord_seqs():
+        c2 = np.asarray(c, dtype=np.float64)[:, :2]
+        if len(c2) >= 2:
+            segs.append(np.column_stack([c2[:-1], c2[1:]]))
+    return np.concatenate(segs, axis=0) if segs else np.zeros((0, 4))
+
+
+def _overlay_tol(*edge_sets) -> float:
+    span = 1.0
+    for e in edge_sets:
+        if len(e):
+            span = max(span, float(np.abs(e).max()))
+    return span * 1e-10
+
+
+def _lines_from_frags(frags: np.ndarray) -> Geometry:
+    """Fragment segments → merged (Multi)LineString via line_merge."""
+    from .constructive import line_merge
+    from .geom import LINESTRING, MULTILINESTRING
+
+    if len(frags) == 0:
+        return empty(LINESTRING)
+    parts = [Geometry(LINESTRING, coords=f.reshape(2, 2)) for f in frags]
+    merged = line_merge(Geometry(MULTILINESTRING, parts=parts))
+    return merged
+
+
+def _crossing_touch_points(ea: np.ndarray, eb: np.ndarray, tol: float) -> np.ndarray:
+    """0-D intersection candidates between two noded-independent segment
+    sets: proper/endpoint crossings plus endpoint-on-segment touches
+    (covers collinear end-to-end touches, which have no crossing param)."""
+    pts = []
+    if len(ea) and len(eb):
+        x1, y1 = ea[:, 0][:, None], ea[:, 1][:, None]
+        dx1, dy1 = (ea[:, 2] - ea[:, 0])[:, None], (ea[:, 3] - ea[:, 1])[:, None]
+        x3, y3 = eb[:, 0][None, :], eb[:, 1][None, :]
+        dx2, dy2 = (eb[:, 2] - eb[:, 0])[None, :], (eb[:, 3] - eb[:, 1])[None, :]
+        ex, ey = x3 - x1, y3 - y1
+        denom = dx1 * dy2 - dy1 * dx2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (ex * dy2 - ey * dx2) / denom
+            u = (ex * dy1 - ey * dx1) / denom
+        hit = (np.abs(denom) > tol) & (t >= -1e-9) & (t <= 1 + 1e-9) \
+            & (u >= -1e-9) & (u <= 1 + 1e-9)
+        ii, jj = np.nonzero(hit)
+        if len(ii):
+            px = ea[ii, 0] + t[ii, jj] * (ea[ii, 2] - ea[ii, 0])
+            py = ea[ii, 1] + t[ii, jj] * (ea[ii, 3] - ea[ii, 1])
+            pts.append(np.column_stack([px, py]))
+    for src, tgt in ((ea, eb), (eb, ea)):
+        if len(src) and len(tgt):
+            ends = np.concatenate([src[:, :2], src[:, 2:]], axis=0)
+            on = K.points_on_segments(ends[:, 0], ends[:, 1], tgt, eps=tol)
+            if on.any():
+                pts.append(ends[on])
+    if not pts:
+        return np.zeros((0, 2))
+    allp = np.concatenate(pts, axis=0)
+    _, idx = np.unique(np.round(allp / max(tol, 1e-12)).astype(np.int64),
+                       axis=0, return_index=True)
+    return allp[np.sort(idx)]
+
+
+def _points_geom(pts: np.ndarray) -> Geometry:
+    if len(pts) == 0:
+        return empty(POINT)
+    if len(pts) == 1:
+        return point(pts[0, 0], pts[0, 1])
+    return Geometry(MULTIPOINT, parts=[point(x, y) for x, y in pts])
+
+
+def _mixed_result(lines: Geometry, pts: np.ndarray, empty_type: int) -> Geometry:
+    """Combine 1-D and 0-D pieces per GEOS conventions: homogeneous when
+    possible, GEOMETRYCOLLECTION when genuinely mixed."""
+    from .geom import LINESTRING
+
+    has_lines = lines is not None and not lines.is_empty
+    if has_lines and len(pts):
+        return Geometry(GEOMETRYCOLLECTION,
+                        parts=[*_as_parts(lines), *(point(x, y) for x, y in pts)])
+    if has_lines:
+        return lines
+    if len(pts):
+        return _points_geom(pts)
+    return empty(empty_type if empty_type is not None else LINESTRING)
+
+
+def _as_parts(g: Geometry) -> list[Geometry]:
+    from .geom import MULTILINESTRING
+
+    if g.type_id in (MULTIPOINT, MULTIPOLYGON, GEOMETRYCOLLECTION, MULTILINESTRING):
+        return list(g.parts or [])
+    return [g]
+
+
+def _line_line_intersection(a: Geometry, b: Geometry) -> Geometry:
+    from .geom import LINESTRING
+
+    ea, eb = _line_edges(a), _line_edges(b)
+    tol = _overlay_tol(ea, eb)
+    fa = _fragments(ea, _split_params(ea, eb, tol))
+    shared = np.zeros((0, 4))
+    if len(fa) and len(eb):
+        mx, my = (fa[:, 0] + fa[:, 2]) / 2.0, (fa[:, 1] + fa[:, 3]) / 2.0
+        on_b = K.points_on_segments(mx, my, eb, eps=tol)
+        shared = fa[on_b]
+    pts = _crossing_touch_points(ea, eb, tol)
+    if len(pts) and len(shared):
+        on_shared = K.points_on_segments(pts[:, 0], pts[:, 1], shared, eps=tol)
+        pts = pts[~on_shared]
+    return _mixed_result(_lines_from_frags(shared), pts, LINESTRING)
+
+
+def _line_line_difference(a: Geometry, b: Geometry) -> Geometry:
+    ea, eb = _line_edges(a), _line_edges(b)
+    tol = _overlay_tol(ea, eb)
+    fa = _fragments(ea, _split_params(ea, eb, tol))
+    if len(fa) and len(eb):
+        mx, my = (fa[:, 0] + fa[:, 2]) / 2.0, (fa[:, 1] + fa[:, 3]) / 2.0
+        fa = fa[~K.points_on_segments(mx, my, eb, eps=tol)]
+    return _lines_from_frags(fa)
+
+
+def _line_union(a: Geometry, b: Geometry) -> Geometry:
+    """Noded union of the combined linework (GEOS union of lines)."""
+    from .geom import MULTILINESTRING
+
+    merged = node(Geometry(GEOMETRYCOLLECTION, parts=[a, b]))
+    out = _lines_from_frags(_line_edges(merged))
+    if out.is_empty:
+        return Geometry(MULTILINESTRING, parts=[])
+    return out
+
+
+def _line_poly_frags(line: Geometry, poly: Geometry, tol: float):
+    """Fragments of `line` noded at the polygon boundary + midpoint class."""
+    el = _line_edges(line)
+    rings = _poly_rings_oriented(poly)
+    ebnd = _edges_of(rings)
+    fa = _fragments(el, _split_params(el, ebnd, tol))
+    if len(fa) == 0:
+        return fa, np.zeros(0, dtype=np.int8), el, ebnd
+    mx, my = (fa[:, 0] + fa[:, 2]) / 2.0, (fa[:, 1] + fa[:, 3]) / 2.0
+    cls = K.points_in_rings_class(mx, my, rings)
+    onb = K.points_on_segments(mx, my, ebnd, eps=tol)
+    cls = np.where(onb, np.int8(BOUNDARY), cls)
+    return fa, cls, el, ebnd
+
+
+def _line_poly_intersection(line: Geometry, poly: Geometry) -> Geometry:
+    from .geom import LINESTRING
+
+    el = _line_edges(line)
+    tol = _overlay_tol(el, _edges_of(_poly_rings_oriented(poly)))
+    fa, cls, el, ebnd = _line_poly_frags(line, poly, tol)
+    keep = fa[cls >= BOUNDARY] if len(fa) else fa
+    lines = _lines_from_frags(keep)
+    if not lines.is_empty:
+        return lines
+    # isolated boundary touches only (no 1-D part)
+    pts = _crossing_touch_points(el, ebnd, tol)
+    return _mixed_result(lines, pts, LINESTRING)
+
+
+def _line_poly_difference(line: Geometry, poly: Geometry) -> Geometry:
+    el = _line_edges(line)
+    tol = _overlay_tol(el, _edges_of(_poly_rings_oriented(poly)))
+    fa, cls, _, _ = _line_poly_frags(line, poly, tol)
+    keep = fa[cls == EXTERIOR] if len(fa) else fa
+    return _lines_from_frags(keep)
+
+
+def _collection(parts: list[Geometry]) -> Geometry:
+    parts = [p for p in parts if p is not None and not p.is_empty]
+    if not parts:
+        return empty(GEOMETRYCOLLECTION)
+    if len(parts) == 1:
+        return parts[0]
+    return Geometry(GEOMETRYCOLLECTION, parts=parts)
+
+
 def intersection(a: Geometry, b: Geometry, grid_size: float = 0.0) -> Geometry:
     """reference: shapely/set_operations.py:114."""
     if grid_size:
@@ -383,17 +583,45 @@ def intersection(a: Geometry, b: Geometry, grid_size: float = 0.0) -> Geometry:
     if _is_pointish(a) or _is_pointish(b):
         pts_g, other = (a, b) if _is_pointish(a) else (b, a)
         pc = _points_of(pts_g)
-        cls = K.points_in_rings_class(pc[:, 0], pc[:, 1], _poly_rings_oriented(other)) \
-            if _is_polygonal(other) else np.zeros(len(pc))
-        keep = pc[cls >= BOUNDARY]
-        if len(keep) == 0:
-            return empty(POINT)
-        if len(keep) == 1:
-            return point(keep[0, 0], keep[0, 1])
-        return Geometry(MULTIPOINT, parts=[point(x, y) for x, y in keep])
+        if _is_polygonal(other):
+            cls = K.points_in_rings_class(pc[:, 0], pc[:, 1], _poly_rings_oriented(other))
+            keep = pc[cls >= BOUNDARY]
+        elif _is_lineal(other):
+            el = _line_edges(other)
+            tol = _overlay_tol(el)
+            keep = pc[K.points_on_segments(pc[:, 0], pc[:, 1], el, eps=tol)] \
+                if len(pc) and len(el) else np.zeros((0, 2))
+        else:  # point × point
+            pb = _points_of(other)
+            keep = np.array([p for p in pc if (np.abs(pb - p).max(axis=1) < 1e-12).any()]) \
+                if len(pc) and len(pb) else np.zeros((0, 2))
+        return _points_geom(keep)
     if _is_polygonal(a) and _is_polygonal(b):
-        return _overlay(a, b, "intersection")
-    raise NotImplementedError("overlay supports point/polygon inputs")
+        out = _overlay(a, b, "intersection")
+        if out is not None and not out.is_empty:
+            return out
+        # interiors disjoint: closed-set intersection degenerates to the
+        # shared boundary (edge → LineString, corner → Point; GEOS
+        # overlayng returns the lower-dimensional geometry, not EMPTY)
+        from .geom import LINESTRING
+
+        ba = Geometry(GEOMETRYCOLLECTION, parts=[
+            Geometry(LINESTRING, coords=r) for r in _poly_rings_oriented(a)
+        ])
+        bb = Geometry(GEOMETRYCOLLECTION, parts=[
+            Geometry(LINESTRING, coords=r) for r in _poly_rings_oriented(b)
+        ])
+        deg = _line_line_intersection(ba, bb)
+        return deg if not deg.is_empty else out
+    if _is_lineal(a) and _is_lineal(b):
+        return _line_line_intersection(a, b)
+    if _is_lineal(a) and _is_polygonal(b):
+        return _line_poly_intersection(a, b)
+    if _is_polygonal(a) and _is_lineal(b):
+        return _line_poly_intersection(b, a)
+    raise NotImplementedError(
+        f"intersection: unsupported type combination ({a.type_id}, {b.type_id})"
+    )
 
 
 def union(a: Geometry, b: Geometry, grid_size: float = 0.0) -> Geometry:
@@ -417,7 +645,21 @@ def union(a: Geometry, b: Geometry, grid_size: float = 0.0) -> Geometry:
         pts = np.vstack([_points_of(a), _points_of(b)])
         pts = np.unique(pts, axis=0)
         return Geometry(MULTIPOINT, parts=[point(x, y) for x, y in pts])
-    raise NotImplementedError("overlay supports point/polygon inputs")
+    if _is_lineal(a) and _is_lineal(b):
+        return _line_union(a, b)
+    if _is_lineal(a) and _is_polygonal(b):
+        return _collection([b, _line_poly_difference(a, b)])
+    if _is_polygonal(a) and _is_lineal(b):
+        return _collection([a, _line_poly_difference(b, a)])
+    if _is_pointish(a) and not _is_pointish(b):
+        return union(b, a)
+    if _is_pointish(b):
+        # higher-dim ∪ points: points already covered by `a` dissolve
+        leftover = difference(b, a)
+        return _collection([a, leftover])
+    raise NotImplementedError(
+        f"union: unsupported type combination ({a.type_id}, {b.type_id})"
+    )
 
 
 def difference(a: Geometry, b: Geometry, grid_size: float = 0.0) -> Geometry:
@@ -435,16 +677,32 @@ def difference(a: Geometry, b: Geometry, grid_size: float = 0.0) -> Geometry:
         return a
     if _is_polygonal(a) and _is_polygonal(b):
         return _overlay(a, b, "difference")
-    if _is_pointish(a) and _is_polygonal(b):
+    if _is_pointish(a):
         pc = _points_of(a)
-        cls = K.points_in_rings_class(pc[:, 0], pc[:, 1], _poly_rings_oriented(b))
-        keep = pc[cls == EXTERIOR]
-        if len(keep) == 0:
-            return empty(POINT)
-        if len(keep) == 1:
-            return point(keep[0, 0], keep[0, 1])
-        return Geometry(MULTIPOINT, parts=[point(x, y) for x, y in keep])
-    raise NotImplementedError("overlay supports point/polygon inputs")
+        if _is_polygonal(b):
+            cls = K.points_in_rings_class(pc[:, 0], pc[:, 1], _poly_rings_oriented(b))
+            keep = pc[cls == EXTERIOR]
+        elif _is_lineal(b):
+            el = _line_edges(b)
+            tol = _overlay_tol(el)
+            keep = pc[~K.points_on_segments(pc[:, 0], pc[:, 1], el, eps=tol)] \
+                if len(pc) and len(el) else pc
+        else:  # point − point
+            pb = _points_of(b)
+            keep = np.array([p for p in pc if not (np.abs(pb - p).max(axis=1) < 1e-12).any()]) \
+                if len(pc) and len(pb) else pc
+        return _points_geom(keep)
+    if _is_lineal(a) and _is_lineal(b):
+        return _line_line_difference(a, b)
+    if _is_lineal(a) and _is_polygonal(b):
+        return _line_poly_difference(a, b)
+    if _is_polygonal(a) and (_is_lineal(b) or _is_pointish(b)):
+        return a  # lower-dimensional subtrahend removes no area
+    if _is_lineal(a) and _is_pointish(b):
+        return a  # points remove no length
+    raise NotImplementedError(
+        f"difference: unsupported type combination ({a.type_id}, {b.type_id})"
+    )
 
 
 def symmetric_difference(a: Geometry, b: Geometry, grid_size: float = 0.0) -> Geometry:
@@ -458,19 +716,30 @@ def symmetric_difference(a: Geometry, b: Geometry, grid_size: float = 0.0) -> Ge
         return None
     d1 = difference(a, b)
     d2 = difference(b, a)
-    parts = []
-    for d in (d1, d2):
-        if d is None or d.is_empty:
-            continue
-        if d.type_id == POLYGON:
-            parts.append(d)
-        elif d.type_id == MULTIPOLYGON:
-            parts.extend(d.parts or [])
-    if not parts:
-        return empty(POLYGON)
-    if len(parts) == 1:
-        return parts[0]
-    return multipolygon(parts)
+    if _is_polygonal(a) and _is_polygonal(b):
+        parts = []
+        for d in (d1, d2):
+            if d is None or d.is_empty:
+                continue
+            if d.type_id == POLYGON:
+                parts.append(d)
+            elif d.type_id == MULTIPOLYGON:
+                parts.extend(d.parts or [])
+        if not parts:
+            return empty(POLYGON)
+        if len(parts) == 1:
+            return parts[0]
+        return multipolygon(parts)
+    if _is_lineal(a) and _is_lineal(b):
+        from .geom import LINESTRING, MULTILINESTRING
+
+        segs = [f for d in (d1, d2) if d is not None and not d.is_empty
+                for f in _line_edges(d)]
+        if not segs:
+            return empty(LINESTRING)
+        return _lines_from_frags(np.asarray(segs))
+    # mixed dimension: disjoint pieces, grouped as a collection
+    return _collection([d1, d2])
 
 
 def union_all(geoms) -> Geometry:

@@ -1147,6 +1147,106 @@ def overlay_symdifference_area(spark, sf_dir):
 
 
 @q(
+    "overlay_line_clip_length",
+    """
+    WITH s AS (
+      SELECT p_partkey AS gid,
+             CAST(p_partkey % 47 AS DOUBLE) AS x1,
+             CAST(p_partkey % 29 AS DOUBLE) AS y1,
+             CAST(5 + p_partkey % 11 AS DOUBLE) AS L
+      FROM part
+    ),
+    t AS (
+      SELECT gid, L,
+             greatest(0.0, (10.0 - x1) / L, (5.0 - y1) / L) AS t_in,
+             least(1.0, (40.0 - x1) / L, (25.0 - y1) / L) AS t_out
+      FROM s
+    )
+    SELECT gid, round(greatest(0.0, t_out - t_in) * L * sqrt(2.0), 6) AS clip_len
+    FROM t ORDER BY gid
+    """,
+)
+def overlay_line_clip_length(spark, sf_dir):
+    """'Clip roads to region': 45° segments ∩ box (reference:
+    shapely/set_operations.py:114 line×polygon combo) vs the Liang-Barsky
+    closed form in SQL (45° direction ⇒ per-axis params share one scale)."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    src = p.select(
+        k.alias("gid"),
+        (k % 47).cast("double").alias("x1"),
+        (k % 29).cast("double").alias("y1"),
+        (5 + k % 11).cast("double").alias("L"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo import overlay as O
+        from .geo.geom import LINESTRING, Geometry, box
+
+        B = box(10.0, 5.0, 40.0, 25.0)
+        for pdf in batches:
+            vals = []
+            for x1, y1, L in zip(pdf.x1, pdf.y1, pdf.L):
+                line = Geometry(
+                    LINESTRING,
+                    coords=np.array([[x1, y1], [x1 + L, y1 + L]], dtype=np.float64),
+                )
+                vals.append(K.length(O.intersection(line, B)))
+            yield pd.DataFrame({"gid": pdf.gid, "clip_len": np.round(vals, 6)})
+
+    return src.mapInPandas(gen, "gid long, clip_len double").orderBy("gid")
+
+
+@q(
+    "overlay_line_line_length",
+    """
+    WITH s AS (
+      SELECT p_partkey AS gid,
+             CAST(p_partkey % 37 AS DOUBLE) AS ax,
+             CAST(3 + p_partkey % 9 AS DOUBLE) AS al,
+             CAST(p_partkey % 37 + p_partkey % 13 - 6 AS DOUBLE) AS bx,
+             CAST(2 + p_partkey % 7 AS DOUBLE) AS bl
+      FROM part
+    )
+    SELECT gid,
+           round(greatest(0.0, least(ax + al, bx + bl) - greatest(ax, bx)), 6)
+             AS shared_len
+    FROM s ORDER BY gid
+    """,
+)
+def overlay_line_line_length(spark, sf_dir):
+    """Collinear line×line intersection length (reference:
+    shapely/set_operations.py:114 line×line combo) vs 1-D interval overlap
+    closed form; non-overlapping pairs exercise the EMPTY/point paths."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    src = p.select(
+        k.alias("gid"),
+        (k % 37).cast("double").alias("ax"),
+        (3 + k % 9).cast("double").alias("al"),
+        (k % 37 + k % 13 - 6).cast("double").alias("bx"),
+        (2 + k % 7).cast("double").alias("bl"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo import overlay as O
+        from .geo.geom import LINESTRING, Geometry
+
+        for pdf in batches:
+            vals = []
+            for ax, al, bx, bl in zip(pdf.ax, pdf.al, pdf.bx, pdf.bl):
+                y = 1.0
+                a = Geometry(LINESTRING, coords=np.array([[ax, y], [ax + al, y]]))
+                b = Geometry(LINESTRING, coords=np.array([[bx, y], [bx + bl, y]]))
+                vals.append(K.length(O.intersection(a, b)))
+            yield pd.DataFrame({"gid": pdf.gid, "shared_len": np.round(vals, 6)})
+
+    return src.mapInPandas(gen, "gid long, shared_len double").orderBy("gid")
+
+
+@q(
     "dissolve_union_by_key",
     """
     SELECT CAST(p_partkey % 25 AS BIGINT) AS region_key,

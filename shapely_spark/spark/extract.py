@@ -77,17 +77,31 @@ def extract_geotag_re(html: Column) -> tuple[Column, Column]:
     return lat, lon
 
 
-def with_geo(pages: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+def with_geo(pages: DataFrame, res: int = DEFAULT_RES, pin_extract: bool = True) -> DataFrame:
     """pages + (extracted_text, lat, lon, cell_id). The ingest derivation
     step of every spatial plan.
 
     The content fragment is materialized as an intermediate column that
     both lat and lon reference: Catalyst's CollapseProject keeps a
     non-cheap alias with >1 reference as its own Project, so the
-    decode+search chain runs ONCE per row instead of once per reference
-    (and a pushed-down filter on lat/lon duplicates only the cheap
-    substring_index+try_cast tail, not the decode)."""
+    decode+search chain runs ONCE per row instead of once per reference.
+
+    pin_extract=True additionally appends a no-op non-deterministic marker
+    (repeat('x', floor(rand)*0)) to the materialized fragment, which stops
+    PushDownPredicate from substituting the decode chain into downstream
+    filters on lat/lon/cell_id — without it a pushed `cell_id >= 0` filter
+    re-derives the chain from html and costs ~1.5× the whole scan
+    (measured; codegen CSE collapses the 6 textual copies inside the
+    Filter, but the Filter + Project still decode twice). Cost of the
+    marker: one rand()+floor per row — noise next to one decode. Tradeoff:
+    filters written AFTER with_geo on base columns (lang, fetched_at) no
+    longer reach the parquet scan either — apply base-column filters to
+    `pages` BEFORE with_geo (they prune at the scan there anyway)."""
     content = geotag_content(F.col("html"))
+    if pin_extract:
+        content = F.concat(
+            content, F.repeat(F.lit("x"), (F.floor(F.rand(7)) * 0).cast("int"))
+        )
     return (
         pages.withColumn("extracted_text", extract_text(F.col("html")))
         .withColumn("__geo_content", content)
@@ -96,3 +110,4 @@ def with_geo(pages: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
         .withColumn("cell_id", cell_col(F.col("lat"), F.col("lon"), res))
         .drop("__geo_content")
     )
+

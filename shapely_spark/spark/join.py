@@ -222,6 +222,74 @@ def spatial_join(
     return partial  # touches: full-interior cells can never touch the boundary
 
 
+_GEOM_BY_WKB: dict[bytes, object] = {}
+
+
+def _geom_from_wkb_cached(wkb: bytes):
+    """Executor-local parsed-geometry cache: a geometry that appears in
+    many candidate pairs (or across batches/tasks) is decoded once."""
+    g = _GEOM_BY_WKB.get(wkb)
+    if g is None:
+        from ..geo.wkb import from_wkb
+
+        if len(_GEOM_BY_WKB) > 65536:
+            _GEOM_BY_WKB.clear()
+        g = from_wkb(wkb, on_invalid="ignore")
+        _GEOM_BY_WKB[wkb] = g
+    return g
+
+
+def _pair_refine_batch(
+    predicate: str, lwkb: pd.Series, rcodes: np.ndarray, runiq_geoms: list
+) -> np.ndarray:
+    """Batch refine for candidate (left_geom, right_geom) pairs: both sides
+    factorized, each unique geometry parsed ONCE per batch (and cached per
+    executor across batches), bbox short-circuit before any kernel call,
+    vectorized prepared point-in-polygon when the left side is all points,
+    per-pair kernel call otherwise. runiq_geoms: parsed Geometry (or None)
+    per unique right code; rcodes: per-row right code (-1 = null)."""
+    from ..geo import kernels as K
+    from ..geo.geom import POINT
+
+    fn = getattr(K, predicate)
+    n = len(lwkb)
+    out = np.zeros(n, dtype=bool)
+    lcodes, luniq = pd.factorize(lwkb)
+    lgeoms = [None if w is None else _geom_from_wkb_cached(bytes(w)) for w in luniq]
+    lbounds = [None if g is None or g.is_empty else K.bounds(g) for g in lgeoms]
+    rbounds = [None if g is None or g.is_empty else K.bounds(g) for g in runiq_geoms]
+    from ..geo.geom import MULTIPOLYGON, POLYGON
+
+    all_points = bool(len(lgeoms)) and all(
+        g is not None and g.type_id == POINT and not g.is_empty for g in lgeoms
+    )
+    all_rpoly = all(
+        g is None or g.type_id in (POLYGON, MULTIPOLYGON) for g in runiq_geoms
+    )
+    if all_points and all_rpoly and predicate in _PREDICATES:
+        px = np.array([g.coords[0][0] for g in lgeoms])[lcodes]
+        py = np.array([g.coords[0][1] for g in lgeoms])[lcodes]
+        for u in np.unique(rcodes):
+            if u < 0 or runiq_geoms[u] is None:
+                continue
+            sel = np.nonzero(rcodes == u)[0]
+            prep = K.PreparedPolygons([runiq_geoms[u]])
+            out[sel] = _classify_to_bool(prep.classify(0, px[sel], py[sel]), predicate)
+        return out
+    for i in range(n):
+        lc, rc = lcodes[i], rcodes[i]
+        if lc < 0 or rc < 0:
+            continue
+        lg, rg = lgeoms[lc], runiq_geoms[rc]
+        lb, rb = lbounds[lc], rbounds[rc]
+        if lg is None or rg is None or lb is None or rb is None:
+            continue
+        if lb[0] > rb[2] or lb[2] < rb[0] or lb[1] > rb[3] or lb[3] < rb[1]:
+            continue  # bbox-disjoint ⇒ every supported predicate is False
+        out[i] = bool(fn(lg, rg))
+    return out
+
+
 def spatial_join_geom(
     left: DataFrame,
     right: DataFrame,
@@ -229,6 +297,7 @@ def spatial_join_geom(
     res: int = JOIN_RES - 2,
     left_id: str = "left_id",
     right_id: str = "region_id",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Geometry×geometry spatial join: left(left_id, wkb) ⋈ right(right_id,
     wkb) → (left_id, right_id) pairs satisfying the predicate.
@@ -289,15 +358,21 @@ def spatial_join_geom(
         F.col("bxmin").alias("__lx"), F.col("bymin").alias("__ly"),
         F.col("wkb").alias("__lwkb"),
     )
-    rcov = F.broadcast(covers(right, right_id, with_wkb=False).select(
+    rcov = covers(right, right_id, with_wkb=not broadcast)
+    rcols = [
         F.col(right_id), F.col("cell_id").alias("__rc"),
         F.col("bxmin").alias("__rx"), F.col("bymin").alias("__ry"),
-    ))
-
-    geo_rows = right.select(right_id, "wkb").collect()
-    bc = left.sparkSession.sparkContext.broadcast(
-        {int(r[0]): bytes(r[1]) for r in geo_rows if r[1] is not None}
-    )
+    ]
+    if not broadcast:
+        rcols.append(F.col("wkb").alias("__rwkb"))
+    rcov = rcov.select(*rcols)
+    if broadcast:
+        rcov = F.broadcast(rcov)
+        # geometry dict rides a torrent broadcast; the join moves only ints
+        geo_rows = right.select(right_id, "wkb").collect()
+        bc = left.sparkSession.sparkContext.broadcast(
+            {int(r[0]): bytes(r[1]) for r in geo_rows if r[1] is not None}
+        )
 
     j = lcov.join(rcov, F.col("__lc") == F.col("__rc"), "inner")
     # emit each candidate pair exactly once: in the cell holding the
@@ -309,24 +384,28 @@ def spatial_join_geom(
         (F.greatest("__ly", "__ry") + 90.0) / 180.0 * n)))
     j = j.where(F.col("__lc") == (iy * n + ix).cast("bigint"))
 
-    @F.pandas_udf("boolean")
-    def refine(rid: pd.Series, lwkb: pd.Series) -> pd.Series:
-        from ..geo import kernels as K
-        from ..geo.wkb import from_wkb
+    if broadcast:
 
-        fn = getattr(K, predicate)
-        out = []
-        for r, lw in zip(rid, lwkb):
-            rg_wkb = bc.value.get(int(r))
-            if rg_wkb is None or lw is None:
-                out.append(False)
-                continue
-            lg = from_wkb(bytes(lw), on_invalid="ignore")
-            rg = from_wkb(rg_wkb, on_invalid="ignore")
-            out.append(bool(lg is not None and rg is not None and fn(lg, rg)))
-        return pd.Series(out, dtype="bool")
+        @F.pandas_udf("boolean")
+        def refine(rid: pd.Series, lwkb: pd.Series) -> pd.Series:
+            rcodes, runiq = pd.factorize(rid)
+            runiq_geoms = []
+            for u in runiq:
+                w = bc.value.get(int(u))
+                runiq_geoms.append(None if w is None else _geom_from_wkb_cached(w))
+            return pd.Series(_pair_refine_batch(predicate, lwkb, rcodes, runiq_geoms))
 
-    return (
-        j.where(refine(F.col(right_id), F.col("__lwkb")))
-        .select(left_id, right_id)
-    )
+        refine_call = refine(F.col(right_id), F.col("__lwkb"))
+    else:
+
+        @F.pandas_udf("boolean")
+        def refine_wkb(rwkb: pd.Series, lwkb: pd.Series) -> pd.Series:
+            rcodes, runiq = pd.factorize(rwkb)
+            runiq_geoms = [
+                None if w is None else _geom_from_wkb_cached(bytes(w)) for w in runiq
+            ]
+            return pd.Series(_pair_refine_batch(predicate, lwkb, rcodes, runiq_geoms))
+
+        refine_call = refine_wkb(F.col("__rwkb"), F.col("__lwkb"))
+
+    return j.where(refine_call).select(left_id, right_id)

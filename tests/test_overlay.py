@@ -406,3 +406,79 @@ class TestRingNesting:
         out = build_area(mls)
         assert round(K.area(out), 6) == 92.0  # 100 - 4 - 4
         assert len(out.rings) == 3
+
+
+class TestLineOverlay:
+    """Line×line / line×polygon / mixed-dim set ops (reference:
+    shapely/set_operations.py all-types matrix, tests/test_set_operations.py)."""
+
+    def _w(self, s):
+        from shapely_spark.geo import from_wkt
+        return from_wkt(s)
+
+    def test_line_line_crossing_point(self):
+        from shapely_spark.geo import to_wkt
+        from shapely_spark.geo.overlay import intersection
+        out = intersection(self._w("LINESTRING (0 0, 2 2)"), self._w("LINESTRING (0 2, 2 0)"))
+        assert to_wkt(out) == "POINT (1 1)"
+
+    def test_line_line_collinear_overlap(self):
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo.overlay import intersection
+        out = intersection(self._w("LINESTRING (0 0, 3 0)"), self._w("LINESTRING (1 0, 5 0)"))
+        assert abs(K.length(out) - 2.0) < 1e-9
+
+    def test_line_line_end_touch_is_point(self):
+        from shapely_spark.geo import to_wkt
+        from shapely_spark.geo.overlay import intersection
+        out = intersection(self._w("LINESTRING (0 0, 1 0)"), self._w("LINESTRING (1 0, 2 0)"))
+        assert to_wkt(out) == "POINT (1 0)"
+
+    def test_line_polygon_clip_and_difference(self):
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo.overlay import difference, intersection
+        line = self._w("LINESTRING (-1 1, 3 1)")
+        poly = self._w("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        assert abs(K.length(intersection(line, poly)) - 2.0) < 1e-9
+        assert abs(K.length(difference(line, poly)) - 2.0) < 1e-9
+        # polygon minus line: area unchanged
+        assert abs(K.area(difference(poly, line)) - 4.0) < 1e-9
+
+    def test_line_union_and_symdiff(self):
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo.overlay import symmetric_difference, union
+        a, b = self._w("LINESTRING (0 0, 2 0)"), self._w("LINESTRING (1 0, 3 0)")
+        assert abs(K.length(union(a, b)) - 3.0) < 1e-9
+        assert abs(K.length(symmetric_difference(a, b)) - 2.0) < 1e-9
+
+    def test_polygon_edge_touch_degenerates_to_line(self):
+        from shapely_spark.geo import kernels as K, to_wkt
+        from shapely_spark.geo.overlay import intersection
+        a = self._w("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        b = self._w("POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))")
+        out = intersection(a, b)
+        assert abs(K.length(out) - 1.0) < 1e-9 and K.area(out) == 0.0
+
+    def test_polygon_corner_touch_degenerates_to_point(self):
+        from shapely_spark.geo import to_wkt
+        from shapely_spark.geo.overlay import intersection
+        a = self._w("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        b = self._w("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+        assert to_wkt(intersection(a, b)) == "POINT (1 1)"
+
+    def test_point_line_combos(self):
+        from shapely_spark.geo import to_wkt
+        from shapely_spark.geo.overlay import difference, intersection, union
+        pts = self._w("MULTIPOINT ((1 1), (5 5))")
+        line = self._w("LINESTRING (0 0, 2 2)")
+        assert to_wkt(intersection(pts, line)) == "POINT (1 1)"
+        assert to_wkt(difference(pts, line)) == "POINT (5 5)"
+        u = union(line, pts)
+        assert u.type_id == 7 and len(u.parts) == 2  # collection(line, off-point)
+
+    def test_line_polygon_touch_only_point(self):
+        from shapely_spark.geo import to_wkt
+        from shapely_spark.geo.overlay import intersection
+        line = self._w("LINESTRING (-1 -1, 0 0)")
+        poly = self._w("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        assert to_wkt(intersection(line, poly)) == "POINT (0 0)"

@@ -221,3 +221,33 @@ def test_salted_join_pattern_matches_plain_join(spark):
     per_salt = (salted_big.where(F.col("cell") == 42)
                 .groupBy("salt").count().collect())
     assert len(per_salt) == SALTS
+
+
+def test_spatial_join_geom_shuffle_mode_matches_broadcast(spark):
+    """broadcast=False (right WKB rides the cell-cover join, no driver
+    collect) must produce identical pairs to the broadcast path."""
+    import pandas as pd
+
+    from shapely_spark.geo.geom import regular_ngon
+    from shapely_spark.geo.wkb import to_wkb
+    from shapely_spark.spark.join import spatial_join_geom
+    from shapely_spark.spark.pages import regions_df, synth_regions
+
+    right = regions_df(spark, synth_regions(25, seed=11))
+    lgeoms = []
+    for i in range(80):
+        hy, hx = (40.71, -74.00) if i % 2 else (51.51, -0.13)
+        g = regular_ngon(hx + (i % 9) * 0.25 - 1.0, hy + (i % 5) * 0.25 - 0.5,
+                         0.1 + (i % 4) * 0.07, 4 + i % 5, theta0=i * 0.7)
+        lgeoms.append((i, g))
+    left = spark.createDataFrame(
+        pd.DataFrame({"left_id": [i for i, _ in lgeoms],
+                      "wkb": [to_wkb(g) for _, g in lgeoms]}),
+        "left_id long, wkb binary",
+    )
+    a = {(r.left_id, r.region_id)
+         for r in spatial_join_geom(left, right, left_id="left_id").collect()}
+    b = {(r.left_id, r.region_id)
+         for r in spatial_join_geom(left, right, left_id="left_id",
+                                    broadcast=False).collect()}
+    assert a == b and len(a) > 0
