@@ -1,8 +1,11 @@
 from .geom import (  # noqa: F401
     GEOMETRYCOLLECTION, LINEARRING, LINESTRING, MISSING, MULTILINESTRING,
     MULTIPOINT, MULTIPOLYGON, POINT, POLYGON, Geometry, box, empty,
-    geometrycollection, linearring, linestring, multilinestring, multipoint,
-    multipolygon, point, polygon, regular_ngon,
+    geometrycollection, get_m, get_x, get_y, get_z, linearring, linestring,
+    multilinestring, multipoint, multipolygon, point, polygon, regular_ngon,
+)
+from .coverage import (  # noqa: F401
+    coverage_invalid_edges, coverage_is_valid, coverage_simplify,
 )
 from .wkb import from_wkb, to_wkb, from_wkb_batch, to_wkb_batch  # noqa: F401
 from .wkt import from_wkt, to_wkt  # noqa: F401

@@ -156,11 +156,38 @@ def convex_hull(geom: Geometry | None) -> Geometry | None:
 # convex shells; general line buffers raise NotImplementedError.
 # ---------------------------------------------------------------------------
 
-def buffer(geom: Geometry | None, distance: float, quad_segs: int = 8) -> Geometry | None:
+_CAP_STYLES = {1: "round", 2: "flat", 3: "square",
+               "round": "round", "flat": "flat", "square": "square"}
+_JOIN_STYLES = {1: "round", 2: "mitre", 3: "bevel",
+                "round": "round", "mitre": "mitre", "bevel": "bevel"}
+
+
+def buffer(
+    geom: Geometry | None,
+    distance: float,
+    quad_segs: int = 8,
+    cap_style: str | int = "round",
+    join_style: str | int = "round",
+    mitre_limit: float = 5.0,
+    single_sided: bool = False,
+) -> Geometry | None:
+    """reference: shapely/constructive.py:142-251 (GEOSBufferWithParams).
+    Default round/round is the analytic capsule-union path; named styles
+    (flat/square caps, mitre/bevel joins, single-sided strips) build
+    explicit rectangle + join-wedge + cap pieces and union them."""
+    cap = _CAP_STYLES.get(cap_style)
+    join = _JOIN_STYLES.get(join_style)
+    if cap is None:
+        raise ValueError(f"invalid cap_style: {cap_style!r}")
+    if join is None:
+        raise ValueError(f"invalid join_style: {join_style!r}")
     if geom is None:
         return None
     if geom.is_empty or distance == 0:
         return geom
+    if single_sided or cap != "round" or join != "round":
+        return _styled_buffer(geom, distance, max(4, 4 * quad_segs),
+                              cap, join, mitre_limit, single_sided)
     n = max(4, 4 * quad_segs)
     if geom.type_id == POINT:
         cx, cy = geom.coords[0, 0], geom.coords[0, 1]
@@ -179,6 +206,183 @@ def buffer(geom: Geometry | None, distance: float, quad_segs: int = 8) -> Geomet
         if out is not None:
             return Geometry(POLYGON, rings=[out])
     return _buffer_general(geom, distance, quad_segs)
+
+
+def _arc_points(cx: float, cy: float, d: float, a0: float, a1: float, n: int) -> np.ndarray:
+    """Points on the circle (cx,cy,d) from angle a0 to a1 (CCW), step 2π/n."""
+    if a1 < a0:
+        a1 += 2.0 * math.pi
+    steps = max(1, int(math.ceil((a1 - a0) / (2.0 * math.pi / n))))
+    ang = a0 + (a1 - a0) * np.arange(steps + 1) / steps
+    return np.column_stack([cx + d * np.cos(ang), cy + d * np.sin(ang)])
+
+
+def _quad_piece(pts: list) -> Geometry:
+    ring = np.asarray(pts, dtype=np.float64)
+    ring = np.vstack([ring, ring[:1]])
+    if signed_ring_area(ring) < 0:
+        ring = ring[::-1]
+    return Geometry(POLYGON, rings=[ring])
+
+
+def _join_piece(v, t_in, t_out, d: float, n: int, join: str, mitre_limit: float):
+    """Convex wedge filling the outer gap at vertex v between segment
+    directions t_in (arriving) and t_out (leaving), at offset d."""
+    cross = t_in[0] * t_out[1] - t_in[1] * t_out[0]
+    if abs(cross) < 1e-14:
+        return None  # collinear: no gap
+    # outward normals on the OUTER side of the turn
+    if cross < 0:  # right turn → outer side is the left of travel
+        n1 = np.array([-t_in[1], t_in[0]])
+        n2 = np.array([-t_out[1], t_out[0]])
+    else:  # left turn → outer side is the right of travel
+        n1 = np.array([t_in[1], -t_in[0]])
+        n2 = np.array([t_out[1], -t_out[0]])
+    c1 = v + d * n1
+    c2 = v + d * n2
+    if join == "round":
+        a1 = math.atan2(n1[1], n1[0])
+        a2 = math.atan2(n2[1], n2[0])
+        if cross < 0:
+            arc = _arc_points(v[0], v[1], d, a1, a2, n)
+        else:
+            arc = _arc_points(v[0], v[1], d, a2, a1, n)[::-1]
+        return _quad_piece([v, *arc])
+    if join == "bevel":
+        return _quad_piece([v, c1, c2])
+    # mitre: apex along the bisector at d/cos(θ/2), truncated at mitre_limit·d
+    bis = n1 + n2
+    bl = np.hypot(bis[0], bis[1])
+    if bl < 1e-14:
+        return _quad_piece([v, c1, c2])  # 180° spike: bevel
+    bis /= bl
+    cos_half = float(np.clip(np.dot(n1, bis), 1e-12, 1.0))
+    r = 1.0 / cos_half
+    apex = v + d * r * bis
+    if r <= mitre_limit:
+        return _quad_piece([v, c1, apex, c2])
+    # truncate the spike where the bisector distance reaches mitre_limit·d
+    t = (mitre_limit - cos_half) / max(r - cos_half, 1e-12)
+    q1 = c1 + t * (apex - c1)
+    q2 = c2 + t * (apex - c2)
+    return _quad_piece([v, c1, q1, q2, c2])
+
+
+def _cap_piece(p, t_away, d: float, n: int, cap: str):
+    """End cap at endpoint p; t_away = unit direction pointing AWAY from
+    the line (outward past the end)."""
+    if cap == "flat":
+        return None
+    nl = np.array([-t_away[1], t_away[0]])
+    if cap == "square":
+        return _quad_piece([p + d * nl, p + d * nl + d * t_away,
+                            p - d * nl + d * t_away, p - d * nl])
+    a0 = math.atan2(nl[1], nl[0])
+    arc = _arc_points(p[0], p[1], d, a0, a0 + math.pi, n)[::-1]
+    return _quad_piece(list(arc))
+
+
+def _styled_line_pieces(c2: np.ndarray, d: float, n: int, cap: str, join: str,
+                        mitre_limit: float, single_sided: bool) -> list[Geometry]:
+    pieces: list[Geometry] = []
+    closed = len(c2) >= 3 and np.allclose(c2[0], c2[-1])
+    m = len(c2)
+    side = 1.0 if d > 0 else -1.0  # single-sided: +d → left, −d → right
+    ad = abs(d)
+    for i in range(m - 1):
+        p1, p2 = c2[i], c2[i + 1]
+        dx, dy = p2 - p1
+        L = math.hypot(dx, dy)
+        if L == 0:
+            continue
+        t = np.array([dx / L, dy / L])
+        nl = np.array([-t[1], t[0]]) * side
+        if single_sided:
+            pieces.append(_quad_piece([p1, p2, p2 + ad * nl, p1 + ad * nl]))
+        else:
+            pieces.append(_quad_piece([p1 + ad * nl, p2 + ad * nl,
+                                       p2 - ad * nl, p1 - ad * nl]))
+    # joins at interior vertices (all vertices for closed rings)
+    vidx = range(1, m - 1) if not closed else range(m - 1)
+    for i in vidx:
+        v = c2[i]
+        pprev = c2[i - 1] if i > 0 else c2[m - 2]
+        pnext = c2[i + 1]
+        d1 = v - pprev
+        d2 = pnext - v
+        l1, l2 = math.hypot(*d1), math.hypot(*d2)
+        if l1 == 0 or l2 == 0:
+            continue
+        t_in, t_out = d1 / l1, d2 / l2
+        if single_sided:
+            # join only when the offset side is the outer side of the turn
+            cross = t_in[0] * t_out[1] - t_in[1] * t_out[0]
+            outer_is_left = cross < 0
+            if (side > 0) != outer_is_left:
+                continue
+        p = _join_piece(v, t_in, t_out, ad, n, join, mitre_limit)
+        if p is not None:
+            pieces.append(p)
+    if not closed and not single_sided:
+        d1 = c2[1] - c2[0]
+        d2 = c2[-1] - c2[-2]
+        l1, l2 = math.hypot(*d1), math.hypot(*d2)
+        if l1 > 0:
+            p = _cap_piece(c2[0], -d1 / l1, ad, n, cap)
+            if p is not None:
+                pieces.append(p)
+        if l2 > 0:
+            p = _cap_piece(c2[-1], d2 / l2, ad, n, cap)
+            if p is not None:
+                pieces.append(p)
+    return pieces
+
+
+def _styled_buffer(geom: Geometry, distance: float, n: int, cap: str,
+                   join: str, mitre_limit: float, single_sided: bool) -> Geometry:
+    """Styled buffer as a union of convex pieces: per-segment rectangles +
+    join wedges (round arc / bevel triangle / truncated mitre) + end caps
+    (round / flat / square). Single-sided offsets strip on the signed side
+    with flat ends (GEOS single-sided semantics)."""
+    from . import overlay as O
+
+    tid = geom.type_id
+    if tid == POINT:
+        if single_sided:
+            return empty(POLYGON)
+        return buffer(geom, abs(distance), max(1, n // 4))
+    if tid == MULTIPOINT:
+        return O.union_all([
+            _styled_buffer(p, distance, n, cap, join, mitre_limit, single_sided)
+            for p in (geom.parts or [])
+        ])
+    if tid in (LINESTRING, LINEARRING, MULTILINESTRING):
+        pieces: list[Geometry] = []
+        for c in geom.coord_seqs():
+            c2 = np.asarray(c, dtype=np.float64)[:, :2]
+            if len(c2) >= 2:
+                pieces.extend(_styled_line_pieces(
+                    c2, distance, n, cap, join, mitre_limit, single_sided))
+        return O.union_all(pieces) if pieces else empty(POLYGON)
+    if tid in (POLYGON, MULTIPOLYGON):
+        pieces = []
+        for c in geom.coord_seqs():
+            c2 = np.asarray(c, dtype=np.float64)[:, :2]
+            if len(c2) >= 3:
+                pieces.extend(_styled_line_pieces(
+                    c2, abs(distance), n, cap, join, mitre_limit, False))
+        band = O.union_all(pieces) if pieces else empty(POLYGON)
+        if distance > 0:
+            return O.union(geom, band)
+        return O.difference(geom, band)
+    if tid == GEOMETRYCOLLECTION:
+        parts = [
+            _styled_buffer(p, distance, n, cap, join, mitre_limit, single_sided)
+            for p in (geom.parts or [])
+        ]
+        parts = [p for p in parts if p is not None and not p.is_empty]
+        return O.union_all(parts) if parts else empty(POLYGON)
+    raise NotImplementedError(f"buffer for type {tid}")
 
 
 def _circle_ngon(cx: float, cy: float, d: float, n: int) -> Geometry:
@@ -653,6 +857,16 @@ def rotate(geom, angle_deg, origin=(0.0, 0.0)):
     c, s = math.cos(th), math.sin(th)
     ox, oy = origin
     return affine_transform(geom, [c, -s, s, c, ox - ox * c + oy * s, oy - ox * s - oy * c])
+
+
+def skew(geom, xs=0.0, ys=0.0, origin=(0.0, 0.0), use_radians=False):
+    """Shear by angles along x/y (reference: shapely/affinity.py:204):
+    x' = x + tan(xs)·(y − oy), y' = y + tan(ys)·(x − ox)."""
+    if not use_radians:
+        xs, ys = math.radians(xs), math.radians(ys)
+    tx, ty = math.tan(xs), math.tan(ys)
+    ox, oy = origin
+    return affine_transform(geom, [1, tx, ty, 1, -tx * oy, -ty * ox])
 
 
 # ---------------------------------------------------------------------------

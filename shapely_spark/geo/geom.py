@@ -237,3 +237,31 @@ def regular_ngon(cx: float, cy: float, r: float, n: int, theta0: float = 0.0) ->
     ring = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
     ring = np.vstack([ring, ring[:1]])
     return Geometry(POLYGON, rings=[ring])
+
+
+def get_x(geom: Geometry | None) -> float:
+    """reference: shapely/_geometry.py:274 (point-only; else nan)."""
+    if geom is None or geom.type_id != POINT or geom.is_empty:
+        return float("nan")
+    return float(geom.coords[0, 0])
+
+
+def get_y(geom: Geometry | None) -> float:
+    """reference: shapely/_geometry.py:302."""
+    if geom is None or geom.type_id != POINT or geom.is_empty:
+        return float("nan")
+    return float(geom.coords[0, 1])
+
+
+def get_z(geom: Geometry | None) -> float:
+    """reference: shapely/_geometry.py:330 (nan for 2-D points)."""
+    if geom is None or geom.type_id != POINT or geom.is_empty or not geom.has_z:
+        return float("nan")
+    return float(geom.coords[0, 2])
+
+
+def get_m(geom: Geometry | None) -> float:
+    """reference: shapely/_geometry.py:362 (nan when no m)."""
+    if geom is None or geom.type_id != POINT or geom.is_empty or not geom.has_m:
+        return float("nan")
+    return float(geom.coords[0, 2 + (1 if geom.has_z else 0)])

@@ -689,39 +689,224 @@ def dwithin(a: Geometry | None, b: Geometry | None, d: float) -> bool:
     return distance(a, b) <= d
 
 
+def _boundary_dim(g: Geometry) -> int:
+    """Dimension of ∂g: polygon→1, open line→0, closed line/point→-1."""
+    d = _dim(g)
+    if d == 2:
+        return 1
+    if d == 1:
+        return 0 if len(_line_boundary_points(g)) else -1
+    return -1
+
+
+def _line_boundary_points(g: Geometry) -> np.ndarray:
+    """Mod-2 boundary of lineal g: endpoints occurring an odd number of
+    times (closed rings contribute none)."""
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    stack = [g]
+    while stack:
+        x = stack.pop()
+        if x.type_id in (LINESTRING, LINEARRING) and x.coords is not None and len(x.coords) >= 2:
+            cnt[tuple(np.round(x.coords[0, :2], 12))] += 1
+            cnt[tuple(np.round(x.coords[-1, :2], 12))] += 1
+        for p in x.parts or []:
+            stack.append(p)
+    pts = [p for p, k in cnt.items() if k % 2 == 1]
+    return np.array(pts, dtype=np.float64) if pts else np.zeros((0, 2))
+
+
+def _transpose9(m: list[int]) -> list[int]:
+    return [m[0], m[3], m[6], m[1], m[4], m[7], m[2], m[5], m[8]]
+
+
+def _relate_matrix(a: Geometry, b: Geometry) -> list[int]:
+    """Full DE-9IM as 9 ints (-1=F) in row-major I/B/E(a) × I/B/E(b) order
+    (reference: shapely/predicates.py:1194 computes this via GEOS
+    RelateOp; here from the engine's noding + classification kernels)."""
+    from .overlay import (
+        _crossing_touch_points, _edges_of, _fragments, _line_edges,
+        _overlay_tol, _poly_rings_oriented, _split_params,
+    )
+
+    F = -1
+    if a.is_empty or b.is_empty:
+        m = [F] * 9
+        m[8] = 2
+        if not b.is_empty:
+            m[6] = _dim(b)
+            m[7] = _boundary_dim(b)
+        if not a.is_empty:
+            m[2] = _dim(a)
+            m[5] = _boundary_dim(a)
+        return m
+    da, db = _dim(a), _dim(b)
+    if da > db:
+        return _transpose9(_relate_matrix(b, a))
+
+    m = [F] * 9
+    m[8] = 2
+
+    def _pt_class_vs_line(pts: np.ndarray, g: Geometry, eg: np.ndarray, tol: float) -> np.ndarray:
+        """0=exterior, 1=boundary, 2=interior of a lineal geometry."""
+        out = np.zeros(len(pts), dtype=np.int8)
+        if len(pts) == 0:
+            return out
+        on = points_on_segments(pts[:, 0], pts[:, 1], eg, eps=tol)
+        bnd = _line_boundary_points(g)
+        for i in np.nonzero(on)[0]:
+            isb = len(bnd) and (np.abs(bnd - pts[i]).max(axis=1) < tol * 10).any()
+            out[i] = BOUNDARY if isb else INTERIOR
+        return out
+
+    if da == 0 and db == 0:
+        pa, pb = _points_of(a), _points_of(b)
+        shared = np.array([(np.abs(pb - p).max(axis=1) < 1e-12).any() for p in pa])
+        m[0] = 0 if shared.any() else F
+        m[2] = 0 if (~shared).any() else F
+        sharedb = np.array([(np.abs(pa - p).max(axis=1) < 1e-12).any() for p in pb])
+        m[6] = 0 if (~sharedb).any() else F
+        return m
+
+    if da == 0:  # point × line/polygon
+        pa = _points_of(a)
+        cls = _all_class(pa, b)
+        m[0] = 0 if (cls == INTERIOR).any() else F
+        m[1] = 0 if (cls == BOUNDARY).any() else F
+        m[2] = 0 if (cls == EXTERIOR).any() else F
+        m[6] = db  # a point set can never cover a 1-/2-dim interior
+        bd = _boundary_dim(b)
+        if bd >= 0:
+            if db == 2:
+                m[7] = 1
+            else:  # line boundary: finite points; exterior unless all covered
+                bnd = _line_boundary_points(b)
+                covered = np.array(
+                    [(np.abs(pa - p).max(axis=1) < 1e-12).any() for p in bnd]
+                ) if len(bnd) else np.zeros(0, dtype=bool)
+                m[7] = 0 if (~covered).any() else F
+        return m
+
+    if da == 1 and db == 1:
+        ea, eb = _line_edges(a), _line_edges(b)
+        tol = _overlay_tol(ea, eb)
+        fa = _fragments(ea, _split_params(ea, eb, tol))
+        fb = _fragments(eb, _split_params(eb, ea, tol))
+        amx, amy = (fa[:, 0] + fa[:, 2]) / 2, (fa[:, 1] + fa[:, 3]) / 2
+        bmx, bmy = (fb[:, 0] + fb[:, 2]) / 2, (fb[:, 1] + fb[:, 3]) / 2
+        a_on_b = points_on_segments(amx, amy, eb, eps=tol) if len(fa) else np.zeros(0, bool)
+        b_on_a = points_on_segments(bmx, bmy, ea, eps=tol) if len(fb) else np.zeros(0, bool)
+        ba, bb_ = _line_boundary_points(a), _line_boundary_points(b)
+        if a_on_b.any():
+            m[0] = 1
+        else:
+            pts = _crossing_touch_points(ea, eb, tol)
+            ca = _pt_class_vs_line(pts, a, ea, tol)
+            cb = _pt_class_vs_line(pts, b, eb, tol)
+            m[0] = 0 if ((ca == INTERIOR) & (cb == INTERIOR)).any() else F
+        cbb = _pt_class_vs_line(bb_, a, ea, tol)
+        m[1] = 0 if (cbb == INTERIOR).any() else F
+        m[2] = 1 if (~a_on_b).any() else F
+        cba = _pt_class_vs_line(ba, b, eb, tol)
+        m[3] = 0 if (cba == INTERIOR).any() else F
+        m[4] = 0 if (len(ba) and len(bb_) and (cba == BOUNDARY).any()) else F
+        m[5] = 0 if (cba == EXTERIOR).any() else F
+        m[6] = 1 if (~b_on_a).any() else F
+        m[7] = 0 if (cbb == EXTERIOR).any() else F
+        return m
+
+    if da == 1 and db == 2:
+        ea = _line_edges(a)
+        rings = _poly_rings_oriented(b)
+        ebnd = _edges_of(rings)
+        tol = _overlay_tol(ea, ebnd)
+        fa = _fragments(ea, _split_params(ea, ebnd, tol))
+        if len(fa):
+            mx, my = (fa[:, 0] + fa[:, 2]) / 2, (fa[:, 1] + fa[:, 3]) / 2
+            cls = points_in_rings_class(mx, my, rings)
+            onb = points_on_segments(mx, my, ebnd, eps=tol)
+            cls = np.where(onb, np.int8(BOUNDARY), cls)
+        else:
+            cls = np.zeros(0, dtype=np.int8)
+        m[0] = 1 if (cls == INTERIOR).any() else F
+        if (cls == BOUNDARY).any():
+            m[1] = 1
+        else:
+            pts = _crossing_touch_points(ea, ebnd, tol)
+            ca = _pt_class_vs_line(pts, a, ea, tol)
+            m[1] = 0 if (ca == INTERIOR).any() else F
+        m[2] = 1 if (cls == EXTERIOR).any() else F
+        ba = _line_boundary_points(a)
+        if len(ba):
+            cb = points_in_rings_class(ba[:, 0], ba[:, 1], rings)
+            onb2 = points_on_segments(ba[:, 0], ba[:, 1], ebnd, eps=tol)
+            cb = np.where(onb2, np.int8(BOUNDARY), cb)
+            m[3] = 0 if (cb == INTERIOR).any() else F
+            m[4] = 0 if (cb == BOUNDARY).any() else F
+            m[5] = 0 if (cb == EXTERIOR).any() else F
+        m[6] = 2  # a line never covers a polygon interior
+        fbnd = _fragments(ebnd, _split_params(ebnd, ea, tol))
+        if len(fbnd):
+            bx, by = (fbnd[:, 0] + fbnd[:, 2]) / 2, (fbnd[:, 1] + fbnd[:, 3]) / 2
+            off = ~points_on_segments(bx, by, ea, eps=tol)
+            m[7] = 1 if off.any() else F
+        else:
+            m[7] = 1
+        return m
+
+    # polygon × polygon
+    ra, rb = _poly_rings_oriented(a), _poly_rings_oriented(b)
+    ea, eb = _edges_of(ra), _edges_of(rb)
+    tol = _overlay_tol(ea, eb)
+    fa = _fragments(ea, _split_params(ea, eb, tol))
+    fb = _fragments(eb, _split_params(eb, ea, tol))
+
+    def classify(frags, rings, edges):
+        if not len(frags):
+            return np.zeros(0, dtype=np.int8)
+        mx, my = (frags[:, 0] + frags[:, 2]) / 2, (frags[:, 1] + frags[:, 3]) / 2
+        cls = points_in_rings_class(mx, my, rings)
+        onb = points_on_segments(mx, my, edges, eps=tol)
+        return np.where(onb, np.int8(BOUNDARY), cls)
+
+    ca = classify(fa, rb, eb)  # ∂A vs B
+    cb = classify(fb, ra, ea)  # ∂B vs A
+    ii = _interiors_intersect(a, b)
+    if not ii:
+        # equal/nested-with-shared-boundary cases have no boundary fragment
+        # in the other's interior — probe an interior representative point
+        from .constructive import point_on_surface
+
+        for g, rings in ((a, rb), (b, ra)):
+            rp = point_on_surface(g)
+            if rp is not None and not rp.is_empty:
+                if points_in_rings_class(
+                    np.array([rp.coords[0, 0]]), np.array([rp.coords[0, 1]]), rings
+                )[0] == INTERIOR:
+                    ii = True
+                    break
+    m[0] = 2 if ii else F
+    m[1] = 1 if (cb == INTERIOR).any() else F
+    m[2] = F if covered_by(a, b) else 2
+    m[3] = 1 if (ca == INTERIOR).any() else F
+    if (ca == BOUNDARY).any():
+        m[4] = 1
+    else:
+        pts = _crossing_touch_points(ea, eb, tol)
+        m[4] = 0 if len(pts) else F
+    m[5] = 1 if (ca == EXTERIOR).any() else F
+    m[6] = F if covers(a, b) else 2
+    m[7] = 1 if (cb == EXTERIOR).any() else F
+    return m
+
+
 def relate(a: Geometry | None, b: Geometry | None) -> str | None:
-    """DE-9IM matrix string. reference: shapely/predicates.py:1194.
-    Implemented for point-vs-(point|line|polygon) — the engine's payload
-    case; general combos raise."""
+    """DE-9IM matrix string for any point/line/polygon combination.
+    reference: shapely/predicates.py:1194."""
     if a is None or b is None:
         return None
-    if a.type_id not in (POINT, MULTIPOINT):
-        raise NotImplementedError("relate() implemented for point payloads vs any container")
-    pa = _points_of(a)
-    db = _dim(b)
-    cls = _all_class(pa, b) if not b.is_empty else np.zeros(len(pa), dtype=np.int8)
-    has_int = bool((cls == INTERIOR).any())
-    has_bnd = bool((cls == BOUNDARY).any())
-    has_ext = bool((cls == EXTERIOR).any())
-    dimb = str(db) if db >= 0 else "F"
-    # rows: interior/boundary/exterior of A (points: boundary empty)
-    m = [
-        "0" if has_int else "F",        # I(a)∩I(b)
-        "0" if has_bnd else "F",        # I(a)∩B(b)
-        "0" if has_ext else "F",        # I(a)∩E(b)
-        "F", "F", "F",                   # B(a) empty for points
-        dimb,                            # E(a)∩I(b)
-        ("0" if db >= 1 else "F") if not b.is_empty else "F",  # E(a)∩B(b) dim of boundary
-        "2",                             # E(a)∩E(b)
-    ]
-    # boundary of polygon is 1-dim, of line is 0-dim
-    if db == 2:
-        m[7] = "1" if not b.is_empty else "F"
-    elif db == 1:
-        m[7] = "0" if not b.is_empty else "F"
-    elif db == 0:
-        m[7] = "F"
-    return "".join(m)
+    return "".join("F" if v < 0 else str(v) for v in _relate_matrix(a, b))
 
 
 def relate_pattern(a, b, pattern: str) -> bool:

@@ -131,12 +131,13 @@ def _write_geom(out, geom, bo, include_srid, flavor, top=False):
 # --------------------------------------------------------------------------
 
 def from_wkb(data: bytes | None, on_invalid: str = "raise") -> Geometry | None:
-    """WKB bytes → Geometry. on_invalid ∈ raise|warn|ignore (shapely/io.py:313)."""
+    """WKB bytes → Geometry. on_invalid ∈ raise|warn|ignore|fix
+    (shapely/io.py:313). 'fix': unparseable bytes → None; parseable but
+    topologically invalid geometry → make_valid repair."""
     if data is None:
         return None
     try:
         geom, _ = _read_geom(memoryview(bytes(data)), 0)
-        return geom
     except Exception as exc:
         if on_invalid == "raise":
             raise WKBError(str(exc)) from exc
@@ -145,6 +146,14 @@ def from_wkb(data: bytes | None, on_invalid: str = "raise") -> Geometry | None:
 
             warnings.warn(f"invalid WKB: {exc}")
         return None
+    if on_invalid == "fix" and geom is not None and not geom.is_empty:
+        from . import kernels as K
+
+        if not K.is_valid(geom):
+            from .overlay import make_valid
+
+            return make_valid(geom)
+    return geom
 
 
 def _read_geom(buf: memoryview, off: int):

@@ -282,6 +282,20 @@ def _build() -> dict:
              for g in _geoms(wkb)], dtype="float64"
         )
 
+    @F.pandas_udf("double")
+    def st_z(wkb: pd.Series) -> pd.Series:
+        """reference: shapely/_geometry.py:330 get_z (nan for 2-D points)."""
+        from ..geo.geom import get_z
+
+        return pd.Series([get_z(g) for g in _geoms(wkb)], dtype="float64")
+
+    @F.pandas_udf("double")
+    def st_m(wkb: pd.Series) -> pd.Series:
+        """reference: shapely/_geometry.py:362 get_m."""
+        from ..geo.geom import get_m
+
+        return pd.Series([get_m(g) for g in _geoms(wkb)], dtype="float64")
+
     @F.pandas_udf("int")
     def st_numgeometries(wkb: pd.Series) -> pd.Series:
         """reference: shapely/_geometry.py:790 get_num_geometries."""
@@ -436,6 +450,8 @@ def _build() -> dict:
         "st_force3d": st_force3d,
         "st_x": st_x,
         "st_y": st_y,
+        "st_z": st_z,
+        "st_m": st_m,
         "st_numgeometries": st_numgeometries,
         "st_geometryn": st_geometryn,
         "st_relate": st_relate,

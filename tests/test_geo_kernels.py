@@ -442,3 +442,67 @@ class TestCodecFuzz:
             g2 = from_wkt(to_wkt(g, rounding_precision=12))
             assert g2.type_id == g.type_id
             assert np.allclose(g2.all_coords(), g.all_coords(), atol=1e-11)
+
+
+class TestGeneralRelate:
+    """Full DE-9IM for every type combo (reference: shapely/predicates.py:1194
+    matrix semantics; goldens are GEOS results for the canonical fixtures)."""
+
+    CASES = [
+        # polygon × polygon
+        ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))", "212101212"),
+        ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))", "FF2FF1212"),
+        ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))", "FF2F11212"),
+        ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))", "FF2F01212"),
+        ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))", "212FF1FF2"),
+        ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "2FFF1FFF2"),
+        # b inside a's hole, sharing the hole ring
+        ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))",
+         "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))", "FF2F11212"),
+        # line × line
+        ("LINESTRING (0 0, 2 2)", "LINESTRING (0 2, 2 0)", "0F1FF0102"),
+        ("LINESTRING (0 0, 3 0)", "LINESTRING (1 0, 5 0)", "1010F0102"),
+        ("LINESTRING (0 0, 1 0)", "LINESTRING (0 0, 1 0)", "1FFF0FFF2"),
+        ("LINESTRING (0 0, 1 0)", "LINESTRING (0 1, 1 1)", "FF1FF0102"),
+        # line × polygon
+        ("LINESTRING (-1 1, 3 1)", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "101FF0212"),
+        ("LINESTRING (0.5 0.5, 1.5 1.5)", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "1FF0FF212"),
+        ("LINESTRING (0 0, 2 0)", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "F1FF0F212"),
+        # point combos + transposes
+        ("POINT (1 1)", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "0FFFFF212"),
+        ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "POINT (1 1)", "0F2FF1FF2"),
+        ("POINT (0 0)", "LINESTRING (0 0, 2 0)", "F0FFFF102"),
+        ("LINESTRING (0 0, 2 0)", "POINT (5 5)", "FF1FF00F2"),
+    ]
+
+    def test_relate_matrix_goldens(self):
+        from shapely_spark.geo import from_wkt
+        from shapely_spark.geo.kernels import relate
+
+        for wa, wb, want in self.CASES:
+            got = relate(from_wkt(wa), from_wkt(wb))
+            assert got == want, f"{wa} | {wb}: {got} != {want}"
+
+    def test_relate_pattern_general(self):
+        from shapely_spark.geo import from_wkt
+        from shapely_spark.geo.kernels import relate_pattern
+
+        a = from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        b = from_wkt("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
+        assert relate_pattern(a, b, "T*T***T**")      # overlaps
+        assert not relate_pattern(a, b, "FF*FF****")  # disjoint
+
+    def test_relate_transpose_consistency(self):
+        from shapely_spark.geo import from_wkt
+        from shapely_spark.geo.kernels import relate
+
+        def t(m):
+            return "".join(m[i] for i in (0, 3, 6, 1, 4, 7, 2, 5, 8))
+
+        pairs = [
+            ("LINESTRING (-1 1, 3 1)", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+            ("LINESTRING (0 0, 3 0)", "LINESTRING (1 0, 5 0)"),
+            ("POINT (1 1)", "LINESTRING (0 0, 2 2)"),
+        ]
+        for wa, wb in pairs:
+            assert relate(from_wkt(wa), from_wkt(wb)) == t(relate(from_wkt(wb), from_wkt(wa)))

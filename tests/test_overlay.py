@@ -482,3 +482,136 @@ class TestLineOverlay:
         line = self._w("LINESTRING (-1 -1, 0 0)")
         poly = self._w("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
         assert to_wkt(intersection(line, poly)) == "POINT (0 0)"
+
+
+class TestBufferStyles:
+    """cap_style / join_style / mitre_limit / single_sided (reference:
+    shapely/constructive.py:142-251; legacy tests/legacy/test_buffer.py
+    scenarios) — closed-form area goldens."""
+
+    def _line(self):
+        from shapely_spark.geo import from_wkt
+        return from_wkt("LINESTRING (0 0, 10 0)")
+
+    def test_cap_styles_closed_form(self):
+        import math
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo.constructive import buffer
+        line = self._line()
+        assert abs(K.area(buffer(line, 1.0, cap_style="flat")) - 20.0) < 1e-9
+        assert abs(K.area(buffer(line, 1.0, cap_style="square")) - 24.0) < 1e-9
+        n = 32
+        want_round = 20.0 + n * math.sin(2 * math.pi / n) / 2.0
+        assert abs(K.area(buffer(line, 1.0, cap_style="round")) - want_round) < 1e-6
+
+    def test_join_styles_L_shape(self):
+        from shapely_spark.geo import from_wkt
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo.constructive import buffer
+        L = from_wkt("LINESTRING (0 0, 10 0, 10 10)")
+        assert abs(K.area(buffer(L, 1.0, cap_style="flat", join_style="mitre")) - 40.0) < 1e-9
+        assert abs(K.area(buffer(L, 1.0, cap_style="flat", join_style="bevel")) - 39.5) < 1e-9
+
+    def test_mitre_limit_truncates_spike(self):
+        from shapely_spark.geo import from_wkt
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo.constructive import buffer
+        spike = from_wkt("LINESTRING (0 0, 10 0, 0 0.5)")
+        lo = K.area(buffer(spike, 0.5, cap_style="flat", join_style="mitre", mitre_limit=2.0))
+        hi = K.area(buffer(spike, 0.5, cap_style="flat", join_style="mitre", mitre_limit=50.0))
+        assert lo < hi
+
+    def test_single_sided_strips(self):
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo.constructive import buffer
+        line = self._line()
+        left = buffer(line, 1.0, single_sided=True)
+        right = buffer(line, -1.0, single_sided=True)
+        assert abs(K.area(left) - 10.0) < 1e-9 and K.bounds(left)[1] == 0.0
+        assert abs(K.area(right) - 10.0) < 1e-9 and K.bounds(right)[3] == 0.0
+
+    def test_polygon_join_styles(self):
+        from shapely_spark.geo import from_wkt
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo.constructive import buffer
+        sq = from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+        assert abs(K.area(buffer(sq, 1.0, join_style="mitre")) - 36.0) < 1e-9
+        assert abs(K.area(buffer(sq, 1.0, join_style="bevel")) - 34.0) < 1e-9
+
+    def test_int_style_codes_match_names(self):
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo.constructive import buffer
+        line = self._line()
+        assert K.area(buffer(line, 1.0, cap_style=2)) == K.area(buffer(line, 1.0, cap_style="flat"))
+        assert K.area(buffer(line, 1.0, cap_style=3)) == K.area(buffer(line, 1.0, cap_style="square"))
+
+
+class TestCoverageOps:
+    """coverage_is_valid / coverage_invalid_edges / coverage_simplify
+    (reference: shapely/_coverage.py:12,55,101)."""
+
+    def _w(self, s):
+        from shapely_spark.geo import from_wkt
+        return from_wkt(s)
+
+    def test_valid_edge_matched_pair(self):
+        from shapely_spark.geo import coverage_is_valid
+        a = self._w("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        b = self._w("POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))")
+        assert coverage_is_valid([a, b])
+
+    def test_overlap_and_mismatched_noding_invalid(self):
+        from shapely_spark.geo import coverage_invalid_edges, coverage_is_valid
+        a = self._w("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        c = self._w("POLYGON ((0.5 0, 1.5 0, 1.5 1, 0.5 1, 0.5 0))")
+        assert not coverage_is_valid([a, c])
+        edges = coverage_invalid_edges([a, c])
+        assert all(not e.is_empty for e in edges)
+        b2 = self._w("POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0.5, 1 0))")
+        assert not coverage_is_valid([a, b2])  # unmatched vertex on shared edge
+
+    def test_corner_touch_valid(self):
+        from shapely_spark.geo import coverage_is_valid
+        a = self._w("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        d = self._w("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+        assert coverage_is_valid([a, d])
+
+    def test_simplify_preserves_topology_and_area(self):
+        from shapely_spark.geo import coverage_is_valid, coverage_simplify
+        from shapely_spark.geo import kernels as K
+        p1 = self._w("POLYGON ((0 0, 2 0, 2 0.9, 2.05 1.0, 2 1.1, 2 2, 0 2, 0 0))")
+        p2 = self._w("POLYGON ((2 0, 4 0, 4 2, 2 2, 2 1.1, 2.05 1.0, 2 0.9, 2 0))")
+        s1, s2 = coverage_simplify([p1, p2], tolerance=0.2)
+        assert coverage_is_valid([s1, s2])
+        # shared wiggle removed identically on both sides: total area conserved
+        assert abs((K.area(s1) + K.area(s2)) - (K.area(p1) + K.area(p2))) < 1e-9
+        assert len(s1.rings[0]) < len(p1.rings[0])
+
+    def test_simplify_boundary_false_keeps_outer(self):
+        from shapely_spark.geo import coverage_simplify
+        p1 = self._w("POLYGON ((0 0, 1 0, 2 0.1, 3 0, 4 0, 4 2, 0 2, 0 0))")
+        (s1,) = coverage_simplify([p1], tolerance=0.5, simplify_boundary=False)
+        assert len(s1.rings[0]) == len(p1.rings[0])  # outer boundary untouched
+
+
+class TestAccessorsAndFix:
+    def test_skew_golden(self):
+        from shapely_spark.geo import from_wkt, to_wkt
+        from shapely_spark.geo.constructive import skew
+        g = skew(from_wkt("LINESTRING (0 0, 0 2)"), xs=45.0)
+        assert to_wkt(g, rounding_precision=6) == "LINESTRING (0 0, 2 2)"
+
+    def test_get_zm(self):
+        import math
+        from shapely_spark.geo import from_wkt, get_m, get_z
+        assert get_z(from_wkt("POINT Z (1 2 3)")) == 3.0
+        assert math.isnan(get_z(from_wkt("POINT (1 2)")))
+        assert get_m(from_wkt("POINT ZM (1 2 3 4)")) == 4.0
+
+    def test_from_wkb_on_invalid_fix(self):
+        from shapely_spark.geo import from_wkb, from_wkt, to_wkb
+        from shapely_spark.geo import kernels as K
+        bow = from_wkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")
+        fixed = from_wkb(to_wkb(bow), on_invalid="fix")
+        assert K.is_valid(fixed) and abs(K.area(fixed) - 2.0) < 1e-9
+        assert from_wkb(b"\x01\x99garbage", on_invalid="fix") is None
