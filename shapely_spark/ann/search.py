@@ -328,3 +328,95 @@ def topk_recall_contract(
         F.col("n_queries"),
         (F.col("__hits") >= F.lit(floor) * F.col("n_queries")).alias("recall_ok"),
     )
+
+
+def cosine_topk_ivf_distributed(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 1,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    sample_size: int = 8192,
+) -> DataFrame:
+    """IVF ANN with a DISTRIBUTED index: only the coarse quantizer
+    (n_lists × dim centroids, trained on a bounded deterministic sample)
+    ever touches the driver; the inverted lists live as a DataFrame and
+    the probe is a list_id equi-join. No O(|targets|) driver collect —
+    this is the corpus-scale path (cosine_topk_ivf keeps the
+    dictionary-sized broadcast variant).
+
+    Plan: targets → assign list_id (pandas UDF, broadcast centroids) →
+    lists DF; queries → explode nprobe probe list_ids → equi-join on
+    list_id (AQE-skewable shuffle) → one vectorized batch dot per Arrow
+    batch → window top-k per query. With nprobe = n_lists the result is
+    exactly brute force."""
+    from pyspark.sql import Window
+
+    sample = [
+        r[0] for r in targets.select(vec_col).orderBy(id_col).limit(sample_size).collect()
+    ]
+    S = np.array(sample, dtype=np.float64)
+    norms = np.linalg.norm(S, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    C = _kmeans_centroids(S / norms, n_lists)
+    sc = queries.sparkSession.sparkContext
+    bc = sc.broadcast(C)
+    npb = min(nprobe, len(C))
+
+    @F.pandas_udf("int")
+    def assign_list(vec: pd.Series) -> pd.Series:
+        Cm = bc.value
+        V = np.array(list(vec), dtype=np.float64)
+        if not len(V):
+            return pd.Series([], dtype="int32")
+        vn = np.linalg.norm(V, axis=1, keepdims=True)
+        vn[vn == 0] = 1.0
+        return pd.Series(np.argmax((V / vn) @ Cm.T, axis=1).astype(np.int32))
+
+    @F.pandas_udf("array<int>")
+    def probe_lists(vec: pd.Series) -> pd.Series:
+        Cm = bc.value
+        V = np.array(list(vec), dtype=np.float64)
+        if not len(V):
+            return pd.Series([], dtype="object")
+        vn = np.linalg.norm(V, axis=1, keepdims=True)
+        vn[vn == 0] = 1.0
+        S_ = (V / vn) @ Cm.T
+        if npb >= S_.shape[1]:
+            idx = np.broadcast_to(np.arange(S_.shape[1]), S_.shape)
+        else:
+            idx = np.argpartition(-S_, npb - 1, axis=1)[:, :npb]
+        return pd.Series([r.astype(np.int32).tolist() for r in idx])
+
+    @F.pandas_udf("double")
+    def pair_cosine(qv: pd.Series, tv: pd.Series) -> pd.Series:
+        Q = np.array(list(qv), dtype=np.float64)
+        T = np.array(list(tv), dtype=np.float64)
+        if not len(Q):
+            return pd.Series([], dtype="float64")
+        qn = np.linalg.norm(Q, axis=1)
+        tn = np.linalg.norm(T, axis=1)
+        qn[qn == 0] = 1.0
+        tn[tn == 0] = 1.0
+        return pd.Series(np.einsum("ij,ij->i", Q, T) / (qn * tn))
+
+    lists = targets.select(
+        F.col(id_col).alias("__tid"), F.col(vec_col).alias("__tv")
+    ).withColumn("__list", assign_list(F.col("__tv")))
+    probes = queries.select(
+        F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv")
+    ).withColumn("__list", F.explode(probe_lists(F.col("__qv"))))
+    cand = probes.join(lists, "__list")
+    if exclude_self:
+        cand = cand.where(F.col("__qid") != F.col("__tid"))
+    scored = cand.withColumn("__s", pair_cosine(F.col("__qv"), F.col("__tv")))
+    w = Window.partitionBy("__qid").orderBy(F.desc("__s"), F.asc("__tid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("__qid").alias(id_col), F.col("__tid").alias("target_id"),
+                F.col("rank").cast("int").alias("rank"))
+    )

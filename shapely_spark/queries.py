@@ -1818,6 +1818,29 @@ def ann_cosine_ivf_top1(spark, sf_dir):
 
 
 @q(
+    "ann_cosine_ivf_dist_top1",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    c AS (SELECT q.vec_id, e.vec_id AS target_id,
+                 list_cosine_similarity(q.embedding, e.embedding) AS s
+          FROM e q CROSS JOIN e WHERE q.vec_id != e.vec_id)
+    SELECT vec_id, target_id, 1 AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, target_id) rn FROM c)
+    WHERE rn = 1 ORDER BY vec_id
+    """,
+)
+def ann_cosine_ivf_dist_top1(spark, sf_dir):
+    """Distributed-index IVF in exact mode (nprobe = n_lists): inverted
+    lists live as a DataFrame, probe is a list_id equi-join, refine is a
+    vectorized per-batch pair dot — no O(|targets|) driver collect. The
+    brute-force oracle proves the whole distributed plumbing exactly."""
+    from .ann.search import cosine_topk_ivf_distributed
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf_distributed(e, e, k=1, n_lists=8, nprobe=8).orderBy("vec_id")
+
+
+@q(
     "ann_cosine_ivf_probe2",
     """
     SELECT 0.5::DOUBLE AS floor, count(*)::BIGINT AS n_queries, true AS recall_ok

@@ -212,3 +212,30 @@ def test_ann_recall_contract_row(spark, vectors):
     brute = cosine_topk_bruteforce(vectors, vectors, k=1)
     row = topk_recall_contract(lsh, brute, floor=0.8).first()
     assert row.recall_ok and row.n_queries == vectors.count() and row.floor == 0.8
+
+
+def test_ivf_distributed_exact_mode_matches_bruteforce(spark):
+    """Distributed inverted-list IVF (no driver collect of targets) with
+    nprobe=n_lists must equal brute force exactly."""
+    from shapely_spark.ann.search import (
+        cosine_topk_bruteforce, cosine_topk_ivf_distributed,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = {(r.vec_id, r.target_id) for r in cosine_topk_bruteforce(e, e, k=1).collect()}
+    dd = {(r.vec_id, r.target_id) for r in
+          cosine_topk_ivf_distributed(e, e, k=1, n_lists=8, nprobe=8).collect()}
+    assert dd == bf
+
+
+def test_ivf_distributed_probe_recall(spark):
+    from shapely_spark.ann.search import (
+        cosine_topk_bruteforce, cosine_topk_ivf_distributed,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = {r.vec_id: r.target_id for r in cosine_topk_bruteforce(e, e, k=1).collect()}
+    d2 = {r.vec_id: r.target_id for r in
+          cosine_topk_ivf_distributed(e, e, k=1, n_lists=8, nprobe=2).collect()}
+    hits = sum(1 for q, t in bf.items() if d2.get(q) == t)
+    assert hits / len(bf) >= 0.4
