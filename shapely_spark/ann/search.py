@@ -391,31 +391,64 @@ def cosine_topk_ivf_distributed(
             idx = np.argpartition(-S_, npb - 1, axis=1)[:, :npb]
         return pd.Series([r.astype(np.int32).tolist() for r in idx])
 
-    @F.pandas_udf("double")
-    def pair_cosine(qv: pd.Series, tv: pd.Series) -> pd.Series:
-        Q = np.array(list(qv), dtype=np.float64)
-        T = np.array(list(tv), dtype=np.float64)
-        if not len(Q):
-            return pd.Series([], dtype="float64")
-        qn = np.linalg.norm(Q, axis=1)
-        tn = np.linalg.norm(T, axis=1)
-        qn[qn == 0] = 1.0
-        tn[tn == 0] = 1.0
-        return pd.Series(np.einsum("ij,ij->i", Q, T) / (qn * tn))
-
+    # posting-list blocks: each inverted list is packed into chunks of
+    # ≤ chunk_rows targets, ONE row per chunk (ids + matrix). The probe
+    # join then moves |queries|·nprobe·chunks_per_list rows instead of a
+    # row per (query, target) pair, and the refine is one matmul per
+    # (query, chunk) with a k-partial result — |queries|·nprobe·k rows
+    # reach the final per-query top-k window.
+    chunk_rows = 4096
+    wl = Window.partitionBy("__list").orderBy("__tid")
     lists = targets.select(
         F.col(id_col).alias("__tid"), F.col(vec_col).alias("__tv")
     ).withColumn("__list", assign_list(F.col("__tv")))
+    chunks = (
+        lists.withColumn("__chunk", ((F.row_number().over(wl) - 1) / chunk_rows).cast("int"))
+        .groupBy("__list", "__chunk")
+        .agg(F.collect_list("__tid").alias("__tids"),
+             F.collect_list("__tv").alias("__tvs"))
+    )
     probes = queries.select(
         F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv")
     ).withColumn("__list", F.explode(probe_lists(F.col("__qv"))))
-    cand = probes.join(lists, "__list")
-    if exclude_self:
-        cand = cand.where(F.col("__qid") != F.col("__tid"))
-    scored = cand.withColumn("__s", pair_cosine(F.col("__qv"), F.col("__tv")))
+    cand = probes.join(chunks, "__list")
+    kk, excl = k, exclude_self
+    part_schema = "__qid long, __tid long, __s double"
+
+    def refine(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            oq, ot, os_ = [], [], []
+            for qid, qv, tids, tvs in zip(pdf["__qid"], pdf["__qv"], pdf["__tids"], pdf["__tvs"]):
+                T = np.array(list(tvs), dtype=np.float64)
+                tid_arr = np.asarray(tids, dtype=np.int64)
+                tn = np.linalg.norm(T, axis=1)
+                tn[tn == 0] = 1.0
+                q = np.asarray(qv, dtype=np.float64)
+                qn = np.linalg.norm(q) or 1.0
+                s = (T @ q) / (tn * qn)
+                if excl:
+                    keepm = tid_arr != qid
+                    tid_arr, s = tid_arr[keepm], s[keepm]
+                if not len(s):
+                    continue
+                if len(s) > kk:
+                    part = np.argpartition(-s, kk - 1)[:kk]
+                    tid_arr, s = tid_arr[part], s[part]
+                oq.extend([int(qid)] * len(s))
+                ot.extend(tid_arr.tolist())
+                os_.extend(s.tolist())
+            yield pd.DataFrame({
+                "__qid": pd.Series(oq, dtype="int64"),
+                "__tid": pd.Series(ot, dtype="int64"),
+                "__s": pd.Series(os_, dtype="float64"),
+            })
+
+    partial = cand.mapInPandas(refine, part_schema)
     w = Window.partitionBy("__qid").orderBy(F.desc("__s"), F.asc("__tid"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(F.col("__qid").alias(id_col), F.col("__tid").alias("target_id"),
                 F.col("rank").cast("int").alias("rank"))

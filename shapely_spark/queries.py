@@ -94,15 +94,25 @@ def _nation_regions_df(spark, sf_dir) -> DataFrame:
 
 
 # part-derived geometry parameters (shared by the geo_* kernel queries)
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a SMALL param table out to the session's parallelism before a
+    heavy per-row Python kernel. The derived tables here come from tiny
+    parquet files (one input split), so without this every
+    mapInPandas-backed kernel query runs on ONE core — measured 36.9 s →
+    ~2 s for the box-pair overlay battery at sf0.1 on local[32]. The
+    round-robin shuffle moves a few hundred KB; the kernel is the cost."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _part_params(spark, sf_dir) -> DataFrame:
     p = _t(spark, sf_dir, "part")
-    return p.select(
+    return _spread(p.select(
         F.col("p_partkey").alias("gid"),
         (F.col("p_partkey") % 13 + 3).cast("int").alias("n"),
         ((F.col("p_partkey") % 97 + 10) / 20.0).alias("r"),
         ((F.col("p_partkey") % 300) - 150 + 0.5).cast("double").alias("cx"),
         ((F.col("p_partkey") % 160) - 80 + 0.25).cast("double").alias("cy"),
-    )
+    ))
 
 
 _PART_PARAMS_SQL = """
@@ -685,7 +695,7 @@ def wkb_size_ngon(spark, sf_dir):
 )
 def dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on content, keep min doc_id."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return (
         d.groupBy("text")
         .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("group_size"))
@@ -705,7 +715,7 @@ def dedup_exact(spark, sf_dir):
 def dedup_prefix_groups(spark, sf_dir):
     """Near-dup families by 8-token prefix fingerprint (rolling-fingerprint
     dedup at the cheap end; groups >1 are candidate duplicate clusters)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     prefix = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8))
     return (
         d.groupBy(prefix.alias("prefix"))
@@ -723,7 +733,7 @@ def dedup_prefix_groups(spark, sf_dir):
     """,
 )
 def token_count(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
@@ -739,7 +749,7 @@ def token_count(spark, sf_dir):
     """,
 )
 def doc_fingerprint(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp"),
@@ -767,7 +777,7 @@ _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 def quality_score(spark, sf_dir):
     """Quality heuristics: stopword ratio + mean token length (the engine's
     language-quality scoring building blocks), all JVM-side."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     w = F.split(F.col("text"), " ")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     return d.select(
@@ -810,7 +820,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     shuffle-heavy exact version; minhash_lsh_candidates is the scale path."""
     from .text.dedup import shingles_col
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     sh = d.select("doc_id", F.explode(shingles_col(F.col("text"), 3)).alias("s")).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
@@ -850,7 +860,7 @@ def ann_cosine_top1(spark, sf_dir):
     DuckDB computes float32, numpy float64; neighbor IDs agree."""
     from .ann.search import cosine_topk_bruteforce
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     return cosine_topk_bruteforce(e, e, k=1, exclude_self=True).orderBy("vec_id")
 
 
@@ -873,7 +883,7 @@ def ann_cosine_lsh_top1(spark, sf_dir):
     clustered-fixture recall ≥ 0.8 check)."""
     from .ann.search import cosine_topk_bruteforce, cosine_topk_lsh, topk_recall_contract
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     lsh = cosine_topk_lsh(e, e, k=1, n_tables=32, n_bits=8)
     brute = cosine_topk_bruteforce(e, e, k=1)
     return topk_recall_contract(lsh, brute, floor=0.4)
@@ -891,7 +901,7 @@ def ann_cosine_lsh_top1(spark, sf_dir):
 def embedding_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (the IVF coarse-quantizer training
     step) via posexplode + groupBy — partial aggregation JVM-side."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     return (
         e.select("label", F.posexplode("embedding").alias("dim0", "v"))
         .withColumn("dim", F.col("dim0") + 1)  # 1-based like DuckDB subscripts
@@ -938,7 +948,7 @@ ORDER BY doc_a, doc_b
 def minhash_dedup_pairs_q(spark, sf_dir):
     from .text.dedup import minhash_dedup_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return minhash_dedup_pairs(d, threshold=0.2).orderBy("doc_a", "doc_b")
 
 
@@ -946,7 +956,7 @@ def minhash_dedup_pairs_q(spark, sf_dir):
 def simhash_dedup_pairs_q(spark, sf_dir):
     from .text.dedup import simhash_dedup_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return simhash_dedup_pairs(d, threshold=0.2).orderBy("doc_a", "doc_b")
 
 
@@ -983,7 +993,7 @@ def langid_heuristic_q(spark, sf_dir):
     field-lexicographically)."""
     from .text.quality import langid_heuristic
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return langid_heuristic(d).select("doc_id", "pred_lang", "pred_hits").orderBy("doc_id")
 
 
@@ -1058,7 +1068,7 @@ _BOX_IY = "greatest(0.0, least(y1 + h1, y2 + h2) - greatest(y1, y2))"
 def _box_pairs(spark, sf_dir) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     k = F.col("p_partkey")
-    return p.select(
+    return _spread(p.select(
         k.alias("gid"),
         (k % 50).cast("double").alias("x1"),
         (k % 30).cast("double").alias("y1"),
@@ -1068,7 +1078,7 @@ def _box_pairs(spark, sf_dir) -> DataFrame:
         (k % 30 + k % 9 - 4).cast("double").alias("y2"),
         (1 + k % 6).cast("double").alias("w2"),
         (1 + k % 3).cast("double").alias("h2"),
-    )
+    ))
 
 
 def _overlay_area_query(spark, sf_dir, op_name: str, col_name: str) -> DataFrame:
@@ -1172,12 +1182,12 @@ def overlay_line_clip_length(spark, sf_dir):
     closed form in SQL (45° direction ⇒ per-axis params share one scale)."""
     p = _t(spark, sf_dir, "part")
     k = F.col("p_partkey")
-    src = p.select(
+    src = _spread(p.select(
         k.alias("gid"),
         (k % 47).cast("double").alias("x1"),
         (k % 29).cast("double").alias("y1"),
         (5 + k % 11).cast("double").alias("L"),
-    )
+    ))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .geo import kernels as K
@@ -1221,13 +1231,13 @@ def overlay_line_line_length(spark, sf_dir):
     closed form; non-overlapping pairs exercise the EMPTY/point paths."""
     p = _t(spark, sf_dir, "part")
     k = F.col("p_partkey")
-    src = p.select(
+    src = _spread(p.select(
         k.alias("gid"),
         (k % 37).cast("double").alias("ax"),
         (3 + k % 9).cast("double").alias("al"),
         (k % 37 + k % 13 - 6).cast("double").alias("bx"),
         (2 + k % 7).cast("double").alias("bl"),
-    )
+    ))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .geo import kernels as K
@@ -1265,13 +1275,13 @@ def dissolve_union_by_key(spark, sf_dir):
 
     p = _t(spark, sf_dir, "part")
     k = F.col("p_partkey")
-    boxes = p.select(
+    boxes = _spread(p.select(
         (k % 25).cast("bigint").alias("region_key"),
         k.alias("gid"),
         (k / 25).cast("bigint").alias("slot"),
         (2 + k % 5).cast("double").alias("w"),
         (2 + k % 4).cast("double").alias("h"),
-    )
+    ))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .geo.geom import box
@@ -1766,13 +1776,13 @@ def spatial_join_geom_boxes(spark, sf_dir):
 
     p = _t(spark, sf_dir, "part")
     k = F.col("p_partkey")
-    lparams = p.select(
+    lparams = _spread(p.select(
         k.alias("gid"),
         (k % 340 - 170).cast("double").alias("x1"),
         (k % 150 - 75).cast("double").alias("y1"),
         (2 + k % 5).cast("double").alias("w"),
         (2 + k % 4).cast("double").alias("h"),
-    )
+    ))
 
     def lgen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .geo.geom import box
@@ -1812,7 +1822,7 @@ def ann_cosine_ivf_top1(spark, sf_dir):
     n_lists (ann_cosine_ivf_probe2)."""
     from .ann.search import cosine_topk_ivf
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     return cosine_topk_ivf(e, e, k=1, n_lists=8, nprobe=8,
                            exclude_self=True).orderBy("vec_id")
 
@@ -1836,7 +1846,7 @@ def ann_cosine_ivf_dist_top1(spark, sf_dir):
     brute-force oracle proves the whole distributed plumbing exactly."""
     from .ann.search import cosine_topk_ivf_distributed
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     return cosine_topk_ivf_distributed(e, e, k=1, n_lists=8, nprobe=8).orderBy("vec_id")
 
 
@@ -1854,7 +1864,7 @@ def ann_cosine_ivf_probe2(spark, sf_dir):
     gate embeddings; deterministic k-means init → reproducible)."""
     from .ann.search import cosine_topk_bruteforce, cosine_topk_ivf, topk_recall_contract
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     ivf = cosine_topk_ivf(e, e, k=1, n_lists=8, nprobe=2, exclude_self=True)
     brute = cosine_topk_bruteforce(e, e, k=1)
     return topk_recall_contract(ivf, brute, floor=0.5)
