@@ -2,11 +2,14 @@
 
 Media ride as opaque `binary` columns with a typed metadata struct; every
 transform is an Arrow-batched mapInPandas whose schema, partitioning and
-batch shape are real and tested. The actual codec calls are STUBBED —
-image/audio libraries are not available in this container — behind
-`decode_image_stub` (a deterministic fake decoder) and
-`NotImplementedError` markers, so swapping in a real decoder (PIL/ffmpeg)
-changes one function body, not the pipeline.
+batch shape are real and tested. Decoding is REAL for uncompressed
+formats — binary PPM/PGM and 24/32-bit BMP images, PCM WAV audio — via
+pure stdlib+numpy codecs (`decode_image`, `decode_audio`, with
+`encode_ppm`/`encode_wav` roundtrip fixtures). Compressed formats
+(JPEG/PNG, mp3/aac) require codec libraries absent from this container
+and raise NotImplementedError in the same dispatcher, so swapping in
+PIL/ffmpeg changes one function body, not the pipeline. The deterministic
+MM01 fake payloads used by the synthetic tables route to stub decoders.
 
 Schema convention:
   media(url string, kind string, payload binary,
@@ -52,6 +55,128 @@ def synth_media(spark: SparkSession, n: int = 100) -> DataFrame:
     )
 
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """REAL image decode for uncompressed formats, pure stdlib+numpy:
+    binary PPM (P6) / PGM (P5) and uncompressed 24/32-bit BMP → H×W×3
+    uint8. The synthetic MM01 fake-header payloads route to the
+    deterministic stub. Compressed formats (JPEG/PNG/WebP) require codec
+    libraries not present in this container and raise NotImplementedError
+    — swapping in PIL/turbojpeg changes this dispatcher only, not the
+    pipeline."""
+    b = bytes(payload)
+    if b[:5] == b"MM01:":
+        return decode_image_stub(b)
+    if b[:2] in (b"P6", b"P5"):
+        return _decode_pnm(b)
+    if b[:2] == b"BM":
+        return _decode_bmp(b)
+    raise NotImplementedError(
+        "compressed image formats need codec libraries (PIL/turbojpeg) not "
+        "present in this container; supported here: PPM/PGM/BMP"
+    )
+
+
+def _decode_pnm(b: bytes) -> np.ndarray:
+    """Binary PPM (P6, RGB) / PGM (P5, gray) with comment support."""
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos:pos + 1].isspace():
+            pos += 1
+        if b[pos:pos + 1] == b"#":
+            while pos < len(b) and b[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    if b[:2] == b"P6":
+        arr = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return arr.reshape(h, w, 3).copy()
+    arr = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=pos).reshape(h, w)
+    return np.stack([arr, arr, arr], axis=-1)
+
+
+def _decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BITMAPINFOHEADER BMP (the format Windows
+    Paint and most screenshot tools emit)."""
+    import struct
+
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP compression={comp} bpp={bpp} unsupported")
+    flip = h > 0
+    h = abs(h)
+    nb = bpp // 8
+    row_bytes = (w * nb + 3) & ~3
+    rows = np.frombuffer(b, dtype=np.uint8, count=row_bytes * h, offset=data_off)
+    rows = rows.reshape(h, row_bytes)[:, : w * nb].reshape(h, w, nb)
+    rgb = rows[..., 2::-1]  # BGR(A) → RGB
+    return (rgb[::-1] if flip else rgb).copy()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """H×W×3 uint8 → binary PPM bytes (roundtrip fixture for decode_image)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def decode_audio(payload: bytes, sample_rate: int | None = None) -> np.ndarray:
+    """REAL audio decode for PCM WAV (stdlib `wave`) → float32 mono in
+    [-1, 1]; MM01 fake payloads route to the stub; compressed codecs
+    (mp3/aac/opus) raise NotImplementedError (need ffmpeg/soundfile)."""
+    b = bytes(payload)
+    if b[:5] == b"MM01:":
+        return decode_audio_stub(b, sample_rate or 16000)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(b)) as wf:
+            n = wf.getnframes()
+            sw = wf.getsampwidth()
+            nc = wf.getnchannels()
+            raw = wf.readframes(n)
+        if sw == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif sw == 1:
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif sw == 4:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise NotImplementedError(f"WAV sample width {sw} unsupported")
+        if nc > 1:
+            x = x.reshape(-1, nc).mean(axis=1)
+        return x.astype(np.float32)
+    raise NotImplementedError(
+        "compressed audio codecs need ffmpeg/soundfile; supported here: PCM WAV"
+    )
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """float mono [-1,1] → 16-bit PCM WAV bytes (roundtrip fixture)."""
+    import io
+    import wave
+
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm16 = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
 def decode_image_stub(payload: bytes) -> np.ndarray:
     """STUB decoder: parses the fake header and returns a deterministic
     gradient array of the declared shape. Replace with PIL/turbojpeg in a
@@ -79,7 +204,7 @@ def image_features(media: DataFrame, out_dim: int = 16) -> DataFrame:
         for pdf in batches:
             urls, feats, ws, hs = [], [], [], []
             for url, payload in zip(pdf["url"], pdf["payload"]):
-                img = decode_image_stub(payload)
+                img = decode_image(payload)
                 hist, _ = np.histogram(img[..., 0], bins=out_dim, range=(0, 256))
                 total = hist.sum() or 1
                 urls.append(url)
@@ -141,7 +266,7 @@ def audio_features(media: DataFrame, n_bands: int = 8) -> DataFrame:
             urls, feats, ns = [], [], []
             for url, payload, meta in zip(pdf["url"], pdf["payload"], pdf["meta"]):
                 sr = int(meta["sample_rate"]) if meta is not None else 16000
-                wave = decode_audio_stub(payload, sr)
+                wave = decode_audio(payload, sr)
                 spec = np.abs(np.fft.rfft(wave.astype(np.float64)))
                 bands = np.array_split(spec, n_bands)
                 e = np.array([float((b ** 2).sum()) for b in bands])

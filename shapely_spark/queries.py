@@ -1157,6 +1157,54 @@ def overlay_symdifference_area(spark, sf_dir):
 
 
 @q(
+    "relate_point_box",
+    """
+    SELECT p_partkey AS gid,
+           CASE CAST(p_partkey % 3 AS INT)
+             WHEN 0 THEN '0FFFFF212'
+             WHEN 1 THEN 'F0FFFF212'
+             ELSE 'FF0FFF212'
+           END AS de9im
+    FROM part ORDER BY gid
+    """,
+)
+def relate_point_box(spark, sf_dir):
+    """Full DE-9IM relate() (reference: shapely/predicates.py:1194) over
+    point×box pairs planted in three regimes — interior (gid%3=0),
+    boundary (1), exterior (2) — so the oracle knows each 9-char matrix
+    in closed form."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    src = _spread(p.select(
+        k.alias("gid"),
+        (k % 50).cast("double").alias("x1"),
+        (k % 30).cast("double").alias("y1"),
+        (2 + k % 5).cast("double").alias("w"),
+        (2 + k % 4).cast("double").alias("h"),
+        (k % 3).cast("int").alias("regime"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.geom import box, point
+
+        for pdf in batches:
+            out = []
+            for x1, y1, w, h, reg in zip(pdf.x1, pdf.y1, pdf.w, pdf.h, pdf.regime):
+                bx = box(x1, y1, x1 + w, y1 + h)
+                if reg == 0:
+                    pt = point(x1 + w / 2.0, y1 + h / 2.0)
+                elif reg == 1:
+                    pt = point(x1, y1 + h / 2.0)
+                else:
+                    pt = point(x1 - 1.0, y1)
+                out.append(K.relate(pt, bx))
+            yield pd.DataFrame({"gid": pdf.gid, "de9im": out})
+
+    return src.mapInPandas(gen, "gid long, de9im string").orderBy("gid")
+
+
+@q(
     "overlay_line_clip_length",
     """
     WITH s AS (

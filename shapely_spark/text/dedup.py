@@ -154,23 +154,46 @@ def oversized_buckets(exploded: DataFrame, max_bucket: int) -> DataFrame:
     )
 
 
+def _bands_udf(n_bands: int, rows_per_band: int):
+    """Signature → per-band FNV-1a digests, vectorized in numpy. The JVM
+    alternative (16 × xxhash64(element_at×4) expressions) generates a huge
+    codegen method whose first-run JIT dominated the cold battery time
+    (~100 s at sf0.1); the numpy digest is a few microseconds per batch."""
+
+    @F.pandas_udf("array<long>")
+    def bands(mh: pd.Series) -> pd.Series:
+        vals = [None if v is None else np.asarray(v, dtype=np.int64) for v in mh]
+        nz = [v for v in vals if v is not None]
+        hi = None
+        if nz:
+            M = np.stack(nz).view(np.uint64).reshape(len(nz), n_bands, rows_per_band)
+            h = np.full(M.shape[:2], 14695981039346656037, dtype=np.uint64)
+            for r in range(rows_per_band):
+                h = (h ^ M[:, :, r]) * np.uint64(1099511628211)
+            # namespace per band so all bands share one bucket column
+            h = h ^ (np.arange(n_bands, dtype=np.uint64)[None, :] << np.uint64(56))
+            hi = h.view(np.int64)
+        k = 0
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(None)
+            else:
+                out.append(hi[k].tolist())
+                k += 1
+        return pd.Series(out)
+
+    return bands
+
+
 def minhash_band_buckets(
     sigs: DataFrame, id_col: str = "doc_id", n_bands: int = N_BANDS,
     n_hashes: int = N_MINHASH,
 ) -> DataFrame:
-    """(id, bucket) — one row per band; bucket = hash of the band's rows."""
-    rows_per_band = n_hashes // n_bands
-    bands = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[F.element_at("minhash", b * rows_per_band + r + 1) for r in range(rows_per_band)],
-            )
-            for b in range(n_bands)
-        ]
-    )
+    """(id, bucket) — one row per band; bucket = digest of the band's rows."""
+    bands = _bands_udf(n_bands, n_hashes // n_bands)
     return sigs.where(F.col("minhash").isNotNull()).select(
-        F.col(id_col), F.explode(bands).alias("bucket")
+        F.col(id_col), F.explode(bands(F.col("minhash"))).alias("bucket")
     )
 
 

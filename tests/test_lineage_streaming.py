@@ -191,3 +191,41 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     for k, v in got.items():
         assert k in truth, k
         assert truth[k][0] == v[0] and abs(truth[k][1] - v[1]) < 0.05, (k, v, truth[k])
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    """Streaming exact dedup: one emitted row per distinct content (its
+    first arrival), duplicates dropped across microbatches."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from shapely_spark.streaming.stateful import dedup_stream
+
+    src = str(tmp_path / "docs_src")
+    rows = []
+    base = 1_700_000_000
+    for i in range(30):
+        text = f"content {i % 10}"  # 10 distinct contents, 3 copies each
+        rows.append((i, text, base + i))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "epoch"]),
+        "doc_id long, text string, epoch long",
+    ).withColumn("ts", F.col("epoch").cast("timestamp")).drop("epoch")
+    # 3 files in id order → duplicates arrive in later microbatches
+    df.repartitionByRange(3, "doc_id").sortWithinPartitions("doc_id").write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = dedup_stream(stream)
+    q = (
+        out.writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from dedup_out").collect()
+    assert len(got) == 10  # one keeper per distinct content
+    keepers = sorted(r.doc_id for r in got)
+    assert keepers == list(range(10))  # first arrival of each content
