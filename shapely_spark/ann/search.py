@@ -453,3 +453,49 @@ def cosine_topk_ivf_distributed(
         .select(F.col("__qid").alias(id_col), F.col("__tid").alias("target_id"),
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b) with
+    cosine(a, b) ≥ threshold — the embedding-space member of the dedup
+    suite (exact hash / MinHash / SimHash / n-gram Jaccard / this).
+
+    Plan: normalized target matrix broadcast once per executor, one
+    chunked matmul per Arrow batch emitting only the upper-triangle hits —
+    the |pairs| output never materializes the n² score matrix. For
+    corpora past broadcast size, run cosine_topk_ivf_distributed with a
+    score filter instead (same contract, inverted-list join)."""
+    t_ids, T = _collect_targets(vectors, id_col, vec_col)
+    bc = vectors.sparkSession.sparkContext.broadcast((t_ids, T))
+    thr = float(threshold)
+    out_schema = "id_a long, id_b long"
+
+    def gen(batches):
+        ids, Tm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qn = np.linalg.norm(Q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            Q = Q / qn
+            q_ids = pdf[id_col].to_numpy(np.int64)
+            oa, ob = [], []
+            for s in range(0, len(ids), 8192):
+                e = min(len(ids), s + 8192)
+                S = Q @ Tm[s:e].T
+                hit = S >= thr
+                # upper triangle only: qid < tid
+                hit &= q_ids[:, None] < ids[None, s:e]
+                qi, ti = np.nonzero(hit)
+                oa.extend(q_ids[qi].tolist())
+                ob.extend(ids[s + ti].tolist())
+            yield pd.DataFrame({"id_a": pd.Series(oa, dtype="int64"),
+                                "id_b": pd.Series(ob, dtype="int64")})
+
+    return vectors.select(id_col, vec_col).mapInPandas(gen, out_schema)

@@ -1876,6 +1876,26 @@ def ann_cosine_ivf_top1(spark, sf_dir):
 
 
 @q(
+    "embedding_neardup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the embedding-space member
+    of the dedup suite) vs DuckDB's exact pairwise cosine. Threshold 0.5
+    sits ≥1e-3 from every pair's score on the gate data, so float32 vs
+    float64 accumulation cannot flip membership."""
+    from .ann.search import cosine_neardup_pairs
+
+    e = _spread(_t(spark, sf_dir, "embeddings"))
+    return cosine_neardup_pairs(e, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@q(
     "ann_cosine_ivf_dist_top1",
     """
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
