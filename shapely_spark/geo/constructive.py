@@ -817,15 +817,28 @@ def force_2d(geom: Geometry | None) -> Geometry | None:
 
 def transform_coords(geom: Geometry | None, func) -> Geometry | None:
     """Apply func((n,2) array) -> (n,2) array to every coordinate sequence.
+    Z/M columns ride through unchanged (reference 2-D affinity semantics:
+    shapely/affinity.py transforms xy and carries z when present).
     reference: shapely/coordinates.py:28-70 transform / ops.py:216."""
     if geom is None or geom.is_empty:
         return geom
+
+    def tc(c: np.ndarray) -> np.ndarray:
+        c = np.asarray(c, dtype=np.float64)
+        xy = np.asarray(func(c[:, :2]), dtype=np.float64)
+        if c.shape[1] > 2:
+            return np.column_stack([xy, c[:, 2:]])
+        return xy
+
     tid = geom.type_id
     if tid in (POINT, LINESTRING, LINEARRING):
-        return Geometry(tid, coords=np.asarray(func(np.asarray(geom.coords)[:, :2]), dtype=np.float64))
+        return Geometry(tid, coords=tc(geom.coords),
+                        has_z=geom.has_z, has_m=geom.has_m)
     if tid == POLYGON:
-        return Geometry(POLYGON, rings=[np.asarray(func(np.asarray(r)[:, :2]), dtype=np.float64) for r in geom.rings])
-    return Geometry(tid, parts=[transform_coords(p, func) for p in geom.parts])
+        return Geometry(POLYGON, rings=[tc(r) for r in geom.rings],
+                        has_z=geom.has_z, has_m=geom.has_m)
+    return Geometry(tid, parts=[transform_coords(p, func) for p in geom.parts],
+                    has_z=geom.has_z, has_m=geom.has_m)
 
 
 def affine_transform(geom: Geometry | None, matrix) -> Geometry | None:
