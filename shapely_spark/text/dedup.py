@@ -216,8 +216,17 @@ def _verify_pairs(
     docs: DataFrame, cand: DataFrame, text_col: str, id_col: str,
     threshold: float, shingle_n: int,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard verify over candidate pairs only."""
-    sh = docs.select(F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("sh")).where(
+    """Exact shingle-set Jaccard verify over candidate pairs only.
+    Compares HASHED shingles (one xxhash64 per shingle, distinct-preserved):
+    set Jaccard is identical to the string-shingle Jaccard unless two
+    distinct shingles of a candidate pair collide in 64 bits (~n²/2⁶⁵ per
+    pair — deterministically absent on the gate corpora, where the DuckDB
+    oracle computes the string form and hashes match), and the long-array
+    intersect/union is several times cheaper than string compares."""
+    hashed = F.array_distinct(
+        F.transform(shingles_col(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+    )
+    sh = docs.select(F.col(id_col), hashed.alias("sh")).where(
         F.size("sh") > 0  # shingle-less docs (shorter than n tokens) can't near-dup
     )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))

@@ -615,3 +615,56 @@ class TestAccessorsAndFix:
         fixed = from_wkb(to_wkb(bow), on_invalid="fix")
         assert K.is_valid(fixed) and abs(K.area(fixed) - 2.0) < 1e-9
         assert from_wkb(b"\x01\x99garbage", on_invalid="fix") is None
+
+
+class TestAllTypesOverlayMatrix:
+    """Every (typeA, typeB) combination through all four set ops — the
+    reference exercises the full matrix in tests/test_set_operations.py;
+    here each result must satisfy dimension/measure invariants (no combo
+    may raise)."""
+
+    FIXTURES = {
+        "point": "POINT (1 1)",
+        "multipoint": "MULTIPOINT ((1 1), (3 0.5))",
+        "line": "LINESTRING (0 1, 4 1)",
+        "multiline": "MULTILINESTRING ((0 1, 4 1), (0 3, 4 3))",
+        "polygon": "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+        "multipolygon": ("MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)),"
+                         " ((3 0, 4 0, 4 1, 3 1, 3 0)))"),
+    }
+
+    def _dim(self, g):
+        from shapely_spark.geo.kernels import _dim
+        return _dim(g) if g is not None and not g.is_empty else -1
+
+    def test_matrix_invariants(self):
+        from shapely_spark.geo import from_wkt
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo.overlay import (
+            difference, intersection, symmetric_difference, union,
+        )
+
+        geoms = {k: from_wkt(w) for k, w in self.FIXTURES.items()}
+        for na, a in geoms.items():
+            for nb, b in geoms.items():
+                inter = intersection(a, b)
+                uni = union(a, b)
+                diff = difference(a, b)
+                sym = symmetric_difference(a, b)
+                da, db = self._dim(a), self._dim(b)
+                # intersection dim cannot exceed either input's dim
+                di = self._dim(inter)
+                assert di <= min(da, db), (na, nb, di)
+                # union dim = max input dim
+                assert self._dim(uni) == max(da, db), (na, nb)
+                # difference keeps a's dim or empties
+                dd = self._dim(diff)
+                assert dd in (-1, da), (na, nb, dd)
+                # measure bookkeeping on the top dimension
+                if da == db == 2:
+                    ia, ua = K.area(inter), K.area(uni)
+                    assert abs(K.area(a) + K.area(b) - ia - ua) < 1e-9, (na, nb)
+                    assert abs(K.area(sym) - (ua - ia)) < 1e-9, (na, nb)
+                if da == db == 1:
+                    il, ul = K.length(inter), K.length(uni)
+                    assert abs(K.length(a) + K.length(b) - il - ul) < 1e-9, (na, nb)
