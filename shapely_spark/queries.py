@@ -1041,6 +1041,33 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+@q(
+    "events_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS bucket,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def events_hourly_rollup(spark, sf_dir):
+    """Tumbling-window rollup (the hypertable-style time aggregation;
+    batch twin of the streaming windowed-tile pipeline): groupBy
+    window(ts, 1 hour) with partial aggregation map-side, one shuffle on
+    the bucket key."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("bucket"), "n_events", "n_users", "sum_value")
+        .orderBy("bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # set operations / overlay (reference: shapely/set_operations.py §2.5) —
 # box pairs derived from part keys so DuckDB can verify every area in
