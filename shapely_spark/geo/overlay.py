@@ -560,6 +560,64 @@ def _line_poly_difference(line: Geometry, poly: Geometry) -> Geometry:
     return _lines_from_frags(keep)
 
 
+def _convex_single_ring(g: Geometry) -> np.ndarray | None:
+    """The CCW shell if g is a single-ring convex polygon, else None."""
+    if g.type_id != POLYGON or not g.rings or len(g.rings) != 1:
+        return None
+    r = np.asarray(g.rings[0], dtype=np.float64)[:, :2]
+    if len(r) < 4:
+        return None
+    a = signed_ring_area(r)
+    if a == 0:
+        return None
+    if a < 0:
+        r = r[::-1]
+    e = r[1:] - r[:-1]
+    cross = e[:-1, 0] * e[1:, 1] - e[:-1, 1] * e[1:, 0]
+    wrap = e[-1, 0] * e[0, 1] - e[-1, 1] * e[0, 0]
+    eps = -1e-12 * max(1.0, float(np.abs(r).max())) ** 2
+    if (cross < eps).any() or wrap < eps:
+        return None
+    return r
+
+
+def _sutherland_hodgman(subject: np.ndarray, clip: np.ndarray) -> Geometry:
+    """Convex ∩ convex via Sutherland–Hodgman half-plane clipping — the
+    rectangle/convex fast path real engines special-case (GEOS has
+    RectangleIntersection); ~10× cheaper than the general noding overlay
+    for the box-pair workloads. Degenerate (zero-area) results come back
+    EMPTY so the caller's lower-dimensional handler still applies."""
+    out = subject[:-1].tolist()
+    for i in range(len(clip) - 1):
+        if not out:
+            break
+        x1, y1 = clip[i]
+        x2, y2 = clip[i + 1]
+        ex, ey = x2 - x1, y2 - y1
+        nxt = []
+        prev = out[-1]
+        prev_in = ex * (prev[1] - y1) - ey * (prev[0] - x1) >= 0
+        for cur in out:
+            cur_in = ex * (cur[1] - y1) - ey * (cur[0] - x1) >= 0
+            if cur_in != prev_in:
+                dsp = ex * (prev[1] - y1) - ey * (prev[0] - x1)
+                dsc = ex * (cur[1] - y1) - ey * (cur[0] - x1)
+                t = dsp / (dsp - dsc)
+                nxt.append([prev[0] + t * (cur[0] - prev[0]),
+                            prev[1] + t * (cur[1] - prev[1])])
+            if cur_in:
+                nxt.append(list(cur))
+            prev, prev_in = cur, cur_in
+        out = nxt
+    if len(out) < 3:
+        return empty(POLYGON)
+    ring = np.asarray(out + out[:1], dtype=np.float64)
+    span = max(1.0, float(np.abs(ring).max()))
+    if abs(signed_ring_area(ring)) <= span * span * 1e-15:
+        return empty(POLYGON)
+    return Geometry(POLYGON, rings=[ring])
+
+
 def _collection(parts: list[Geometry]) -> Geometry:
     parts = [p for p in parts if p is not None and not p.is_empty]
     if not parts:
@@ -597,12 +655,20 @@ def intersection(a: Geometry, b: Geometry, grid_size: float = 0.0) -> Geometry:
                 if len(pc) and len(pb) else np.zeros((0, 2))
         return _points_geom(keep)
     if _is_polygonal(a) and _is_polygonal(b):
-        out = _overlay(a, b, "intersection")
+        ra_c = _convex_single_ring(a)
+        rb_c = _convex_single_ring(b)
+        if ra_c is not None and rb_c is not None:
+            out = _sutherland_hodgman(ra_c, rb_c)
+        else:
+            out = _overlay(a, b, "intersection")
         if out is not None and not out.is_empty:
             return out
         # interiors disjoint: closed-set intersection degenerates to the
         # shared boundary (edge → LineString, corner → Point; GEOS
-        # overlayng returns the lower-dimensional geometry, not EMPTY)
+        # overlayng returns the lower-dimensional geometry, not EMPTY).
+        # bbox-disjoint pairs can't touch — skip the boundary noding.
+        if K._bbox_disjoint(a, b):
+            return out if out is not None else empty(POLYGON)
         from .geom import LINESTRING
 
         ba = Geometry(GEOMETRYCOLLECTION, parts=[

@@ -668,3 +668,112 @@ class TestAllTypesOverlayMatrix:
                 if da == db == 1:
                     il, ul = K.length(inter), K.length(uni)
                     assert abs(K.length(a) + K.length(b) - il - ul) < 1e-9, (na, nb)
+
+
+class TestOverlayRelateFuzz:
+    """Property fuzz over random line/polygon pairs: set-op measures and
+    DE-9IM must satisfy algebraic identities regardless of configuration."""
+
+    def _random_geoms(self, rng, n):
+        from shapely_spark.geo.geom import Geometry, LINESTRING, regular_ngon
+        import numpy as np
+        out = []
+        for i in range(n):
+            kind = rng.randint(0, 2)
+            if kind == 0:
+                pts = rng.randint(-5, 6, size=(rng.randint(2, 5), 2)).astype(float)
+                keep = [0]
+                for j in range(1, len(pts)):
+                    if (pts[j] != pts[keep[-1]]).any():
+                        keep.append(j)
+                if len(keep) < 2:
+                    pts = np.array([[0.0, 0.0], [1.0, 1.0]])
+                else:
+                    pts = pts[keep]
+                out.append(Geometry(LINESTRING, coords=pts))
+            else:
+                out.append(regular_ngon(float(rng.randint(-4, 5)),
+                                        float(rng.randint(-4, 5)),
+                                        0.5 + rng.rand() * 2.0,
+                                        3 + rng.randint(0, 5),
+                                        theta0=rng.rand()))
+        return out
+
+    def test_lineal_intersection_symmetry_and_bounds(self):
+        import numpy as np
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo.overlay import difference, intersection, union
+
+        rng = np.random.RandomState(11)
+        geoms = self._random_geoms(rng, 40)
+        for t in range(60):
+            a = geoms[rng.randint(len(geoms))]
+            b = geoms[rng.randint(len(geoms))]
+            li_ab = K.length(intersection(a, b))
+            li_ba = K.length(intersection(b, a))
+            assert abs(li_ab - li_ba) < 1e-6, (t, li_ab, li_ba)
+            da = K.length(difference(a, b))
+            # 1-D bookkeeping: len(A) = len(A∩B) + len(A−B) when A lineal
+            from shapely_spark.geo.kernels import _dim
+            if _dim(a) == 1:
+                la = K.length(a)
+                ia = K.length(intersection(a, b))
+                assert abs(la - (ia if _dim(b) >= 1 else 0) - da) < 1e-6 or _dim(b) == 0
+
+    def test_relate_transpose_and_predicate_consistency(self):
+        import numpy as np
+        from shapely_spark.geo import kernels as K
+
+        rng = np.random.RandomState(13)
+        geoms = self._random_geoms(rng, 30)
+
+        def t(m):
+            return "".join(m[i] for i in (0, 3, 6, 1, 4, 7, 2, 5, 8))
+
+        for _ in range(60):
+            a = geoms[rng.randint(len(geoms))]
+            b = geoms[rng.randint(len(geoms))]
+            m = K.relate(a, b)
+            assert m == t(K.relate(b, a))
+            # intersects ⇔ any of II/IB/BI/BB non-F
+            touches_any = any(m[i] != "F" for i in (0, 1, 3, 4))
+            assert K.intersects(a, b) == touches_any, (m, a.type_id, b.type_id)
+            # disjoint is the complement
+            assert K.disjoint(a, b) == (not touches_any)
+
+
+class TestConvexFastPath:
+    """Sutherland–Hodgman convex∩convex fast path must agree with the
+    general noding overlay and preserve degenerate results."""
+
+    def test_ngon_fuzz_matches_general_overlay(self):
+        import numpy as np
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo import overlay as O
+        from shapely_spark.geo.geom import regular_ngon
+
+        rng = np.random.RandomState(4)
+        for _ in range(150):
+            g1 = regular_ngon(rng.rand() * 4, rng.rand() * 4, 0.5 + rng.rand() * 2,
+                              3 + rng.randint(6), theta0=rng.rand())
+            g2 = regular_ngon(rng.rand() * 4, rng.rand() * 4, 0.5 + rng.rand() * 2,
+                              3 + rng.randint(6), theta0=rng.rand())
+            fast = K.area(O.intersection(g1, g2))
+            slow = K.area(O._overlay(g1, g2, "intersection"))
+            assert abs(fast - slow) < 1e-9
+
+    def test_degenerate_and_disjoint_paths_survive(self):
+        from shapely_spark.geo import to_wkt
+        from shapely_spark.geo.geom import box
+        from shapely_spark.geo.overlay import intersection
+
+        a = box(0, 0, 2, 2)
+        assert to_wkt(intersection(a, box(2, 0, 4, 2))) == "LINESTRING (2 0, 2 2)"
+        assert to_wkt(intersection(a, box(10, 10, 11, 11))) == "POLYGON EMPTY"
+        # concave inputs bypass the fast path (general overlay handles them)
+        from shapely_spark.geo import from_wkt
+        from shapely_spark.geo import kernels as K
+        conc = from_wkt("POLYGON ((0 0, 4 0, 4 4, 2 1, 0 4, 0 0))")
+        out = intersection(conc, box(1, 0, 3, 2))
+        # notch clips the top: 2/3·2 + 2·(avg 1.5 over 2/3 width)·... = 10/3
+        assert abs(K.area(out) - 10.0 / 3.0) < 1e-9
