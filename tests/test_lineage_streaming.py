@@ -153,6 +153,17 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     # legitimately split sessions — a property, not a bug, but it would
     # make this equality test nondeterministic)
     events.repartitionByRange(3, "ts").sortWithinPartitions("ts").write.parquet(src)
+    # the file source breaks listing ties by an unspecified order when all
+    # part files share one mtime (observed under load): pin ascending
+    # mtimes in partition order (repartitionByRange partition 0 = lowest
+    # range) so microbatches really do arrive in event-time order
+    import glob
+    import os as _os
+    import time as _time
+
+    base = _time.time() - 3600
+    for i, f in enumerate(sorted(glob.glob(_os.path.join(src, "part-*")))):
+        _os.utime(f, (base + i * 10, base + i * 10))
 
     stream = (
         spark.readStream.schema("user_id long, ts timestamp, value double")
