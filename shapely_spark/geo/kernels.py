@@ -548,55 +548,156 @@ def touches(a: Geometry | None, b: Geometry | None) -> bool:
     return not _interiors_intersect(a, b)
 
 
+def _proper_crossing(ea: np.ndarray, eb: np.ndarray) -> bool:
+    """Any strictly-proper segment crossing between the two edge sets."""
+    if not len(ea) or not len(eb):
+        return False
+    ax1, ay1, ax2, ay2 = (ea[:, i][:, None] for i in range(4))
+    bx1, by1, bx2, by2 = (eb[:, i][None, :] for i in range(4))
+    d1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+    d2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+    d3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+    d4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) \
+        & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+    return bool(proper.any())
+
+
+def _axis_rect(g: Geometry):
+    """(xmin, ymin, xmax, ymax) if g is a single axis-aligned rectangle
+    ring (hole-free), else None."""
+    if g.type_id != POLYGON or not g.rings or len(g.rings) != 1:
+        return None
+    c = np.asarray(g.rings[0])[:, :2]
+    if len(c) != 5:
+        return None
+    d = np.diff(c, axis=0)
+    if not np.all((d[:, 0] == 0) | (d[:, 1] == 0)):
+        return None
+    xmin, ymin = c[:, 0].min(), c[:, 1].min()
+    xmax, ymax = c[:, 0].max(), c[:, 1].max()
+    if xmax <= xmin or ymax <= ymin:
+        return None
+    return float(xmin), float(ymin), float(xmax), float(ymax)
+
+
+def _noded_line_classes(a: Geometry, b: Geometry) -> np.ndarray:
+    """Classify line a's boundary-noded fragment midpoints vs polygon b:
+    INTERIOR/BOUNDARY/EXTERIOR per fragment. Noding the line at ∂b first is
+    what makes corner-to-corner transits classify correctly — the un-noded
+    midpoint of such a segment lands back on ∂b."""
+    from .overlay import (
+        _edges_of, _fragments, _overlay_tol, _poly_rings_oriented,
+        _split_params,
+    )
+
+    ea = _edges(a)
+    if not len(ea):
+        return np.zeros(0, dtype=np.int8)
+    rb = _poly_rings_oriented(b)
+    ebnd = _edges_of(rb)
+    if not len(ebnd):
+        return np.zeros(0, dtype=np.int8)
+    tol = _overlay_tol(ea, ebnd)
+    fr = _fragments(ea, _split_params(ea, ebnd, tol))
+    if not len(fr):
+        return np.zeros(0, dtype=np.int8)
+    mx, my = (fr[:, 0] + fr[:, 2]) / 2.0, (fr[:, 1] + fr[:, 3]) / 2.0
+    cls = points_in_rings_class(mx, my, rb)
+    onb = points_on_segments(mx, my, ebnd, eps=tol)
+    return np.where(onb, np.int8(BOUNDARY), cls)
+
+
 def _interiors_intersect(a: Geometry, b: Geometry) -> bool:
+    """int(a) ∩ int(b) ≠ ∅ — the DE-9IM II cell as a boolean. Witnesses are
+    found by noding each boundary against the other (same fragment machinery
+    as overlay), so collinear-boundary configurations (equal polygons,
+    congruent offset boxes, containment sharing an edge, a line through a
+    polygon corner-to-corner) classify correctly — vertex/midpoint sampling
+    alone misses them."""
+    from .overlay import (
+        _crossing_touch_points, _edges_of, _fragments, _overlay_tol,
+        _poly_rings_oriented, _split_params,
+    )
+
     da, db = _dim(a), _dim(b)
     if da == 2 and db == 2:
-        # sample: vertices + edge midpoints of each interior to the other
+        # axis-aligned-rectangle fast path (GEOS RectangleIntersects
+        # analog): open-interval overlap on both axes
+        ra_box = _axis_rect(a)
+        rb_box = _axis_rect(b)
+        if ra_box is not None and rb_box is not None:
+            return (min(ra_box[2], rb_box[2]) > max(ra_box[0], rb_box[0])
+                    and min(ra_box[3], rb_box[3]) > max(ra_box[1], rb_box[1]))
+        # cheap witnesses first: a vertex strictly inside, or a proper cross
         for g, h in ((a, b), (b, a)):
             pg = _points_of(g)
-            cls_v = points_in_rings_class(pg[:, 0], pg[:, 1], _rings_of(h))
-            own = points_in_rings_class(pg[:, 0], pg[:, 1], _rings_of(g))
-            if ((cls_v == INTERIOR)).any():
+            if (points_in_rings_class(pg[:, 0], pg[:, 1], _rings_of(h)) == INTERIOR).any():
                 return True
-        # proper edge crossings imply interior overlap
-        ea, eb = _edges(a), _edges(b)
-        if len(ea) and len(eb):
-            ax1, ay1, ax2, ay2 = (ea[:, i][:, None] for i in range(4))
-            bx1, by1, bx2, by2 = (eb[:, i][None, :] for i in range(4))
-            d1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
-            d2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
-            d3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
-            d4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
-            proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
-            if proper.any():
+        if _proper_crossing(_edges(a), _edges(b)):
+            return True
+        # collinear-boundary overlaps: node ∂g against ∂h; a fragment of ∂g
+        # strictly inside h witnesses the overlap (every neighbourhood of
+        # ∂g meets int(g), and int(h) is open); a fragment ON ∂h witnesses
+        # it iff g's interior side (left of the oriented fragment) is
+        # inside h — that nudge separates equal/contained-sharing-an-edge
+        # (overlap) from edge-adjacent (touch).
+        ra, rb = _poly_rings_oriented(a), _poly_rings_oriented(b)
+        eao, ebo = _edges_of(ra), _edges_of(rb)
+        if not len(eao) or not len(ebo):
+            return False
+        tol = _overlay_tol(eao, ebo)
+        for eg, eh, rh in ((eao, ebo, rb), (ebo, eao, ra)):
+            fr = _fragments(eg, _split_params(eg, eh, tol))
+            if not len(fr):
+                continue
+            mx, my = (fr[:, 0] + fr[:, 2]) / 2.0, (fr[:, 1] + fr[:, 3]) / 2.0
+            cls = points_in_rings_class(mx, my, rh)
+            onb = points_on_segments(mx, my, eh, eps=tol)
+            if ((cls == INTERIOR) & ~onb).any():
                 return True
+            idx = np.nonzero(onb)[0]
+            if len(idx):
+                dx, dy = fr[idx, 2] - fr[idx, 0], fr[idx, 3] - fr[idx, 1]
+                ln = np.hypot(dx, dy)
+                ok = ln > 0
+                if ok.any():
+                    # oriented rings carry interior on the LEFT; nudge well
+                    # above the noding tol, well below feature sizes
+                    delta = tol * 1e3
+                    px = mx[idx][ok] - dy[ok] / ln[ok] * delta
+                    py = my[idx][ok] + dx[ok] / ln[ok] * delta
+                    if (points_in_rings_class(px, py, rh) == INTERIOR).any():
+                        return True
         return False
     if db == 2:  # line or point vs polygon
         pa = _points_of(a)
         if (points_in_rings_class(pa[:, 0], pa[:, 1], _rings_of(b)) == INTERIOR).any():
             return True
-        ea = _edges(a)
-        if len(ea):
-            mx, my = (ea[:, 0] + ea[:, 2]) / 2.0, (ea[:, 1] + ea[:, 3]) / 2.0
-            return bool((points_in_rings_class(mx, my, _rings_of(b)) == INTERIOR).any())
-        return False
-    # line vs line: proper crossing or collinear overlap of midpoints
+        cls = _noded_line_classes(a, b)
+        return bool((cls == INTERIOR).any())
+    # line vs line: collinear overlap, proper crossing, or a crossing pinned
+    # at a vertex that is interior (non-endpoint) to both lines
     ea, eb = _edges(a), _edges(b)
+    if not len(ea) or not len(eb):
+        return False
     mx, my = (ea[:, 0] + ea[:, 2]) / 2.0, (ea[:, 1] + ea[:, 3]) / 2.0
     if points_on_segments(mx, my, eb).any():
         return True
     mx, my = (eb[:, 0] + eb[:, 2]) / 2.0, (eb[:, 1] + eb[:, 3]) / 2.0
     if points_on_segments(mx, my, ea).any():
         return True
-    if len(ea) and len(eb):
-        ax1, ay1, ax2, ay2 = (ea[:, i][:, None] for i in range(4))
-        bx1, by1, bx2, by2 = (eb[:, i][None, :] for i in range(4))
-        d1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
-        d2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
-        d3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
-        d4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
-        proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
-        return bool(proper.any())
+    if _proper_crossing(ea, eb):
+        return True
+    tol = _overlay_tol(ea, eb)
+    pts = _crossing_touch_points(ea, eb, tol)
+    if len(pts):
+        ba, bb_ = _line_boundary_points(a), _line_boundary_points(b)
+        for p in pts:
+            on_ba = len(ba) and (np.abs(ba - p).max(axis=1) < tol * 10).any()
+            on_bb = len(bb_) and (np.abs(bb_ - p).max(axis=1) < tol * 10).any()
+            if not on_ba and not on_bb:
+                return True
     return False
 
 
@@ -619,14 +720,10 @@ def crosses(a: Geometry | None, b: Geometry | None) -> bool:
         # crossing (dim 0 intersection): not collinear-overlapping
         return not (contains(a, b) or contains(b, a) or _collinear_overlap(a, b))
     if da == 1 and db == 2:
-        pa = _points_of(a)
-        cls = points_in_rings_class(pa[:, 0], pa[:, 1], _rings_of(b))
-        ea = _edges(a)
-        mx, my = (ea[:, 0] + ea[:, 2]) / 2.0, (ea[:, 1] + ea[:, 3]) / 2.0
-        mcls = points_in_rings_class(mx, my, _rings_of(b))
-        has_in = (cls == INTERIOR).any() or (mcls == INTERIOR).any()
-        has_out = (cls == EXTERIOR).any() or (mcls == EXTERIOR).any()
-        return bool(has_in and has_out)
+        # 'T*T******': the line must meet both int(b) and ext(b); classify
+        # boundary-noded fragments so corner transits count
+        cls = _noded_line_classes(a, b)
+        return bool((cls == INTERIOR).any() and (cls == EXTERIOR).any())
     return False
 
 

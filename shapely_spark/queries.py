@@ -2096,3 +2096,560 @@ def crosses_segments(spark, sf_dir):
             yield pd.DataFrame({"gid": pdf.gid, "crosses": pd.Series(vals, dtype="bool")})
 
     return params.mapInPandas(gen, "gid long, crosses boolean").orderBy("gid")
+
+
+# ---- round-2 widening: oracle rows for ops previously test-only -----------
+# Every query below plants parameters with a closed-form answer the DuckDB
+# twin computes in plain SQL, so the driver gate checks the kernel, not a
+# re-implementation.
+
+
+@q(
+    "hausdorff_boxes",
+    """
+    SELECT p_partkey AS gid,
+           round(sqrt(pow(CAST(p_partkey % 3 AS DOUBLE) * 0.5, 2)
+                    + pow(CAST(p_partkey % 2 AS DOUBLE) * 0.5, 2)), 6) AS hd
+    FROM part ORDER BY gid
+    """,
+)
+def hausdorff_boxes(spark, sf_dir):
+    """Discrete Hausdorff (reference: shapely/measurement.py:200) between
+    congruent w×h boxes offset by (dx, dy) with dx ≤ w/2, dy ≤ h/2: every
+    corner's nearest counterpart is its translate, so HD = hypot(dx, dy)."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (4 + k % 5).cast("double").alias("w"),
+        (4 + k % 4).cast("double").alias("h"),
+        ((k % 3) * 0.5).alias("dx"),
+        ((k % 2) * 0.5).alias("dy"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.geom import box
+
+        for pdf in batches:
+            vals = [
+                K.hausdorff_distance(box(0, 0, w, h), box(dx, dy, dx + w, dy + h))
+                for w, h, dx, dy in zip(pdf.w, pdf.h, pdf.dx, pdf.dy)
+            ]
+            yield pd.DataFrame({"gid": pdf.gid, "hd": np.round(vals, 6)})
+
+    return params.mapInPandas(gen, "gid long, hd double").orderBy("gid")
+
+
+@q(
+    "frechet_segments",
+    """
+    SELECT p_partkey AS gid,
+           round(greatest(1.0 + CAST(p_partkey % 4 AS DOUBLE),
+                          1.0 + CAST(p_partkey % 3 AS DOUBLE)), 6) AS fd
+    FROM part ORDER BY gid
+    """,
+)
+def frechet_segments(spark, sf_dir):
+    """Discrete Fréchet (reference: shapely/measurement.py:245) of two
+    2-vertex lines reduces to max(d(a0,b0), d(a1,b1)) — the DP's only
+    non-dominated coupling walks the endpoints in lockstep."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (5 + k % 7).cast("double").alias("L"),
+        (1 + k % 4).cast("double").alias("e0"),
+        (1 + k % 3).cast("double").alias("e1"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.geom import linestring
+
+        for pdf in batches:
+            vals = [
+                K.frechet_distance(linestring([(0.0, 0.0), (L, 0.0)]),
+                                   linestring([(0.0, e0), (L, e1)]))
+                for L, e0, e1 in zip(pdf.L, pdf.e0, pdf.e1)
+            ]
+            yield pd.DataFrame({"gid": pdf.gid, "fd": np.round(vals, 6)})
+
+    return params.mapInPandas(gen, "gid long, fd double").orderBy("gid")
+
+
+@q(
+    "make_valid_bowtie_area",
+    """
+    SELECT p_partkey AS gid,
+           round(CAST(2 + p_partkey % 6 AS DOUBLE)
+               * CAST(1 + p_partkey % 5 AS DOUBLE) / 2.0, 6) AS fixed_area
+    FROM part ORDER BY gid
+    """,
+)
+def make_valid_bowtie_area(spark, sf_dir):
+    """make_valid (reference: shapely/constructive.py:880) of the classic
+    bowtie (0,0)(w,h)(w,0)(0,h) splits it at the self-crossing into two
+    triangles of total area w·h/2."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (2 + k % 6).cast("double").alias("w"),
+        (1 + k % 5).cast("double").alias("h"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo import overlay as O
+        from .geo.geom import Geometry, POLYGON
+
+        for pdf in batches:
+            vals = []
+            for w, h in zip(pdf.w, pdf.h):
+                ring = np.array([[0, 0], [w, h], [w, 0], [0, h], [0, 0]], dtype=float)
+                vals.append(K.area(O.make_valid(Geometry(POLYGON, rings=[ring]))))
+            yield pd.DataFrame({"gid": pdf.gid, "fixed_area": np.round(vals, 6)})
+
+    return params.mapInPandas(gen, "gid long, fixed_area double").orderBy("gid")
+
+
+@q(
+    "oriented_envelope_area",
+    """
+    SELECT p_partkey AS gid,
+           round(CAST(2 + p_partkey % 5 AS DOUBLE)
+               * CAST(1 + p_partkey % 4 AS DOUBLE), 6) AS env_area
+    FROM part ORDER BY gid
+    """,
+)
+def oriented_envelope_area(spark, sf_dir):
+    """oriented_envelope (reference: shapely/constructive.py:1040, rotating
+    calipers) of a rectangle rotated by θ recovers the rectangle: area w·h
+    regardless of θ."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (2 + k % 5).cast("double").alias("w"),
+        (1 + k % 4).cast("double").alias("h"),
+        ((k % 12) * math.pi / 12.0).alias("theta"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.constructive import oriented_envelope
+        from .geo.geom import Geometry, POLYGON
+
+        for pdf in batches:
+            vals = []
+            for w, h, th in zip(pdf.w, pdf.h, pdf.theta):
+                c, s = math.cos(th), math.sin(th)
+                base = np.array([[0, 0], [w, 0], [w, h], [0, h], [0, 0]], dtype=float)
+                rot = base @ np.array([[c, s], [-s, c]])
+                vals.append(K.area(oriented_envelope(Geometry(POLYGON, rings=[rot]))))
+            yield pd.DataFrame({"gid": pdf.gid, "env_area": np.round(vals, 6)})
+
+    return params.mapInPandas(gen, "gid long, env_area double").orderBy("gid")
+
+
+@q(
+    "segmentize_diag_npoints",
+    """
+    SELECT p_partkey AS gid,
+           CAST(ceiling(sqrt(2.0) * CAST(1 + p_partkey % 9 AS DOUBLE)) AS BIGINT)
+             + 1 AS npoints
+    FROM part ORDER BY gid
+    """,
+)
+def segmentize_diag_npoints(spark, sf_dir):
+    """segmentize (reference: shapely/constructive.py:1244) splits one
+    segment into ceil(L/max_len) equal pieces; the diagonal (0,0)→(a,a) has
+    irrational length a√2, so ceil never sits on an fp knife-edge."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(k.alias("gid"), (1 + k % 9).cast("double").alias("a")))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo.constructive import segmentize
+        from .geo.geom import linestring
+
+        for pdf in batches:
+            vals = [
+                len(segmentize(linestring([(0.0, 0.0), (a, a)]), 1.0).coords)
+                for a in pdf.a
+            ]
+            yield pd.DataFrame({"gid": pdf.gid,
+                                "npoints": pd.Series(vals, dtype="int64")})
+
+    return params.mapInPandas(gen, "gid long, npoints long").orderBy("gid")
+
+
+@q(
+    "snap_point_tol",
+    """
+    SELECT p_partkey AS gid,
+           round(CAST(p_partkey % 50 AS DOUBLE)
+                 + CASE WHEN p_partkey % 2 = 0 THEN 0.0 ELSE 0.9 END, 6) AS sx
+    FROM part ORDER BY gid
+    """,
+)
+def snap_point_tol(spark, sf_dir):
+    """snap (reference: shapely/constructive.py:1377): a vertex moves to
+    the reference vertex only within tolerance — δ=0.2 snaps (tol 0.5),
+    δ=0.9 stays."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (k % 50).cast("double").alias("x"),
+        (k % 30).cast("double").alias("y"),
+        F.when(k % 2 == 0, 0.2).otherwise(0.9).alias("delta"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo.constructive import snap
+        from .geo.geom import point
+
+        for pdf in batches:
+            vals = [
+                float(snap(point(x + d, y), point(x, y), 0.5).coords[0, 0])
+                for x, y, d in zip(pdf.x, pdf.y, pdf.delta)
+            ]
+            yield pd.DataFrame({"gid": pdf.gid, "sx": np.round(vals, 6)})
+
+    return params.mapInPandas(gen, "gid long, sx double").orderBy("gid")
+
+
+@q(
+    "line_merge_chain",
+    """
+    SELECT p_partkey AS gid,
+           CAST(3 + p_partkey % 5 AS BIGINT) + 1 AS npoints,
+           round(CAST(3 + p_partkey % 5 AS DOUBLE) * sqrt(2.0), 6) AS total_len
+    FROM part ORDER BY gid
+    """,
+)
+def line_merge_chain(spark, sf_dir):
+    """line_merge (reference: shapely/constructive.py:828) stitches an
+    n-segment zigzag split into single-segment linestrings back into one
+    (n+1)-vertex line of length n√2."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(k.alias("gid"), (3 + k % 5).cast("int").alias("n")))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.constructive import line_merge
+        from .geo.geom import linestring, multilinestring
+
+        for pdf in batches:
+            nps, lens = [], []
+            for n in pdf.n:
+                pts = [(float(i), float(i % 2)) for i in range(int(n) + 1)]
+                parts = [linestring([pts[i], pts[i + 1]]) for i in range(int(n))]
+                merged = line_merge(multilinestring(parts))
+                nps.append(len(merged.coords))
+                lens.append(K.length(merged))
+            yield pd.DataFrame({
+                "gid": pdf.gid,
+                "npoints": pd.Series(nps, dtype="int64"),
+                "total_len": np.round(lens, 6),
+            })
+
+    return params.mapInPandas(gen, "gid long, npoints long, total_len double").orderBy("gid")
+
+
+@q(
+    "split_segment_pieces",
+    """
+    SELECT p_partkey AS gid,
+           2 AS n_pieces,
+           round(least(CAST(1 + p_partkey % 4 AS DOUBLE),
+                       CAST(5 + p_partkey % 7 AS DOUBLE)
+                       - CAST(1 + p_partkey % 4 AS DOUBLE)), 6) AS min_len,
+           round(greatest(CAST(1 + p_partkey % 4 AS DOUBLE),
+                          CAST(5 + p_partkey % 7 AS DOUBLE)
+                          - CAST(1 + p_partkey % 4 AS DOUBLE)), 6) AS max_len
+    FROM part ORDER BY gid
+    """,
+)
+def split_segment_pieces(spark, sf_dir):
+    """split (reference: shapely/ops.py:288) of the segment (0,0)→(L,0) by
+    a crossing vertical line at x=c yields two pieces of lengths c and
+    L−c."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (5 + k % 7).cast("double").alias("L"),
+        (1 + k % 4).cast("double").alias("c"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.overlay import split
+        from .geo.geom import linestring
+
+        for pdf in batches:
+            n_out, mn, mx = [], [], []
+            for L, c in zip(pdf.L, pdf.c):
+                res = split(linestring([(0.0, 0.0), (L, 0.0)]),
+                            linestring([(c, -1.0), (c, 1.0)]))
+                lens = sorted(K.length(g) for g in (res.parts or []))
+                n_out.append(len(lens))
+                mn.append(lens[0] if lens else 0.0)
+                mx.append(lens[-1] if lens else 0.0)
+            yield pd.DataFrame({
+                "gid": pdf.gid,
+                "n_pieces": pd.Series(n_out, dtype="int32"),
+                "min_len": np.round(mn, 6),
+                "max_len": np.round(mx, 6),
+            })
+
+    return params.mapInPandas(
+        gen, "gid long, n_pieces int, min_len double, max_len double"
+    ).orderBy("gid")
+
+
+@q(
+    "substring_frac_length",
+    """
+    SELECT p_partkey AS gid,
+           round((0.5 + 0.1 * CAST(p_partkey % 5 AS DOUBLE)
+                  - 0.1 * CAST(p_partkey % 4 AS DOUBLE))
+                 * CAST(5 + p_partkey % 11 AS DOUBLE), 6) AS sub_len
+    FROM part ORDER BY gid
+    """,
+)
+def substring_frac_length(spark, sf_dir):
+    """substring(normalized=True) (reference: shapely/ops.py:553) of a
+    straight segment has length (e−s)·L."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (5 + k % 11).cast("double").alias("L"),
+        (0.1 * (k % 4).cast("double")).alias("s"),
+        (0.5 + 0.1 * (k % 5).cast("double")).alias("e"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.constructive import substring
+        from .geo.geom import linestring
+
+        for pdf in batches:
+            vals = [
+                K.length(substring(linestring([(0.0, 0.0), (L, 0.0)]), s, e,
+                                   normalized=True))
+                for L, s, e in zip(pdf.L, pdf.s, pdf.e)
+            ]
+            yield pd.DataFrame({"gid": pdf.gid, "sub_len": np.round(vals, 6)})
+
+    return params.mapInPandas(gen, "gid long, sub_len double").orderBy("gid")
+
+
+@q(
+    "geojson_roundtrip_area",
+    f"""
+    WITH p AS ({_PART_PARAMS_SQL})
+    SELECT gid, round(0.5 * n * r * r * sin(2 * pi() / n), 4) AS area
+    FROM p ORDER BY gid
+    """,
+)
+def geojson_roundtrip_area(spark, sf_dir):
+    """to_geojson → from_geojson (reference: shapely/io.py:77,342)
+    roundtrip preserves the n-gon exactly (17 sig digits); area keeps the
+    closed form n·r²·sin(2π/n)/2."""
+    def fn(pdf):
+        from .geo import kernels as K
+        from .geo.geojson import from_geojson, to_geojson
+        from .geo.geom import regular_ngon
+
+        areas = [
+            K.area(from_geojson(to_geojson(regular_ngon(cx, cy, r, int(n)))))
+            for cx, cy, r, n in zip(pdf.cx, pdf.cy, pdf.r, pdf.n)
+        ]
+        return pd.DataFrame({"gid": pdf.gid, "area": np.round(areas, 4)})
+
+    return _geo_kernel_query(spark, sf_dir, "gid long, area double", fn).orderBy("gid")
+
+
+@q(
+    "mbc_radius_ngon",
+    f"""
+    WITH p AS ({_PART_PARAMS_SQL})
+    SELECT gid, round(r, 6) AS radius
+    FROM p ORDER BY gid
+    """,
+)
+def mbc_radius_ngon(spark, sf_dir):
+    """minimum_bounding_radius (reference: shapely/measurement.py:326) of a
+    regular n-gon is its circumradius r."""
+    def fn(pdf):
+        from .geo.kernels import minimum_bounding_radius
+        from .geo.geom import regular_ngon
+
+        vals = [
+            minimum_bounding_radius(regular_ngon(cx, cy, r, int(n)))
+            for cx, cy, r, n in zip(pdf.cx, pdf.cy, pdf.r, pdf.n)
+        ]
+        return pd.DataFrame({"gid": pdf.gid, "radius": np.round(vals, 6)})
+
+    return _geo_kernel_query(spark, sf_dir, "gid long, radius double", fn).orderBy("gid")
+
+
+@q(
+    "touches_overlaps_boxes",
+    """
+    SELECT p_partkey AS gid,
+           (p_partkey % 3 = 0) AS touches,
+           (p_partkey % 3 = 2) AS overlaps
+    FROM part ORDER BY gid
+    """,
+)
+def touches_overlaps_boxes(spark, sf_dir):
+    """touches/overlaps (reference: shapely/predicates.py:700,741) on box
+    pairs planted per-regime: edge-adjacent (touches), gap (neither),
+    partial overlap (overlaps)."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (2 + k % 5).cast("double").alias("w"),
+        (2 + k % 4).cast("double").alias("h"),
+        (k % 3).cast("int").alias("regime"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.geom import box
+
+        for pdf in batches:
+            tv, ov = [], []
+            for w, h, reg in zip(pdf.w, pdf.h, pdf.regime):
+                a = box(0, 0, w, h)
+                if reg == 0:
+                    b = box(w, 0, 2 * w, h)          # shares the x=w edge
+                elif reg == 1:
+                    b = box(w + 1, 0, 2 * w + 1, h)  # unit gap
+                else:
+                    b = box(w - 1, 0, 2 * w - 1, h)  # partial overlap
+                tv.append(bool(K.touches(a, b)))
+                ov.append(bool(K.overlaps(a, b)))
+            yield pd.DataFrame({
+                "gid": pdf.gid,
+                "touches": pd.Series(tv, dtype="bool"),
+                "overlaps": pd.Series(ov, dtype="bool"),
+            })
+
+    return params.mapInPandas(
+        gen, "gid long, touches boolean, overlaps boolean"
+    ).orderBy("gid")
+
+
+@q(
+    "inscribed_circle_box",
+    """
+    SELECT p_partkey AS gid,
+           round(CAST(2 + p_partkey % 5 AS DOUBLE) / 2.0, 2) AS radius
+    FROM part ORDER BY gid
+    """,
+)
+def inscribed_circle_box(spark, sf_dir):
+    """maximum_inscribed_circle / polylabel (reference:
+    shapely/constructive.py:1473, algorithms/polylabel.py:7) of a w×w
+    square: radius w/2, found to 1e-4 by the quadtree queue → exact at 2
+    decimals (true values are multiples of 0.5). Squares, not rectangles:
+    a rectangle's optimum is a whole segment, which defeats the quadtree's
+    pruning; the square's unique apex keeps the queue O(log 1/tol)."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (2 + k % 5).cast("double").alias("w"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.geom import box
+        from .geo.triangulate import maximum_inscribed_circle
+
+        for pdf in batches:
+            vals = [
+                K.length(maximum_inscribed_circle(box(0, 0, w, w), tolerance=1e-4))
+                for w in pdf.w
+            ]
+            yield pd.DataFrame({"gid": pdf.gid, "radius": np.round(vals, 2)})
+
+    return params.mapInPandas(gen, "gid long, radius double").orderBy("gid")
+
+
+@q(
+    "coverage_valid_grid",
+    """
+    SELECT p_partkey AS gid, (p_partkey % 2 = 0) AS cov_valid
+    FROM part ORDER BY gid
+    """,
+)
+def coverage_valid_grid(spark, sf_dir):
+    """coverage_is_valid (reference: shapely/_coverage.py:12): a clean 2×2
+    unit-cell grid is a valid coverage; shifting one cell by 0.5 overlaps
+    its neighbour and breaks edge-matching."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(k.alias("gid"), (k % 2).cast("int").alias("regime")))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo.coverage import coverage_is_valid
+        from .geo.geom import box
+
+        for pdf in batches:
+            vals = []
+            for reg in pdf.regime:
+                cells = [box(x, y, x + 1, y + 1)
+                         for x in (0.0, 1.0) for y in (0.0, 1.0)]
+                if reg == 1:
+                    cells[3] = box(1.5, 1.0, 2.5, 2.0)
+                vals.append(bool(coverage_is_valid(cells)))
+            yield pd.DataFrame({"gid": pdf.gid,
+                                "cov_valid": pd.Series(vals, dtype="bool")})
+
+    return params.mapInPandas(gen, "gid long, cov_valid boolean").orderBy("gid")
+
+
+@q(
+    "skew_area_box",
+    """
+    SELECT p_partkey AS gid,
+           round(CAST(2 + p_partkey % 5 AS DOUBLE)
+               * CAST(1 + p_partkey % 4 AS DOUBLE), 6) AS area
+    FROM part ORDER BY gid
+    """,
+)
+def skew_area_box(spark, sf_dir):
+    """affinity.skew (reference: shapely/affinity.py:204) is a shear —
+    determinant 1 — so the w×h box keeps area w·h at any shear angle."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (2 + k % 5).cast("double").alias("w"),
+        (1 + k % 4).cast("double").alias("h"),
+        (5.0 + (k % 7).cast("double") * 10.0).alias("xs_deg"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.constructive import skew
+        from .geo.geom import box
+
+        for pdf in batches:
+            vals = [
+                K.area(skew(box(0, 0, w, h), xs=xs))
+                for w, h, xs in zip(pdf.w, pdf.h, pdf.xs_deg)
+            ]
+            yield pd.DataFrame({"gid": pdf.gid, "area": np.round(vals, 6)})
+
+    return params.mapInPandas(gen, "gid long, area double").orderBy("gid")

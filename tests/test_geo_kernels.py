@@ -506,3 +506,72 @@ class TestGeneralRelate:
         ]
         for wa, wb in pairs:
             assert relate(from_wkt(wa), from_wkt(wb)) == t(relate(from_wkt(wb), from_wkt(wa)))
+
+
+class TestInteriorOverlapWitnesses:
+    """Configurations where vertex/midpoint sampling has no witness and only
+    boundary noding (or the rect fast path) classifies II correctly —
+    reference semantics: shapely/predicates.py:905 overlaps, :968 touches,
+    :1194 relate (GEOS RelateOp)."""
+
+    def test_collinear_offset_boxes_overlap(self):
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo.geom import box
+
+        a, b = box(0, 0, 5, 4), box(4, 0, 9, 4)
+        assert K.overlaps(a, b) and not K.touches(a, b)
+        assert K.relate(a, b) == "212111212"
+
+    def test_equal_polygons_not_touching(self):
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo.geom import box
+
+        a = box(0, 0, 5, 4)
+        assert not K.touches(a, a) and not K.overlaps(a, a)
+        assert K.relate(a, a) == "2FFF1FFF2"
+
+    def test_contained_sharing_edge(self):
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo.geom import box
+
+        a, e = box(0, 0, 5, 4), box(0, 0, 2, 4)
+        assert not K.touches(a, e) and not K.overlaps(a, e)
+        assert K.relate(a, e) == "212F11FF2"
+
+    def test_nonrect_collinear_overlap(self):
+        # pentagon vs box sharing collinear bottom edges, overlapping —
+        # exercises the noding path, not the rect fast path
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo.geom import Geometry, POLYGON, box
+        import numpy as np
+
+        pent = Geometry(POLYGON, rings=[np.array(
+            [[0, 0], [6, 0], [6, 3], [3, 5], [0, 3], [0, 0]], dtype=float)])
+        b = box(4, 0, 9, 3)
+        assert K.overlaps(pent, b) and not K.touches(pent, b)
+
+    def test_line_through_corners(self):
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo.geom import box, linestring
+
+        l = linestring([(0.0, 0.0), (4.0, 4.0)])
+        bb = box(0, 0, 2, 2)
+        assert K.crosses(l, bb)
+        assert K.relate(l, bb) == "101F00212"
+
+    def test_polyline_vertex_crossing(self):
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo.geom import linestring
+
+        v1 = linestring([(0, 0), (1, 1), (2, 0)])
+        v2 = linestring([(0, 2), (1, 1), (2, 2)])
+        assert K.crosses(v1, v2)
+
+    def test_line_along_edge_touches(self):
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo.geom import box, linestring
+
+        l = linestring([(0.0, 0.0), (2.0, 0.0)])
+        bb = box(0, 0, 2, 2)
+        assert K.touches(l, bb) and not K.crosses(l, bb)
+        assert K.relate(l, bb) == "F1FF0F212"
