@@ -413,8 +413,12 @@ def dwithin_pairs(spark, sf_dir):
         [(int(r.region_id), float(r.ymin + 4.5), float(r.xmin + 6.0)) for r in boxes.itertuples()],
         "target_id long, t_lat double, t_lon double",
     )
+    # k_ring=3 makes the searched disk's guarantee (2 cells ≈ 311 km)
+    # cover the 300 km cap, so pass 1 is provably exact and knn_join skips
+    # the safety aggregate + brute-force fallback (was the slowest battery
+    # query: two windows + anti-join + cross-join for nearly every point)
     out = knn_join(
-        pts, centers, k=25, res=RES, k_ring=2, max_distance_km=300.0, ties="break",
+        pts, centers, k=25, res=RES, k_ring=3, max_distance_km=300.0, ties="break",
         point_id="pid", target_id="target_id",
     )
     return out.select("pid", "target_id", F.round("dist_km", 4).alias("dist_km")).orderBy("pid", "target_id")

@@ -74,9 +74,25 @@ def knn_join(
     tlat, tlon = target_cols
     n = grid_n(res)
 
+    # safety radius, PER POINT: a target outside the Chebyshev disk has
+    # either |Δlat| > (k_ring-1) cells  → ≥ g_lat km, or |Δlon| >
+    # (k_ring-1) cells within the disk's lat band → ≥ g_lon km, where
+    # g_lon must use the cos() at the band's extreme latitude (cell width
+    # in km shrinks toward the poles — a fixed latitude-only guarantee is
+    # WRONG at high |lat|). The per-point guarantee __g = min(g_lat, g_lon).
+    cell_h_deg = 180.0 / n
+    g_lat = max(0.0, (k_ring - 1) * cell_h_deg) * KM_PER_DEG_LAT
+    band = F.least(F.lit(89.99), F.abs(F.col(plat)) + (k_ring + 1) * cell_h_deg)
+    g_lon = (
+        F.lit(max(0.0, (k_ring - 1) * (2.0 * cell_h_deg)) * KM_PER_DEG_LAT)
+        * F.greatest(F.lit(0.0), F.cos(F.radians(band)))
+    )
+
     tgt = targets.withColumn("__tcell", cell_col(F.col(tlat), F.col(tlon), res))
-    pts = points.where(F.col(plat).isNotNull() & F.col(plon).isNotNull()).withColumn(
-        "__pcell", cell_col(F.col(plat), F.col(plon), res)
+    pts = (
+        points.where(F.col(plat).isNotNull() & F.col(plon).isNotNull())
+        .withColumn("__pcell", cell_col(F.col(plat), F.col(plon), res))
+        .withColumn("__g", F.least(F.lit(g_lat), g_lon))
     )
 
     dist = haversine_col(F.col(plat), F.col(plon), F.col(tlat), F.col(tlon))
@@ -94,32 +110,44 @@ def knn_join(
         return out
 
     # ---- pass 1: disk-candidate join -------------------------------------
+    # Chebyshev disks are symmetric (t ∈ disk(p) ⇔ p ∈ disk(t)), so explode
+    # the SMALL broadcast side into its disk cells and join points on their
+    # own cell — the big side never explodes (was (2k+1)² rows per point)
+    tgt_disk = tgt.withColumn(
+        "__tdisk", F.explode(_neighbor_cells(F.col("__tcell"), k_ring, res))
+    )
     cand = (
-        pts.withColumn("__ncell", F.explode(_neighbor_cells(F.col("__pcell"), k_ring, res)))
-        .join(F.broadcast(tgt), F.col("__ncell") == F.col("__tcell"), "inner")
+        pts.join(F.broadcast(tgt_disk), F.col("__pcell") == F.col("__tdisk"), "inner")
         .withColumn("dist_km", dist)
     )
     got = ranked(cand)
 
-    # safety radius: any target OUTSIDE the searched disk is at least
-    # (k_ring) * cell_height - (in-cell offset ≤ 1 cell) cells of latitude
-    # away → guaranteed_km lower-bounds its distance.
-    cell_h_deg = 180.0 / n
-    guaranteed_km = max(0.0, (k_ring - 1) * cell_h_deg) * KM_PER_DEG_LAT
+    keep = [point_id, target_id, "dist_km", "knn_rank"]
 
-    if max_distance_km is not None and guaranteed_km >= max_distance_km:
-        # the disk provably covers the whole search radius → pass 1 is exact
-        safe = pts.select(point_id)
+    if max_distance_km is not None:
+        # points whose guarantee covers the whole search radius are exact
+        # from pass 1 by a pure FILTER — no join, no aggregate; only the
+        # high-latitude remainder (lon guarantee shrunk below the radius)
+        # goes through the safety machinery below
+        radius_exact = got.where(F.col("__g") >= F.lit(max_distance_km))
+        got = got.where(F.col("__g") < F.lit(max_distance_km))
+        pts = pts.where(F.col("__g") < F.lit(max_distance_km))
     else:
-        # a point is safe iff it found ≥k candidates AND its k-th distance is
-        # provably inside the searched disk; points with ZERO candidates are
-        # absent from the aggregate and therefore unsafe by construction.
-        safe = (
-            got.groupBy(point_id)
-            .agg(F.count("*").alias("__nmatch"), F.max("dist_km").alias("__kth"))
-            .where((F.col("__nmatch") >= k) & (F.col("__kth") < F.lit(guaranteed_km)))
-            .select(point_id)
+        radius_exact = None
+
+    # a point is safe iff it found ≥k candidates AND its k-th distance is
+    # provably inside its own searched disk; points with ZERO candidates
+    # are absent from the aggregate and therefore unsafe by construction.
+    safe = (
+        got.groupBy(point_id)
+        .agg(
+            F.count("*").alias("__nmatch"),
+            F.max("dist_km").alias("__kth"),
+            F.first("__g").alias("__gp"),
         )
+        .where((F.col("__nmatch") >= k) & (F.col("__kth") < F.col("__gp")))
+        .select(point_id)
+    )
 
     safe_rows = got.join(safe, point_id, "left_semi")
 
@@ -128,8 +156,10 @@ def knn_join(
     fb = unsafe_pts.crossJoin(F.broadcast(tgt)).withColumn("dist_km", dist)
     fb_rows = ranked(fb)
 
-    keep = [point_id, target_id, "dist_km", "knn_rank"]
-    return safe_rows.select(*keep).unionByName(fb_rows.select(*keep))
+    out = safe_rows.select(*keep).unionByName(fb_rows.select(*keep))
+    if radius_exact is not None:
+        out = out.unionByName(radius_exact.select(*keep))
+    return out
 
 
 def knn_join_broadcast(
