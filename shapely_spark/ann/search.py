@@ -411,41 +411,67 @@ def cosine_topk_ivf_distributed(
     probes = queries.select(
         F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv")
     ).withColumn("__list", F.explode(probe_lists(F.col("__qv"))))
-    cand = probes.join(chunks, "__list")
     kk, excl = k, exclude_self
     part_schema = "__qid long, __tid long, __s double"
 
-    def refine(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            oq, ot, os_ = [], [], []
-            for qid, qv, tids, tvs in zip(pdf["__qid"], pdf["__qv"], pdf["__tids"], pdf["__tvs"]):
-                T = np.array(list(tvs), dtype=np.float64)
-                tid_arr = np.asarray(tids, dtype=np.int64)
-                tn = np.linalg.norm(T, axis=1)
-                tn[tn == 0] = 1.0
-                q = np.asarray(qv, dtype=np.float64)
-                qn = np.linalg.norm(q) or 1.0
-                s = (T @ q) / (tn * qn)
-                if excl:
-                    keepm = tid_arr != qid
-                    tid_arr, s = tid_arr[keepm], s[keepm]
-                if not len(s):
-                    continue
-                if len(s) > kk:
-                    part = np.argpartition(-s, kk - 1)[:kk]
-                    tid_arr, s = tid_arr[part], s[part]
-                oq.extend([int(qid)] * len(s))
-                ot.extend(tid_arr.tolist())
-                os_.extend(s.tolist())
-            yield pd.DataFrame({
-                "__qid": pd.Series(oq, dtype="int64"),
-                "__tid": pd.Series(ot, dtype="int64"),
-                "__s": pd.Series(os_, dtype="float64"),
-            })
+    # cogroup queries with their probed chunk: the chunk's packed arrays
+    # ship ONCE per (list, chunk) group while each query row carries only
+    # its own vector. (A plain probes⋈chunks join duplicates the ~MB chunk
+    # payload onto every candidate row — measured 100× the useful bytes.)
+    chunk_keys = chunks.select(
+        "__list", F.col("__chunk").alias("__pchunk")
+    )
+    probes_c = probes.join(F.broadcast(chunk_keys), "__list")
 
-    partial = cand.mapInPandas(refine, part_schema)
+    def refine_cg(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "__qid": pd.Series([], dtype="int64"),
+            "__tid": pd.Series([], dtype="int64"),
+            "__s": pd.Series([], dtype="float64"),
+        })
+        if not len(qpdf) or not len(cpdf):
+            return empty
+        tids = np.asarray(cpdf["__tids"].iloc[0], dtype=np.int64)
+        T = np.array(list(cpdf["__tvs"].iloc[0]), dtype=np.float64)
+        tn = np.linalg.norm(T, axis=1)
+        tn[tn == 0] = 1.0
+        Tn = (T / tn[:, None]).T  # dim × nt
+        qids = qpdf["__qid"].to_numpy(dtype=np.int64)
+        Q = np.array(list(qpdf["__qv"]), dtype=np.float64)
+        qn = np.linalg.norm(Q, axis=1)
+        qn[qn == 0] = 1.0
+        Q /= qn[:, None]
+        nt = len(tids)
+        kkk = min(kk, nt)
+        oq, ot, os_ = [], [], []
+        slab = 256  # cache block: S ≈ slab×chunk_rows×8B ≤ 8 MB
+        for s0 in range(0, len(qids), slab):
+            qs = qids[s0:s0 + slab]
+            S = Q[s0:s0 + slab] @ Tn  # nq_slab × nt
+            if excl:
+                S[tids[None, :] == qs[:, None]] = -np.inf
+            if kkk < nt:
+                part = np.argpartition(-S, kkk - 1, axis=1)[:, :kkk]
+            else:
+                part = np.broadcast_to(np.arange(nt), (len(qs), nt))
+            sv = np.take_along_axis(S, part, axis=1).ravel()
+            keepm = np.isfinite(sv)
+            oq.append(np.repeat(qs, part.shape[1])[keepm])
+            ot.append(tids[part.ravel()][keepm])
+            os_.append(sv[keepm])
+        if not oq:
+            return empty
+        return pd.DataFrame({
+            "__qid": pd.Series(np.concatenate(oq), dtype="int64"),
+            "__tid": pd.Series(np.concatenate(ot), dtype="int64"),
+            "__s": pd.Series(np.concatenate(os_), dtype="float64"),
+        })
+
+    partial = (
+        probes_c.groupby("__list", "__pchunk")
+        .cogroup(chunks.groupby("__list", "__chunk"))
+        .applyInPandas(refine_cg, part_schema)
+    )
     w = Window.partitionBy("__qid").orderBy(F.desc("__s"), F.asc("__tid"))
     return (
         partial.withColumn("rank", F.row_number().over(w))
