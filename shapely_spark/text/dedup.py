@@ -11,8 +11,9 @@ row-at-a-time Python.
   shingle → xxhash64 base hash (JVM, once per shingle) → 64-way
   multiply-shift universal family + per-position min (numpy, one pass)
   → banded LSH buckets → candidate pairs → exact Jaccard verify. The
-  standard scale path: candidate generation is an equi-join on
-  band-bucket (shuffle bounded by bucket sizes), never an all-pairs join.
+  standard scale path: candidate pairs are generated within bucket
+  groups in ONE shuffle (window-count cap + groupBy on the same
+  partitioning + JVM-side C(n,2) emission), never an all-pairs join.
 - simhash_64 / simhash_candidates / simhash_dedup_pairs: 64-bit SimHash
   over xxhash64 token hashes (JVM) with vectorized bit accumulation
   (numpy segment sums) + banded buckets for Hamming-near candidates.
@@ -30,7 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 N_MINHASH = 64
@@ -132,20 +133,6 @@ def minhash_signatures(
     )
 
 
-def _cap_buckets(exploded: DataFrame, max_bucket: int | None) -> DataFrame:
-    """Drop buckets holding more than max_bucket docs (the O(n²) pair-bomb
-    guard). Inner join against the under-cap bucket list; AQE handles the
-    count-side skew."""
-    if max_bucket is None:
-        return exploded
-    ok = (
-        exploded.groupBy("bucket").agg(F.count("*").alias("__bc"))
-        .where(F.col("__bc") <= max_bucket)
-        .select("bucket")
-    )
-    return exploded.join(ok, "bucket")
-
-
 def oversized_buckets(exploded: DataFrame, max_bucket: int) -> DataFrame:
     """Audit helper: (bucket, n_docs) for buckets the cap would drop."""
     return (
@@ -197,19 +184,61 @@ def minhash_band_buckets(
     )
 
 
+def _bucket_pairs(
+    exploded: DataFrame, value_cols: list, max_bucket: int | None,
+    pair_filter=None,
+) -> DataFrame:
+    """(…, bucket) rows → within-bucket ordered candidate pairs in ONE
+    pass over the input: a window count caps oversized buckets WITHOUT
+    materializing them (the rows shuffle to the bucket's partition but are
+    filtered before any collect), then groupBy reuses that partitioning
+    (no second shuffle) and emits the C(n,2) pairs JVM-side via nested
+    transform/slice. Replaces the old count-agg + cap-join + self-join
+    shape, which evaluated the exploded plan (and its Python UDF chain)
+    three times and shuffled it twice.
+
+    value_cols: the per-doc payload, first element must be the id (pairs
+    are ordered by it via sort_array struct ordering). pair_filter(a, b)
+    optionally prunes pairs as they are produced (still JVM-side)."""
+    payload = F.struct(*[F.col(c) for c in value_cols])
+    capped = exploded.withColumn(
+        "__bc", F.count("*").over(Window.partitionBy("bucket"))
+    )
+    if max_bucket is not None:
+        capped = capped.where(F.col("__bc") <= max_bucket)
+    grouped = capped.groupBy("bucket").agg(
+        F.sort_array(F.collect_list(payload)).alias("ids")
+    )
+
+    def inner(x, i):
+        rest = F.slice(
+            "ids", i + F.lit(2), F.greatest(F.size("ids") - i - 1, F.lit(0))
+        )
+        pairs = F.transform(rest, lambda y: F.struct(x.alias("a"), y.alias("b")))
+        if pair_filter is not None:
+            pairs = F.filter(pairs, lambda p: pair_filter(p["a"], p["b"]))
+        return pairs
+
+    return (
+        grouped.select(
+            F.explode(F.flatten(F.transform("ids", inner))).alias("p")
+        )
+        .select(
+            F.col(f"p.a.{value_cols[0]}").alias("doc_a"),
+            F.col(f"p.b.{value_cols[0]}").alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame, id_col: str = "doc_id", n_bands: int = N_BANDS,
     n_hashes: int = N_MINHASH, max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket → candidate pairs (a < b)."""
-    exploded = _cap_buckets(minhash_band_buckets(sigs, id_col, n_bands, n_hashes), max_bucket)
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    exploded = minhash_band_buckets(sigs, id_col, n_bands, n_hashes)
+    return _bucket_pairs(exploded, [id_col], max_bucket)
 
 
 def _verify_pairs(
@@ -319,13 +348,8 @@ def simhash_candidates(
 ) -> DataFrame:
     """Docs sharing any SimHash band (Hamming ≤ 64·(bands-1)/bands heuristic
     guarantee: any pair within Hamming < bands shares ≥1 intact band)."""
-    e = _cap_buckets(simhash_band_buckets(sim, id_col, bands), max_bucket)
-    a, b = e.alias("a"), e.alias("b")
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    e = simhash_band_buckets(sim, id_col, bands)
+    return _bucket_pairs(e, [id_col], max_bucket)
 
 
 def simhash_dedup_pairs(
@@ -347,22 +371,14 @@ def simhash_dedup_pairs(
     corpora (its candidates ≈ the true pair set)."""
     sim = simhash_64(docs, text_col, id_col)
     # hash rides the exploded band rows, so the Hamming test evaluates
-    # INSIDE the bucket join (a pair is dropped as it is produced) — no
+    # INSIDE pair generation (a pair is dropped as it is produced) — no
     # pair-table shuffle before the filter, no extra joins to re-attach
     # the hashes (was the slowest remaining battery stage)
-    e = _cap_buckets(
-        simhash_band_buckets(sim, id_col, bands, include_hash=True), max_bucket
-    )
-    a, b = e.alias("a"), e.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-               <= max_hamming),
-        )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+    e = simhash_band_buckets(sim, id_col, bands, include_hash=True)
+    cand = _bucket_pairs(
+        e, [id_col, "simhash"], max_bucket,
+        pair_filter=lambda a, b: F.bit_count(
+            a["simhash"].bitwiseXOR(b["simhash"])
+        ) <= max_hamming,
     )
     return _verify_pairs(docs, cand, text_col, id_col, threshold, shingle_n)
