@@ -167,7 +167,10 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     import wave
 
     pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
-    pcm16 = (pcm * 32767.0).astype("<i2")
+    # rint, not truncation: k/32767.0 * 32767.0 must round back to k
+    # exactly for integer-valued inputs (the decode-contract oracle
+    # feeds integer PCM scaled to [-1,1])
+    pcm16 = np.rint(pcm * 32767.0).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
         wf.setnchannels(1)

@@ -2657,3 +2657,98 @@ def skew_area_box(spark, sf_dir):
             yield pd.DataFrame({"gid": pdf.gid, "area": np.round(vals, 6)})
 
     return params.mapInPandas(gen, "gid long, area double").orderBy("gid")
+
+
+@q(
+    "image_decode_px_sum",
+    """
+    WITH g AS (SELECT p_partkey AS gid,
+                      8 + p_partkey % 5 AS w, 6 + p_partkey % 4 AS h
+               FROM part),
+    px AS (
+      SELECT g.gid,
+             sum((x.x*7 + y.y*11 + c.c*13 + g.gid*17) % 256) AS px_sum
+      FROM g, range(0, 12) x(x), range(0, 9) y(y), range(0, 3) c(c)
+      WHERE x.x < g.w AND y.y < g.h
+      GROUP BY g.gid
+    )
+    SELECT gid, px_sum::BIGINT AS px_sum FROM px ORDER BY gid
+    """,
+)
+def image_decode_px_sum(spark, sf_dir):
+    """Contract oracle for the REAL image codec path (multimodal/media.py
+    encode_ppm → decode_image): per row build a w×h×3 image with pixel
+    (x,y,c) = (7x+11y+13c+17·gid) mod 256, serialize to binary PPM bytes,
+    decode through the production decoder, and sum the DECODED pixels.
+    DuckDB computes the same sum closed-form — any header-parse, layout,
+    or channel-order bug shifts the sum."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (8 + k % 5).cast("int").alias("w"),
+        (6 + k % 4).cast("int").alias("h"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal.media import decode_image, encode_ppm
+
+        for pdf in batches:
+            sums = []
+            for gid, w, h in zip(pdf.gid, pdf.w, pdf.h):
+                y, x, c = np.mgrid[0:h, 0:w, 0:3]
+                img = ((7 * x + 11 * y + 13 * c + 17 * int(gid)) % 256).astype(np.uint8)
+                dec = decode_image(encode_ppm(img))
+                assert dec.shape == (h, w, 3), (dec.shape, (h, w))
+                sums.append(int(dec.astype(np.int64).sum()))
+            yield pd.DataFrame({"gid": pdf.gid, "px_sum": sums})
+
+    return params.mapInPandas(gen, "gid long, px_sum long").orderBy("gid")
+
+
+@q(
+    "audio_decode_abs_sum",
+    """
+    WITH g AS (SELECT p_partkey AS gid,
+                      400 + (p_partkey % 10) * 50 AS n
+               FROM part),
+    s AS (
+      SELECT g.gid,
+             sum(abs((i.i*37 + g.gid*101) % 2001 - 1000)) AS abs_sum
+      FROM g, range(0, 850) i(i)
+      WHERE i.i < g.n
+      GROUP BY g.gid
+    )
+    SELECT gid, abs_sum::BIGINT AS abs_sum FROM s ORDER BY gid
+    """,
+)
+def audio_decode_abs_sum(spark, sf_dir):
+    """Contract oracle for the REAL audio codec path (multimodal/media.py
+    encode_wav → decode_audio, 16-bit PCM WAV): per row synthesize n
+    integer samples s_i = (37i+101·gid) mod 2001 − 1000, scale to [-1,1],
+    write WAV bytes, decode through the production decoder, recover the
+    integer PCM and sum |s_i|. encode_wav rints (k/32767·32767 → k), and
+    |s_i| ≤ 1000 is exact in the decoder's float32, so the roundtrip is
+    bit-exact and DuckDB's closed-form sum must match."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (400 + (k % 10) * 50).cast("int").alias("n"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal.media import decode_audio, encode_wav
+
+        for pdf in batches:
+            sums = []
+            for gid, n in zip(pdf.gid, pdf.n):
+                i = np.arange(int(n), dtype=np.int64)
+                s_int = (i * 37 + int(gid) * 101) % 2001 - 1000
+                wav = encode_wav(s_int / 32767.0, sample_rate=16000)
+                dec = decode_audio(wav)
+                rec = np.rint(dec.astype(np.float64) * 32768.0).astype(np.int64)
+                sums.append(int(np.abs(rec).sum()))
+            yield pd.DataFrame({"gid": pdf.gid, "abs_sum": sums})
+
+    return params.mapInPandas(gen, "gid long, abs_sum long").orderBy("gid")
