@@ -100,7 +100,15 @@ def _spread(df: DataFrame) -> DataFrame:
     parquet files (one input split), so without this every
     mapInPandas-backed kernel query runs on ONE core — measured 36.9 s →
     ~2 s for the box-pair overlay battery at sf0.1 on local[32]. The
-    round-robin shuffle moves a few hundred KB; the kernel is the cost."""
+    round-robin shuffle moves a few hundred KB; the kernel is the cost.
+
+    Companion pattern: every query's FINAL sort is
+    `.repartition(1).sortWithinPartitions(...)`, not `.orderBy(...)` — a
+    global sort's RangePartitioner runs a sampling job that RE-EXECUTES
+    the upstream plan, so a per-row Python kernel would run twice (half
+    the battery's cold cost was this). The one-task sort of a ≤20k-row
+    presentation result is free, and the repartition barrier still lets
+    the kernel stage run once at full parallelism."""
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
@@ -184,7 +192,7 @@ def tpch_q1(spark, sf_dir):
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .repartition(1).sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 
@@ -216,7 +224,7 @@ def tpch_q3(spark, sf_dir):
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.desc("revenue"), "o_orderkey")
+        .repartition(1).sortWithinPartitions(F.desc("revenue"), "o_orderkey")
         .limit(20)
     )
 
@@ -261,7 +269,7 @@ def cell_assign(spark, sf_dir):
     return (
         pts.groupBy("cell_id")
         .agg(F.count("*").alias("n_points"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .orderBy("cell_id")
+        .repartition(1).sortWithinPartitions("cell_id")
     )
 
 
@@ -285,7 +293,7 @@ def spatial_join_boxes(spark, sf_dir):
     return (
         spatial_join(pts, regions, predicate="intersects", res=RES)
         .select("pid", "region_id")
-        .orderBy("pid", "region_id")
+        .repartition(1).sortWithinPartitions("pid", "region_id")
     )
 
 
@@ -307,7 +315,7 @@ def spatial_join_within(spark, sf_dir):
     return (
         spatial_join(pts, regions, predicate="within", res=RES)
         .select("pid", "region_id")
-        .orderBy("pid", "region_id")
+        .repartition(1).sortWithinPartitions("pid", "region_id")
     )
 
 
@@ -347,7 +355,7 @@ def tile_agg_regions(spark, sf_dir):
         counts.join(F.broadcast(weights), "cell_id")
         .groupBy("region_id")
         .agg(F.count("*").alias("n_tiles"), F.sum("n_points").alias("n_pages"))
-        .orderBy("region_id")
+        .repartition(1).sortWithinPartitions("region_id")
     )
 
 
@@ -388,7 +396,7 @@ def knn_nearest_center(spark, sf_dir):
         pts, centers, k=1, res=RES, k_ring=2, ties="break",
         point_id="pid", target_id="target_id",
     )
-    return out.select("pid", "target_id", F.round("dist_km", 4).alias("dist_km")).orderBy("pid")
+    return out.select("pid", "target_id", F.round("dist_km", 4).alias("dist_km")).repartition(1).sortWithinPartitions("pid")
 
 
 @q(
@@ -421,7 +429,7 @@ def dwithin_pairs(spark, sf_dir):
         pts, centers, k=25, res=RES, k_ring=3, max_distance_km=300.0, ties="break",
         point_id="pid", target_id="target_id",
     )
-    return out.select("pid", "target_id", F.round("dist_km", 4).alias("dist_km")).orderBy("pid", "target_id")
+    return out.select("pid", "target_id", F.round("dist_km", 4).alias("dist_km")).repartition(1).sortWithinPartitions("pid", "target_id")
 
 # ---- geometry kernel queries (closed-form oracles) --------------------------
 # Each builds real geometries row-by-row inside an Arrow batch and runs the
@@ -448,7 +456,7 @@ def geo_area_ngon(spark, sf_dir):
         ]
         return pd.DataFrame({"gid": pdf.gid, "area": np.round(areas, 4)})
 
-    return _geo_kernel_query(spark, sf_dir, "gid long, area double", fn).orderBy("gid")
+    return _geo_kernel_query(spark, sf_dir, "gid long, area double", fn).repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -470,7 +478,7 @@ def geo_perimeter_ngon(spark, sf_dir):
         ]
         return pd.DataFrame({"gid": pdf.gid, "perimeter": np.round(per, 4)})
 
-    return _geo_kernel_query(spark, sf_dir, "gid long, perimeter double", fn).orderBy("gid")
+    return _geo_kernel_query(spark, sf_dir, "gid long, perimeter double", fn).repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -495,7 +503,7 @@ def geo_centroid_ngon(spark, sf_dir):
             {"gid": pdf.gid, "cent_x": np.round(c[:, 0], 4), "cent_y": np.round(c[:, 1], 4)}
         )
 
-    return _geo_kernel_query(spark, sf_dir, "gid long, cent_x double, cent_y double", fn).orderBy("gid")
+    return _geo_kernel_query(spark, sf_dir, "gid long, cent_x double, cent_y double", fn).repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -518,7 +526,7 @@ def geo_buffer_area(spark, sf_dir):
         ]
         return pd.DataFrame({"gid": pdf.gid, "buf_area": np.round(areas, 4)})
 
-    return _geo_kernel_query(spark, sf_dir, "gid long, buf_area double", fn).orderBy("gid")
+    return _geo_kernel_query(spark, sf_dir, "gid long, buf_area double", fn).repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -546,7 +554,7 @@ def geo_bounds_boxes(spark, sf_dir):
 
     return regions.mapInPandas(
         gen, "region_id long, bxmin double, bymin double, bxmax double, bymax double"
-    ).orderBy("region_id")
+    ).repartition(1).sortWithinPartitions("region_id")
 
 
 @q(
@@ -570,7 +578,7 @@ def geo_distance_box(spark, sf_dir):
         ds = [K.distance(make_point(cx, cy), B) for cx, cy in zip(pdf.cx, pdf.cy)]
         return pd.DataFrame({"gid": pdf.gid, "dist": np.round(ds, 4)})
 
-    return _geo_kernel_query(spark, sf_dir, "gid long, dist double", fn).orderBy("gid")
+    return _geo_kernel_query(spark, sf_dir, "gid long, dist double", fn).repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -599,7 +607,7 @@ def geo_clip_area(spark, sf_dir):
             ]
             yield pd.DataFrame({"region_id": pdf.region_id, "clip_area": np.round(a, 4)})
 
-    return regions.mapInPandas(gen, "region_id long, clip_area double").orderBy("region_id")
+    return regions.mapInPandas(gen, "region_id long, clip_area double").repartition(1).sortWithinPartitions("region_id")
 
 
 @q(
@@ -636,7 +644,7 @@ def geo_convexhull_star(spark, sf_dir):
 
     return _geo_kernel_query(
         spark, sf_dir, "gid long, hull_area double, hull_npoints int", fn
-    ).orderBy("gid")
+    ).repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -661,7 +669,7 @@ def geo_simplify_count(spark, sf_dir):
             ns.append(len(s.coords))
         return pd.DataFrame({"gid": pdf.gid, "n_points": pd.Series(ns, dtype="int32")})
 
-    return _geo_kernel_query(spark, sf_dir, "gid long, n_points int", fn).orderBy("gid")
+    return _geo_kernel_query(spark, sf_dir, "gid long, n_points int", fn).repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -685,7 +693,7 @@ def wkb_size_ngon(spark, sf_dir):
         ]
         return pd.DataFrame({"gid": pdf.gid, "wkb_bytes": pd.Series(sizes, dtype="int64")})
 
-    return _geo_kernel_query(spark, sf_dir, "gid long, wkb_bytes long", fn).orderBy("gid")
+    return _geo_kernel_query(spark, sf_dir, "gid long, wkb_bytes long", fn).repartition(1).sortWithinPartitions("gid")
 
 
 # ---- text / dedup / quality (training-data pipeline ops) --------------------
@@ -704,7 +712,7 @@ def dedup_exact(spark, sf_dir):
         d.groupBy("text")
         .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("group_size"))
         .select("keeper_id", "group_size", F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp"))
-        .orderBy("keeper_id")
+        .repartition(1).sortWithinPartitions("keeper_id")
     )
 
 
@@ -725,7 +733,7 @@ def dedup_prefix_groups(spark, sf_dir):
         d.groupBy(prefix.alias("prefix"))
         .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("group_size"))
         .where(F.col("group_size") > 1)
-        .orderBy("keeper_id")
+        .repartition(1).sortWithinPartitions("keeper_id")
     )
 
 
@@ -742,7 +750,7 @@ def token_count(spark, sf_dir):
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars2"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 @q(
@@ -758,7 +766,7 @@ def doc_fingerprint(spark, sf_dir):
         "doc_id",
         F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp"),
         F.length("text").cast("long").alias("n_chars2"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
@@ -792,7 +800,7 @@ def quality_score(spark, sf_dir):
             / F.size(w), 4,
         ).alias("stopword_ratio"),
         F.round(F.length("text").cast("double") / F.size(w), 4).alias("avg_token_len"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 @q(
@@ -841,7 +849,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
         inter.join(sa, "doc_a").join(sb, "doc_b")
         .where(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+        .repartition(1).sortWithinPartitions("doc_a", "doc_b")
     )
 
 
@@ -865,7 +873,7 @@ def ann_cosine_top1(spark, sf_dir):
     from .ann.search import cosine_topk_bruteforce
 
     e = _spread(_t(spark, sf_dir, "embeddings"))
-    return cosine_topk_bruteforce(e, e, k=1, exclude_self=True).orderBy("vec_id")
+    return cosine_topk_bruteforce(e, e, k=1, exclude_self=True).repartition(1).sortWithinPartitions("vec_id")
 
 
 @q(
@@ -911,7 +919,7 @@ def embedding_label_centroids(spark, sf_dir):
         .withColumn("dim", F.col("dim0") + 1)  # 1-based like DuckDB subscripts
         .groupBy("label", "dim")
         .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("mean_v"))
-        .orderBy("label", "dim")
+        .repartition(1).sortWithinPartitions("label", "dim")
     )
 
 
@@ -953,7 +961,7 @@ def minhash_dedup_pairs_q(spark, sf_dir):
     from .text.dedup import minhash_dedup_pairs
 
     d = _spread(_t(spark, sf_dir, "documents"))
-    return minhash_dedup_pairs(d, threshold=0.2).orderBy("doc_a", "doc_b")
+    return minhash_dedup_pairs(d, threshold=0.2).repartition(1).sortWithinPartitions("doc_a", "doc_b")
 
 
 @q("simhash_dedup_pairs", _EXACT_JACCARD_PAIRS_SQL)
@@ -961,7 +969,7 @@ def simhash_dedup_pairs_q(spark, sf_dir):
     from .text.dedup import simhash_dedup_pairs
 
     d = _spread(_t(spark, sf_dir, "documents"))
-    return simhash_dedup_pairs(d, threshold=0.2).orderBy("doc_a", "doc_b")
+    return simhash_dedup_pairs(d, threshold=0.2).repartition(1).sortWithinPartitions("doc_a", "doc_b")
 
 
 @q(
@@ -998,7 +1006,7 @@ def langid_heuristic_q(spark, sf_dir):
     from .text.quality import langid_heuristic
 
     d = _spread(_t(spark, sf_dir, "documents"))
-    return langid_heuristic(d).select("doc_id", "pred_lang", "pred_hits").orderBy("doc_id")
+    return langid_heuristic(d).select("doc_id", "pred_lang", "pred_hits").repartition(1).sortWithinPartitions("doc_id")
 
 
 # ---- events: sessionization (window/state op) -------------------------------
@@ -1041,7 +1049,7 @@ def events_sessionize(spark, sf_dir):
     return (
         s.groupBy("user_id", "session_no")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .orderBy("user_id", "session_no")
+        .repartition(1).sortWithinPartitions("user_id", "session_no")
     )
 
 
@@ -1068,7 +1076,7 @@ def events_hourly_rollup(spark, sf_dir):
              F.countDistinct("user_id").alias("n_users"),
              F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("w.start").alias("bucket"), "n_events", "n_users", "sum_value")
-        .orderBy("bucket")
+        .repartition(1).sortWithinPartitions("bucket")
     )
 
 
@@ -1131,7 +1139,7 @@ def _overlay_area_query(spark, sf_dir, op_name: str, col_name: str) -> DataFrame
                 vals.append(K.area(op(a, b)))
             yield pd.DataFrame({"gid": pdf.gid, col_name: np.round(vals, 6)})
 
-    return pairs.mapInPandas(gen, f"gid long, {col_name} double").orderBy("gid")
+    return pairs.mapInPandas(gen, f"gid long, {col_name} double").repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -1232,7 +1240,7 @@ def relate_point_box(spark, sf_dir):
                 out.append(K.relate(pt, bx))
             yield pd.DataFrame({"gid": pdf.gid, "de9im": out})
 
-    return src.mapInPandas(gen, "gid long, de9im string").orderBy("gid")
+    return src.mapInPandas(gen, "gid long, de9im string").repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -1284,7 +1292,7 @@ def overlay_line_clip_length(spark, sf_dir):
                 vals.append(K.length(O.intersection(line, B)))
             yield pd.DataFrame({"gid": pdf.gid, "clip_len": np.round(vals, 6)})
 
-    return src.mapInPandas(gen, "gid long, clip_len double").orderBy("gid")
+    return src.mapInPandas(gen, "gid long, clip_len double").repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -1332,7 +1340,7 @@ def overlay_line_line_length(spark, sf_dir):
                 vals.append(K.length(O.intersection(a, b)))
             yield pd.DataFrame({"gid": pdf.gid, "shared_len": np.round(vals, 6)})
 
-    return src.mapInPandas(gen, "gid long, shared_len double").orderBy("gid")
+    return src.mapInPandas(gen, "gid long, shared_len double").repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -1391,7 +1399,7 @@ def dissolve_union_by_key(spark, sf_dir):
             )
 
     return d.mapInPandas(area_gen, "region_key bigint, union_area double, n_parts long") \
-        .orderBy("region_key")
+        .repartition(1).sortWithinPartitions("region_key")
 
 
 # ---------------------------------------------------------------------------
@@ -1443,7 +1451,7 @@ def line_interpolate_locate(spark, sf_dir):
 
     return params.mapInPandas(
         gen, "gid long, ix double, iy double, locate_frac double"
-    ).orderBy("gid")
+    ).repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -1475,7 +1483,7 @@ def point_on_surface_holed(spark, sf_dir):
                 ok.append(1 if K.contains(holed, p) else 0)
             yield pd.DataFrame({"gid": pdf.gid, "inside": pd.Series(ok, dtype="int32")})
 
-    return params.mapInPandas(gen, "gid long, inside int").orderBy("gid")
+    return params.mapInPandas(gen, "gid long, inside int").repartition(1).sortWithinPartitions("gid")
 
 
 # ---------------------------------------------------------------------------
@@ -1522,7 +1530,7 @@ def explode_coordinates_ngon(spark, sf_dir):
             F.round(F.sum("x"), 6).alias("sum_x"),
             F.round(F.sum("y"), 6).alias("sum_y"),
         )
-        .orderBy("gid")
+        .repartition(1).sortWithinPartitions("gid")
     )
 
 
@@ -1542,11 +1550,11 @@ def explode_multipolygon_parts(spark, sf_dir):
 
     p = _t(spark, sf_dir, "part")
     k = F.col("p_partkey")
-    params = p.select(
+    params = _spread(p.select(
         k.alias("gid"),
         (k % 3 + 1).cast("int").alias("nparts"),
         (1.0 + k % 4).cast("double").alias("w"),
-    )
+    ))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .geo.geom import box, multipolygon
@@ -1577,7 +1585,7 @@ def explode_multipolygon_parts(spark, sf_dir):
         areas.groupBy("gid")
         .agg(F.count("*").cast("int").alias("n_parts"),
              F.round(F.sum("area"), 6).alias("total_area"))
-        .orderBy("gid")
+        .repartition(1).sortWithinPartitions("gid")
     )
 
 
@@ -1627,7 +1635,7 @@ def collect_multipoint_bounds(spark, sf_dir):
 
     return mp.mapInPandas(
         gen, "grp bigint, n_points int, xmin double, ymin double, xmax double, ymax double"
-    ).orderBy("grp")
+    ).repartition(1).sortWithinPartitions("grp")
 
 
 # ---------------------------------------------------------------------------
@@ -1664,7 +1672,7 @@ def delaunay_hull_area(spark, sf_dir):
                 vals.append(sum(K.area(t) for t in dt.parts))
             yield pd.DataFrame({"gid": pdf.gid, "hull_area": np.round(vals, 6)})
 
-    return params.mapInPandas(gen, "gid long, hull_area double").orderBy("gid")
+    return params.mapInPandas(gen, "gid long, hull_area double").repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -1683,12 +1691,12 @@ def voronoi_two_cell_areas(spark, sf_dir):
     a=p%3, b=p%4 → left = (w/2+a)·4, right = (w/2+b)·4."""
     p = _t(spark, sf_dir, "part")
     k = F.col("p_partkey")
-    params = p.select(
+    params = _spread(p.select(
         k.alias("gid"),
         (2 + k % 5).cast("double").alias("w"),
         (k % 3).cast("double").alias("a"),
         (k % 4).cast("double").alias("b"),
-    )
+    ))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .geo import kernels as K
@@ -1712,7 +1720,7 @@ def voronoi_two_cell_areas(spark, sf_dir):
 
     return params.mapInPandas(
         gen, "gid long, left_area double, right_area double"
-    ).orderBy("gid")
+    ).repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -1728,11 +1736,11 @@ def minimum_clearance_box(spark, sf_dir):
     """minimum_clearance of a w×h box = min(w, h)."""
     p = _t(spark, sf_dir, "part")
     k = F.col("p_partkey")
-    params = p.select(
+    params = _spread(p.select(
         k.alias("gid"),
         (2 + k % 5).cast("double").alias("w"),
         (1 + k % 7).cast("double").alias("h"),
-    )
+    ))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .geo.constructive import minimum_clearance
@@ -1742,7 +1750,7 @@ def minimum_clearance_box(spark, sf_dir):
             vals = [minimum_clearance(box(0, 0, w, h)) for w, h in zip(pdf.w, pdf.h)]
             yield pd.DataFrame({"gid": pdf.gid, "clearance": np.round(vals, 6)})
 
-    return params.mapInPandas(gen, "gid long, clearance double").orderBy("gid")
+    return params.mapInPandas(gen, "gid long, clearance double").repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -1761,11 +1769,11 @@ def shortest_line_gap(spark, sf_dir):
     √((1+gx)² + gy²)."""
     p = _t(spark, sf_dir, "part")
     k = F.col("p_partkey")
-    params = p.select(
+    params = _spread(p.select(
         k.alias("gid"),
         (k % 4).cast("double").alias("gx"),
         (k % 3).cast("double").alias("gy"),
-    )
+    ))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .geo import kernels as K
@@ -1780,7 +1788,7 @@ def shortest_line_gap(spark, sf_dir):
                 vals.append(K.length(shortest_line(a, b)))
             yield pd.DataFrame({"gid": pdf.gid, "gap": np.round(vals, 6)})
 
-    return params.mapInPandas(gen, "gid long, gap double").orderBy("gid")
+    return params.mapInPandas(gen, "gid long, gap double").repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -1800,11 +1808,11 @@ def buffer_line_capsule_area(spark, sf_dir):
     inscribed-circle caps."""
     p = _t(spark, sf_dir, "part")
     k = F.col("p_partkey")
-    params = p.select(
+    params = _spread(p.select(
         k.alias("gid"),
         ((1 + k % 4) / 2.0).alias("d"),
         (5.0 + k % 7).cast("double").alias("L"),
-    )
+    ))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .geo import kernels as K
@@ -1818,7 +1826,7 @@ def buffer_line_capsule_area(spark, sf_dir):
             ]
             yield pd.DataFrame({"gid": pdf.gid, "buf_area": np.round(vals, 6)})
 
-    return params.mapInPandas(gen, "gid long, buf_area double").orderBy("gid")
+    return params.mapInPandas(gen, "gid long, buf_area double").repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -1878,7 +1886,7 @@ def spatial_join_geom_boxes(spark, sf_dir):
     right = _nation_regions_df(spark, sf_dir)
     return (
         spatial_join_geom(left, right, predicate="intersects", left_id="gid")
-        .orderBy("gid", "region_id")
+        .repartition(1).sortWithinPartitions("gid", "region_id")
     )
 
 
@@ -1903,7 +1911,7 @@ def ann_cosine_ivf_top1(spark, sf_dir):
 
     e = _spread(_t(spark, sf_dir, "embeddings"))
     return cosine_topk_ivf(e, e, k=1, n_lists=8, nprobe=8,
-                           exclude_self=True).orderBy("vec_id")
+                           exclude_self=True).repartition(1).sortWithinPartitions("vec_id")
 
 
 @q(
@@ -1923,7 +1931,7 @@ def embedding_neardup_pairs(spark, sf_dir):
     from .ann.search import cosine_neardup_pairs
 
     e = _spread(_t(spark, sf_dir, "embeddings"))
-    return cosine_neardup_pairs(e, threshold=0.5).orderBy("id_a", "id_b")
+    return cosine_neardup_pairs(e, threshold=0.5).repartition(1).sortWithinPartitions("id_a", "id_b")
 
 
 @q(
@@ -1946,7 +1954,7 @@ def ann_cosine_ivf_dist_top1(spark, sf_dir):
     from .ann.search import cosine_topk_ivf_distributed
 
     e = _spread(_t(spark, sf_dir, "embeddings"))
-    return cosine_topk_ivf_distributed(e, e, k=1, n_lists=8, nprobe=8).orderBy("vec_id")
+    return cosine_topk_ivf_distributed(e, e, k=1, n_lists=8, nprobe=8).repartition(1).sortWithinPartitions("vec_id")
 
 
 @q(
@@ -2007,7 +2015,7 @@ def tpch_q5(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
              .alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
+        .repartition(1).sortWithinPartitions(F.desc("revenue"), "n_name")
     )
 
 
@@ -2045,7 +2053,7 @@ def tpch_q10_variant(spark, sf_dir):
         .agg(F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
                    .cast("bigint")).alias("revenue_cents"))
         .select("c_custkey", "c_name", "revenue_cents", "n_name")
-        .orderBy(F.desc("revenue_cents"), "c_custkey")
+        .repartition(1).sortWithinPartitions(F.desc("revenue_cents"), "c_custkey")
         .limit(20)
     )
 
@@ -2078,13 +2086,13 @@ def crosses_segments(spark, sf_dir):
     and the strict sign test diverge) cannot occur."""
     p = _t(spark, sf_dir, "part")
     k = F.col("p_partkey")
-    params = p.select(
+    params = _spread(p.select(
         k.alias("gid"),
         (k % 17).cast("double").alias("ax"), (k % 11).cast("double").alias("ay"),
         (k % 17 + 4).cast("double").alias("bx"), (k % 11 + 3).cast("double").alias("by"),
         (k % 13).cast("double").alias("cx"), (k % 11 + 3).cast("double").alias("cy"),
         (k % 13 + 5).cast("double").alias("dx"), (k % 11).cast("double").alias("dy"),
-    )
+    ))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .geo import kernels as K
@@ -2099,7 +2107,7 @@ def crosses_segments(spark, sf_dir):
             ]
             yield pd.DataFrame({"gid": pdf.gid, "crosses": pd.Series(vals, dtype="bool")})
 
-    return params.mapInPandas(gen, "gid long, crosses boolean").orderBy("gid")
+    return params.mapInPandas(gen, "gid long, crosses boolean").repartition(1).sortWithinPartitions("gid")
 
 
 # ---- round-2 widening: oracle rows for ops previously test-only -----------
@@ -2142,7 +2150,7 @@ def hausdorff_boxes(spark, sf_dir):
             ]
             yield pd.DataFrame({"gid": pdf.gid, "hd": np.round(vals, 6)})
 
-    return params.mapInPandas(gen, "gid long, hd double").orderBy("gid")
+    return params.mapInPandas(gen, "gid long, hd double").repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -2179,7 +2187,7 @@ def frechet_segments(spark, sf_dir):
             ]
             yield pd.DataFrame({"gid": pdf.gid, "fd": np.round(vals, 6)})
 
-    return params.mapInPandas(gen, "gid long, fd double").orderBy("gid")
+    return params.mapInPandas(gen, "gid long, fd double").repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -2215,7 +2223,7 @@ def make_valid_bowtie_area(spark, sf_dir):
                 vals.append(K.area(O.make_valid(Geometry(POLYGON, rings=[ring]))))
             yield pd.DataFrame({"gid": pdf.gid, "fixed_area": np.round(vals, 6)})
 
-    return params.mapInPandas(gen, "gid long, fixed_area double").orderBy("gid")
+    return params.mapInPandas(gen, "gid long, fixed_area double").repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -2254,7 +2262,7 @@ def oriented_envelope_area(spark, sf_dir):
                 vals.append(K.area(oriented_envelope(Geometry(POLYGON, rings=[rot]))))
             yield pd.DataFrame({"gid": pdf.gid, "env_area": np.round(vals, 6)})
 
-    return params.mapInPandas(gen, "gid long, env_area double").orderBy("gid")
+    return params.mapInPandas(gen, "gid long, env_area double").repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -2286,7 +2294,7 @@ def segmentize_diag_npoints(spark, sf_dir):
             yield pd.DataFrame({"gid": pdf.gid,
                                 "npoints": pd.Series(vals, dtype="int64")})
 
-    return params.mapInPandas(gen, "gid long, npoints long").orderBy("gid")
+    return params.mapInPandas(gen, "gid long, npoints long").repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -2322,7 +2330,7 @@ def snap_point_tol(spark, sf_dir):
             ]
             yield pd.DataFrame({"gid": pdf.gid, "sx": np.round(vals, 6)})
 
-    return params.mapInPandas(gen, "gid long, sx double").orderBy("gid")
+    return params.mapInPandas(gen, "gid long, sx double").repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -2361,7 +2369,7 @@ def line_merge_chain(spark, sf_dir):
                 "total_len": np.round(lens, 6),
             })
 
-    return params.mapInPandas(gen, "gid long, npoints long, total_len double").orderBy("gid")
+    return params.mapInPandas(gen, "gid long, npoints long, total_len double").repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -2413,7 +2421,7 @@ def split_segment_pieces(spark, sf_dir):
 
     return params.mapInPandas(
         gen, "gid long, n_pieces int, min_len double, max_len double"
-    ).orderBy("gid")
+    ).repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -2451,7 +2459,7 @@ def substring_frac_length(spark, sf_dir):
             ]
             yield pd.DataFrame({"gid": pdf.gid, "sub_len": np.round(vals, 6)})
 
-    return params.mapInPandas(gen, "gid long, sub_len double").orderBy("gid")
+    return params.mapInPandas(gen, "gid long, sub_len double").repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -2477,7 +2485,7 @@ def geojson_roundtrip_area(spark, sf_dir):
         ]
         return pd.DataFrame({"gid": pdf.gid, "area": np.round(areas, 4)})
 
-    return _geo_kernel_query(spark, sf_dir, "gid long, area double", fn).orderBy("gid")
+    return _geo_kernel_query(spark, sf_dir, "gid long, area double", fn).repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -2501,7 +2509,7 @@ def mbc_radius_ngon(spark, sf_dir):
         ]
         return pd.DataFrame({"gid": pdf.gid, "radius": np.round(vals, 6)})
 
-    return _geo_kernel_query(spark, sf_dir, "gid long, radius double", fn).orderBy("gid")
+    return _geo_kernel_query(spark, sf_dir, "gid long, radius double", fn).repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -2550,7 +2558,7 @@ def touches_overlaps_boxes(spark, sf_dir):
 
     return params.mapInPandas(
         gen, "gid long, touches boolean, overlaps boolean"
-    ).orderBy("gid")
+    ).repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -2587,7 +2595,7 @@ def inscribed_circle_box(spark, sf_dir):
             ]
             yield pd.DataFrame({"gid": pdf.gid, "radius": np.round(vals, 2)})
 
-    return params.mapInPandas(gen, "gid long, radius double").orderBy("gid")
+    return params.mapInPandas(gen, "gid long, radius double").repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -2620,7 +2628,7 @@ def coverage_valid_grid(spark, sf_dir):
             yield pd.DataFrame({"gid": pdf.gid,
                                 "cov_valid": pd.Series(vals, dtype="bool")})
 
-    return params.mapInPandas(gen, "gid long, cov_valid boolean").orderBy("gid")
+    return params.mapInPandas(gen, "gid long, cov_valid boolean").repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -2656,7 +2664,7 @@ def skew_area_box(spark, sf_dir):
             ]
             yield pd.DataFrame({"gid": pdf.gid, "area": np.round(vals, 6)})
 
-    return params.mapInPandas(gen, "gid long, area double").orderBy("gid")
+    return params.mapInPandas(gen, "gid long, area double").repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -2703,7 +2711,7 @@ def image_decode_px_sum(spark, sf_dir):
                 sums.append(int(dec.astype(np.int64).sum()))
             yield pd.DataFrame({"gid": pdf.gid, "px_sum": sums})
 
-    return params.mapInPandas(gen, "gid long, px_sum long").orderBy("gid")
+    return params.mapInPandas(gen, "gid long, px_sum long").repartition(1).sortWithinPartitions("gid")
 
 
 @q(
@@ -2751,4 +2759,4 @@ def audio_decode_abs_sum(spark, sf_dir):
                 sums.append(int(np.abs(rec).sum()))
             yield pd.DataFrame({"gid": pdf.gid, "abs_sum": sums})
 
-    return params.mapInPandas(gen, "gid long, abs_sum long").orderBy("gid")
+    return params.mapInPandas(gen, "gid long, abs_sum long").repartition(1).sortWithinPartitions("gid")
