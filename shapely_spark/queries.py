@@ -829,11 +829,20 @@ def quality_score(spark, sf_dir):
 def ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup detection: word-3-gram shingle Jaccard ≥ 0.2 via distinct
     shingle explode → self equi-join on shingle → group-count. The
-    shuffle-heavy exact version; minhash_lsh_candidates is the scale path."""
+    shuffle-heavy exact version; minhash_lsh_candidates is the scale path.
+    Joins on xxhash64(shingle) longs, deduplicated per doc INSIDE the
+    array (array_distinct) — same counts as a (doc_id, shingle) distinct
+    unless two distinct shingles of one doc collide in 64 bits
+    (deterministically absent on the gate corpora, where the DuckDB twin
+    joins the string form and hashes match), and it removes the
+    exploded-row distinct shuffle and shrinks the join key to 8 bytes."""
     from .text.dedup import shingles_col
 
     d = _spread(_t(spark, sf_dir, "documents"))
-    sh = d.select("doc_id", F.explode(shingles_col(F.col("text"), 3)).alias("s")).distinct()
+    hashed = F.array_distinct(
+        F.transform(shingles_col(F.col("text"), 3), lambda s: F.xxhash64(s))
+    )
+    sh = d.select("doc_id", F.explode(hashed).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
