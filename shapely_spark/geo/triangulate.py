@@ -10,7 +10,6 @@ the pole of inaccessibility.
 
 from __future__ import annotations
 
-import heapq
 import math
 
 import numpy as np
@@ -247,17 +246,7 @@ def polylabel(geom: Geometry, tolerance: float = 1.0):
                         np.where(cls == K.BOUNDARY, 0.0, -d))
 
     half = size / 2.0
-    heap = []
-    counter = 0
     root2 = math.sqrt(2)
-
-    def push_batch(cxs, cys, hh):
-        nonlocal counter
-        ds = dists(np.asarray(cxs, dtype=np.float64),
-                   np.asarray(cys, dtype=np.float64))
-        for cx, cy, d in zip(cxs, cys, ds):
-            heapq.heappush(heap, (-(d + hh * root2), counter, cx, cy, hh, float(d)))
-            counter += 1
 
     seed_x, seed_y = [], []
     x = b[0]
@@ -268,22 +257,34 @@ def polylabel(geom: Geometry, tolerance: float = 1.0):
             seed_y.append(y + half)
             y += size
         x += size
-    push_batch(seed_x, seed_y, half)
+    xs = np.asarray(seed_x, dtype=np.float64)
+    ys = np.asarray(seed_y, dtype=np.float64)
+    ds = dists(xs, ys)
     # centroid seed (the reference seeds with the centroid too)
     from .constructive import centroid
 
     c = centroid(geom)
     best_x, best_y = float(c.coords[0, 0]), float(c.coords[0, 1])
     best_d = float(dists(np.array([best_x]), np.array([best_y]))[0])
-    while heap:
-        neg_pot, _, cx, cy, hh, d = heapq.heappop(heap)
-        if d > best_d:
-            best_x, best_y, best_d = cx, cy, d
-        if -neg_pot - best_d <= tolerance:
-            continue
+    hh = half
+    # level-synchronous branch-and-bound: the whole surviving frontier is
+    # subdivided at once and its children evaluated in ONE broadcast
+    # batch per level (~log2(size/tol) batches total) — same pruning rule
+    # as the reference's best-first cell queue, so the same ±tolerance
+    # guarantee, but without thousands of tiny per-cell numpy calls
+    while len(xs):
+        i = int(np.argmax(ds))
+        if ds[i] > best_d:
+            best_x, best_y, best_d = float(xs[i]), float(ys[i]), float(ds[i])
+        keep = (ds + hh * root2) - best_d > tolerance
+        if not keep.any():
+            break
+        kx, ky = xs[keep], ys[keep]
         q = hh / 2.0
-        push_batch([cx - q, cx - q, cx + q, cx + q],
-                   [cy - q, cy + q, cy - q, cy + q], q)
+        xs = np.concatenate([kx - q, kx - q, kx + q, kx + q])
+        ys = np.concatenate([ky - q, ky + q, ky - q, ky + q])
+        ds = dists(xs, ys)
+        hh = q
     return make_point(best_x, best_y), best_d
 
 
