@@ -30,7 +30,12 @@ try:  # noqa: SIM105
     import shapely_spark.geo.wkb  # noqa: F401
     import shapely_spark.geo.constructive  # noqa: F401
     import shapely_spark.geo.strtree  # noqa: F401
+    import shapely_spark.geo.overlay  # noqa: F401
+    import shapely_spark.geo.triangulate  # noqa: F401
+    import shapely_spark.geo.coverage  # noqa: F401
+    import shapely_spark.geo.geojson  # noqa: F401
     import shapely_spark.index.cells  # noqa: F401
+    import shapely_spark.multimodal.media  # noqa: F401
 except Exception:  # pragma: no cover - diagnostic only
     import traceback
 
