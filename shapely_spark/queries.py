@@ -224,7 +224,7 @@ def tpch_q3(spark, sf_dir):
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .repartition(1).sortWithinPartitions(F.desc("revenue"), "o_orderkey")
+        .orderBy(F.desc("revenue"), "o_orderkey")  # + limit → TakeOrderedAndProject
         .limit(20)
     )
 
@@ -2062,7 +2062,7 @@ def tpch_q10_variant(spark, sf_dir):
         .agg(F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
                    .cast("bigint")).alias("revenue_cents"))
         .select("c_custkey", "c_name", "revenue_cents", "n_name")
-        .repartition(1).sortWithinPartitions(F.desc("revenue_cents"), "c_custkey")
+        .orderBy(F.desc("revenue_cents"), "c_custkey")  # + limit → TakeOrderedAndProject
         .limit(20)
     )
 
