@@ -239,3 +239,32 @@ def test_ivf_distributed_probe_recall(spark):
           cosine_topk_ivf_distributed(e, e, k=1, n_lists=8, nprobe=2).collect()}
     hits = sum(1 for q, t in bf.items() if d2.get(q) == t)
     assert hits / len(bf) >= 0.4
+
+
+def test_bucket_pairs_no_self_pairs_on_duplicate_rows(spark):
+    """A doc landing in the same bucket twice (band-digest collision across
+    bands) must not emit a (x, x) pair or duplicate (a, b) rows."""
+    from shapely_spark.text.dedup import _bucket_pairs
+
+    rows = [(1, 10), (1, 10), (2, 10), (2, 20), (1, 20)]
+    e = spark.createDataFrame(rows, "doc_id long, bucket long")
+    got = sorted((r.doc_a, r.doc_b) for r in _bucket_pairs(e, ["doc_id"], None).collect())
+    assert got == [(1, 2)]
+
+
+def test_bucket_pairs_pair_filter_prunes_inside_emission(spark):
+    """pair_filter sees both payloads and drops pairs as they are produced."""
+    from pyspark.sql import functions as F
+
+    from shapely_spark.text.dedup import _bucket_pairs
+
+    rows = [(1, 5, 100), (2, 6, 100), (3, 50, 100)]
+    e = spark.createDataFrame(rows, "doc_id long, v long, bucket long")
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in _bucket_pairs(
+            e, ["doc_id", "v"], None,
+            pair_filter=lambda a, b: F.abs(a["v"] - b["v"]) <= 10,
+        ).collect()
+    )
+    assert got == [(1, 2)]
