@@ -16,6 +16,15 @@ from .overlay import (  # noqa: F401
     polygonize, shared_paths, split, symmetric_difference, union, union_all,
 )
 from .triangulate import (  # noqa: F401
-    delaunay_triangles, maximum_inscribed_circle, polylabel, voronoi_polygons,
+    delaunay_triangles, maximum_inscribed_circle, polylabel, voronoi_diagram,
+    voronoi_polygons,
 )
 from .strtree import STRtree  # noqa: F401
+from .constructive import (  # noqa: F401
+    BufferCapStyle, BufferJoinStyle, coverage_union, disjoint_subset_union,
+    disjoint_subset_union_all, offset_curve,
+)
+from .kernels import (  # noqa: F401
+    destroy_prepared, explain_validity, is_prepared, prepare,
+)
+from .testing import assert_geometries_equal  # noqa: F401

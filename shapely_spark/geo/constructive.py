@@ -7,6 +7,7 @@ reference operation whose semantics it reimplements.
 from __future__ import annotations
 
 import math
+from enum import Enum as _Enum
 
 import numpy as np
 
@@ -1620,3 +1621,154 @@ def set_coordinates(geom: Geometry, coords: np.ndarray) -> Geometry:
         return Geometry(g.type_id, parts=[rebuild(p) for p in (g.parts or [])])
 
     return rebuild(geom)
+
+
+# ---------------------------------------------------------------------------
+# offset_curve
+# ---------------------------------------------------------------------------
+
+def _offset_polyline(c: np.ndarray, d: float, n: int, join: str,
+                     mitre_limit: float) -> np.ndarray | None:
+    """Offset an open/closed polyline by signed d (+left / −right of
+    travel), direction preserved. Inner corners trim at the offset-line
+    intersection; outer corners join round / limit-truncated mitre /
+    bevel."""
+    keep = [0]
+    for i in range(1, len(c)):
+        if not np.allclose(c[i], c[keep[-1]]):
+            keep.append(i)
+    c = c[keep]
+    m = len(c)
+    if m < 2:
+        return None
+    closed = np.allclose(c[0], c[-1]) and m >= 4
+    t = np.diff(c, axis=0)
+    L = np.hypot(t[:, 0], t[:, 1])
+    t = t / L[:, None]
+    nl = np.column_stack([-t[:, 1], t[:, 0]])  # left normal per segment
+    ad = abs(d)
+
+    def vertex_points(i_in: int, i_out: int, v: np.ndarray) -> list[np.ndarray]:
+        t_in, t_out = t[i_in], t[i_out]
+        p1 = v + d * nl[i_in]
+        p2 = v + d * nl[i_out]
+        cross = float(t_in[0] * t_out[1] - t_in[1] * t_out[0])
+        if abs(cross) < 1e-14:
+            return [p1] if np.dot(t_in, t_out) > 0 else [p1, p2]
+        if cross * d > 0:
+            # inner corner: offset lines converge — trim at intersection
+            w = p2 - p1
+            s = (w[0] * t_out[1] - w[1] * t_out[0]) / cross
+            return [p1 + s * t_in]
+        # outer corner
+        if join == "bevel":
+            return [p1, p2]
+        if join == "mitre":
+            n1 = (p1 - v) / ad
+            n2 = (p2 - v) / ad
+            bis = n1 + n2
+            bl = math.hypot(bis[0], bis[1])
+            if bl < 1e-14:
+                return [p1, p2]
+            bis = bis / bl
+            cos_half = float(np.clip(np.dot(n1, bis), 1e-12, 1.0))
+            r = 1.0 / cos_half
+            apex = v + ad * r * bis
+            if r <= mitre_limit:
+                return [p1, apex, p2]
+            frac = (mitre_limit - cos_half) / max(r - cos_half, 1e-12)
+            return [p1, p1 + frac * (apex - p1), p2 + frac * (apex - p2), p2]
+        # round
+        a1 = math.atan2(p1[1] - v[1], p1[0] - v[0])
+        a2 = math.atan2(p2[1] - v[1], p2[0] - v[0])
+        if cross < 0:  # sweep clockwise: reverse the CCW arc a2→a1
+            arc = _arc_points(v[0], v[1], ad, a2, a1, n)[::-1]
+        else:
+            arc = _arc_points(v[0], v[1], ad, a1, a2, n)
+        return [np.asarray(p) for p in arc]
+
+    out: list[np.ndarray] = []
+    if closed:
+        out.extend(vertex_points(m - 2, 0, c[0]))
+        for i in range(1, m - 1):
+            out.extend(vertex_points(i - 1, i, c[i]))
+        out.append(out[0])
+    else:
+        out.append(c[0] + d * nl[0])
+        for i in range(1, m - 1):
+            out.extend(vertex_points(i - 1, i, c[i]))
+        out.append(c[-1] + d * nl[-1])
+    return np.asarray(out, dtype=np.float64)
+
+
+def offset_curve(geom: Geometry | None, distance: float, quad_segs: int = 8,
+                 join_style: str = "round", mitre_limit: float = 5.0) -> Geometry | None:
+    """reference: shapely/constructive.py:272 — (Multi)LineString offset
+    |distance| to the left (positive) / right (negative) of the input,
+    direction preserved (the GEOS >= 3.11 contract). Like GEOS, offsets
+    larger than the local feature size are not guaranteed globally
+    simple; the result is not re-noded."""
+    if geom is None:
+        return None
+    if geom.is_empty:
+        return empty(LINESTRING)
+    tid = geom.type_id
+    if tid in (MULTILINESTRING, GEOMETRYCOLLECTION):
+        parts = [offset_curve(p, distance, quad_segs, join_style, mitre_limit)
+                 for p in (geom.parts or [])]
+        parts = [p for p in parts if p is not None and not p.is_empty]
+        if not parts:
+            return empty(MULTILINESTRING)
+        return parts[0] if len(parts) == 1 else Geometry(MULTILINESTRING, parts=parts)
+    if tid not in (LINESTRING, LINEARRING):
+        raise NotImplementedError("offset_curve supports lineal input")
+    c = np.asarray(geom.coords, dtype=np.float64)[:, :2]
+    if len(c) < 2:
+        return empty(LINESTRING)
+    if distance == 0:
+        return Geometry(LINESTRING, coords=c.copy())
+    n = max(1, int(quad_segs) * 4)
+    out = _offset_polyline(c, float(distance), n, join_style, mitre_limit)
+    if out is None or len(out) < 2:
+        return empty(LINESTRING)
+    return Geometry(LINESTRING, coords=out)
+
+
+def coverage_union(a: Geometry | None, b: Geometry | None) -> Geometry:
+    """reference: shapely/set_operations.py:560 — union of two members of
+    a valid (non-overlapping, edge-matched) coverage. Shares the overlay
+    union path; the non-overlap assumption just makes every fragment
+    exterior."""
+    from . import overlay as O
+
+    return O.union(a, b)
+
+
+def disjoint_subset_union(a: Geometry | None, b: Geometry | None) -> Geometry:
+    """reference: shapely/set_operations.py:638 — like coverage_union but
+    inputs may be MultiPolygons whose parts are disjoint."""
+    from . import overlay as O
+
+    return O.union(a, b)
+
+
+def disjoint_subset_union_all(geoms) -> Geometry:
+    """reference: shapely/set_operations.py:684."""
+    return coverage_union_all(geoms)
+
+
+class BufferCapStyle(str, _Enum):
+    """reference: shapely/constructive.py:30 — accepted anywhere buffer()
+    takes cap_style (values compare equal to their string forms)."""
+
+    round = "round"
+    flat = "flat"
+    square = "square"
+
+
+class BufferJoinStyle(str, _Enum):
+    """reference: shapely/constructive.py:37."""
+
+    round = "round"
+    mitre = "mitre"
+    bevel = "bevel"

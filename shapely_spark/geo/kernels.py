@@ -1180,3 +1180,28 @@ def minimum_bounding_radius(geom: Geometry | None) -> float:
         return float("nan") if geom is None else 0.0
     c, r = minimum_bounding_circle(geom, return_center=True)
     return r
+
+
+def explain_validity(geom: Geometry | None) -> str | None:
+    """reference: shapely/validation.py explain_validity — alias of
+    is_valid_reason (GEOSisValidReason)."""
+    return is_valid_reason(geom)
+
+
+def prepare(geom: Geometry | None) -> None:
+    """reference: shapely/prepared.py / _geometry.py prepare. In this
+    engine preparation is an executor-side cache keyed by geometry
+    (spark/join.py:100) — kernel-level prepare is a documented no-op."""
+    return None
+
+
+def destroy_prepared(geom: Geometry | None) -> None:
+    """reference: shapely/_geometry.py destroy_prepared — no-op (see
+    prepare)."""
+    return None
+
+
+def is_prepared(geom: Geometry | None) -> bool:
+    """reference: shapely/predicates.py is_prepared — kernel-side objects
+    carry no prepared state (the executor cache holds it), so False."""
+    return False

@@ -439,3 +439,7 @@ def constrained_delaunay_triangles(geom: Geometry | None) -> Geometry | None:
             tri_ring = tri_ring[::-1]
         out.append(Geometry(POLYGON, rings=[tri_ring]))
     return Geometry(GEOMETRYCOLLECTION, parts=out)
+
+
+# legacy shapely.ops name (reference: shapely/ops.py voronoi_diagram)
+voronoi_diagram = voronoi_polygons

@@ -2769,3 +2769,42 @@ def audio_decode_abs_sum(spark, sf_dir):
             yield pd.DataFrame({"gid": pdf.gid, "abs_sum": sums})
 
     return params.mapInPandas(gen, "gid long, abs_sum long").repartition(1).sortWithinPartitions("gid")
+
+
+@q(
+    "offset_curve_lengths",
+    """
+    SELECT p_partkey AS gid,
+           round(2.0 * (2 + p_partkey % 5 - 1), 6) AS inner_len,
+           round(2.0 * (2 + p_partkey % 5) + 16 * sin(pi() / 32), 6) AS outer_len
+    FROM part ORDER BY gid
+    """,
+)
+def offset_curve_lengths(spark, sf_dir):
+    """offset_curve (reference: shapely/constructive.py:272) of the L
+    path (0,0)→(w,0)→(w,w): the +1 (left/inner) offset trims the corner
+    → length 2(w−1); the −1 (right/outer) offset adds a quad_segs=8
+    round join whose discretized quarter-arc length is 16·sin(π/32)."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(k.alias("gid"), (2 + k % 5).cast("double").alias("w")))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.constructive import offset_curve
+        from .geo.geom import Geometry, LINESTRING
+
+        for pdf in batches:
+            il, ol = [], []
+            for w in pdf.w:
+                line = Geometry(LINESTRING, coords=np.array(
+                    [[0.0, 0.0], [w, 0.0], [w, w]]))
+                il.append(K.length(offset_curve(line, 1.0)))
+                ol.append(K.length(offset_curve(line, -1.0)))
+            yield pd.DataFrame({"gid": pdf.gid,
+                                "inner_len": np.round(il, 6),
+                                "outer_len": np.round(ol, 6)})
+
+    return params.mapInPandas(
+        gen, "gid long, inner_len double, outer_len double"
+    ).repartition(1).sortWithinPartitions("gid")

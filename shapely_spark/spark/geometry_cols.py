@@ -195,6 +195,16 @@ def _build() -> dict:
 
 
     @F.pandas_udf("binary")
+    def st_offsetcurve(wkb: pd.Series, dist: pd.Series) -> pd.Series:
+        out = []
+        for g, d in zip(_geoms(wkb), dist):
+            try:
+                out.append(None if g is None else to_wkb(C.offset_curve(g, float(d))))
+            except NotImplementedError:
+                out.append(None)
+        return pd.Series(out)
+
+    @F.pandas_udf("binary")
     def st_simplify(wkb: pd.Series, tol: pd.Series) -> pd.Series:
         return pd.Series(
             [None if g is None else to_wkb(C.simplify(g, float(t)))
@@ -431,6 +441,7 @@ def _build() -> dict:
         "st_minimumboundingcircle": st_minimumboundingcircle,
         "st_buffer": st_buffer,
         "st_simplify": st_simplify,
+        "st_offsetcurve": st_offsetcurve,
         "st_clip_by_rect": st_clip_by_rect,
         "st_npoints": st_npoints,
         "st_geometrytype": st_geometrytype,

@@ -8,8 +8,11 @@ box/L-shape cases where the exact result is known)."""
 import numpy as np
 import pytest
 
+from shapely_spark.geo import from_wkt
+from shapely_spark.geo import constructive as C
 from shapely_spark.geo import kernels as K
 from shapely_spark.geo import overlay as O
+from shapely_spark.geo.geom import MULTILINESTRING
 from shapely_spark.geo.geom import MULTIPOLYGON, POLYGON, Geometry, box, point, polygon
 
 
@@ -777,3 +780,76 @@ class TestConvexFastPath:
         out = intersection(conc, box(1, 0, 3, 2))
         # notch clips the top: 2/3·2 + 2·(avg 1.5 over 2/3 width)·... = 10/3
         assert abs(K.area(out) - 10.0 / 3.0) < 1e-9
+
+
+class TestOffsetCurve:
+    """reference: shapely/constructive.py:272 offset_curve; tests mirror
+    reference tests/test_constructive.py offset_curve cases with
+    closed-form expectations."""
+
+    def test_straight_parallel(self):
+        g = C.offset_curve(from_wkt("LINESTRING (0 0, 10 0)"), 2.0)
+        assert np.allclose(g.coords, [[0, 2], [10, 2]])
+        gr = C.offset_curve(from_wkt("LINESTRING (0 0, 10 0)"), -2.0)
+        assert np.allclose(gr.coords, [[0, -2], [10, -2]])
+
+    def test_inner_corner_trims(self):
+        g = C.offset_curve(from_wkt("LINESTRING (0 0, 10 0, 10 10)"), 2.0)
+        assert K.length(g) == pytest.approx(16.0)
+        assert np.allclose(g.coords, [[0, 2], [8, 2], [8, 10]])
+
+    def test_outer_corner_round_mitre_bevel(self):
+        line = from_wkt("LINESTRING (0 0, 10 0, 10 10)")
+        import math
+
+        r = C.offset_curve(line, -2.0)
+        assert K.length(r) == pytest.approx(20 + 16 * 2 * math.sin(math.pi / 32), rel=1e-9)
+        m = C.offset_curve(line, -2.0, join_style="mitre")
+        assert K.length(m) == pytest.approx(24.0)
+        b = C.offset_curve(line, -2.0, join_style="bevel")
+        assert K.length(b) == pytest.approx(20 + 2 * math.sqrt(2))
+
+    def test_direction_preserved_and_zero(self):
+        line = from_wkt("LINESTRING (0 0, 5 0)")
+        z = C.offset_curve(line, 0.0)
+        assert np.allclose(z.coords, line.coords)
+
+    def test_closed_ring_offset(self):
+        ring = from_wkt("LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)")
+        inner = C.offset_curve(ring, 1.0)  # CCW ring: left = inside
+        # inner offset of a CCW square ring is the 2x2 square ring
+        assert K.length(inner) == pytest.approx(8.0)
+
+    def test_multiline_and_empty(self):
+        ml = from_wkt("MULTILINESTRING ((0 0, 1 0), (0 2, 1 2))")
+        out = C.offset_curve(ml, 0.5)
+        assert out.type_id == MULTILINESTRING and len(out.parts) == 2
+        e = C.offset_curve(from_wkt("LINESTRING EMPTY"), 1.0)
+        assert e.is_empty
+
+
+class TestParityAliases:
+    def test_coverage_union_and_disjoint_subset(self):
+        a = from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        b = from_wkt("POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))")
+        assert K.area(C.coverage_union(a, b)) == pytest.approx(2.0)
+        assert K.area(C.disjoint_subset_union(a, b)) == pytest.approx(2.0)
+        assert K.area(C.disjoint_subset_union_all([a, b])) == pytest.approx(2.0)
+
+    def test_testing_and_validation_aliases(self):
+        from shapely_spark.geo import (
+            assert_geometries_equal, explain_validity, voronoi_diagram,
+        )
+
+        g = from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        assert_geometries_equal(g, g)
+        assert explain_validity(g) == "Valid Geometry"
+        assert voronoi_diagram is not None
+
+    def test_buffer_style_enums(self):
+        from shapely_spark.geo import BufferCapStyle, BufferJoinStyle
+
+        line = from_wkt("LINESTRING (0 0, 4 0)")
+        g = C.buffer(line, 1.0, cap_style=BufferCapStyle.flat,
+                     join_style=BufferJoinStyle.bevel)
+        assert K.area(g) == pytest.approx(8.0, rel=1e-6)
