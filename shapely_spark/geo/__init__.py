@@ -25,6 +25,11 @@ from .constructive import (  # noqa: F401
     disjoint_subset_union_all, offset_curve,
 )
 from .kernels import (  # noqa: F401
-    destroy_prepared, explain_validity, is_prepared, prepare,
+    destroy_prepared, explain_validity, is_prepared, prepare, validate,
 )
+from .geom import (  # noqa: F401
+    is_geometry, is_missing, is_valid_input, linearrings,
+)
+from .constructive import transform_coordseq  # noqa: F401
 from .testing import assert_geometries_equal  # noqa: F401
+from . import speedups  # noqa: F401

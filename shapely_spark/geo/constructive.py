@@ -1772,3 +1772,23 @@ class BufferJoinStyle(str, _Enum):
     round = "round"
     mitre = "mitre"
     bevel = "bevel"
+
+
+def transform_coordseq(geom: Geometry | None, transformation, *,
+                       include_z: bool | None = False,
+                       interleaved: bool = True) -> Geometry | None:
+    """reference: shapely/coordinates.py:177 — per-coordinate-sequence
+    transform that may CHANGE the number of coordinate pairs. Our
+    transform_coords already applies per sequence (ring / part) and
+    allows count changes, so this is the scalar-geometry entry point.
+    interleaved=False passes (xs, ys) column tuples like the reference."""
+    if geom is None:
+        return None
+
+    def fn(xy):
+        if interleaved:
+            return np.asarray(transformation(xy), dtype=np.float64)
+        xs, ys = transformation((xy[:, 0], xy[:, 1]))
+        return np.column_stack([xs, ys])
+
+    return transform_coords(geom, fn)

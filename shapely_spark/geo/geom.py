@@ -265,3 +265,38 @@ def get_m(geom: Geometry | None) -> float:
     if geom is None or geom.type_id != POINT or geom.is_empty or not geom.has_m:
         return float("nan")
     return float(geom.coords[0, 2 + (1 if geom.has_z else 0)])
+
+
+def is_geometry(obj) -> bool:
+    """reference: shapely/predicates.py:245 is_geometry — True for Geometry
+    instances (None and everything else → False)."""
+    return isinstance(obj, Geometry)
+
+
+def is_missing(obj) -> bool:
+    """reference: shapely/predicates.py:282 — True only for None."""
+    return obj is None
+
+
+def is_valid_input(obj) -> bool:
+    """reference: shapely/predicates.py:319 — geometry or None."""
+    return obj is None or isinstance(obj, Geometry)
+
+
+def linearrings(coords, indices=None) -> list:
+    """reference: shapely/creation.py:236 — build rings (auto-closed) from
+    an array of coordinate rows. Without indices: one ring from the whole
+    array. With indices: rows are grouped by index (must be
+    non-decreasing, like the reference's ufunc contract) and one ring is
+    built per group. The DataFrame-scale equivalent is the grouped
+    collect in spark/parts.py (creation with indices=)."""
+    import numpy as np
+
+    a = np.asarray(coords, dtype=np.float64)
+    if indices is None:
+        return [linearring(a)]
+    idx = np.asarray(indices)
+    out = []
+    for u in np.unique(idx):
+        out.append(linearring(a[idx == u]))
+    return out

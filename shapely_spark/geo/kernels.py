@@ -1205,3 +1205,9 @@ def is_prepared(geom: Geometry | None) -> bool:
     """reference: shapely/predicates.py is_prepared — kernel-side objects
     carry no prepared state (the executor cache holds it), so False."""
     return False
+
+
+def validate(geom: Geometry | None) -> str | None:
+    """reference: shapely/ops.py:211 ops.validate — returns the validity
+    reason string (the reference delegates to is_valid_reason)."""
+    return is_valid_reason(geom)
