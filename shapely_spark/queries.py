@@ -112,6 +112,16 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def _dec_sum(col: str, alias: str = "sum_value", scale: int = 2) -> "F.Column":
+    """Order-insensitive rounded SUM of a double column, hash-stable vs the
+    DuckDB oracle: cast to DECIMAL(18,6) (exact — the synthetic doubles carry
+    ≤6 fractional digits), sum exactly, round, cast back to DOUBLE. The
+    oracle twin is `CAST(round(sum(CAST(x AS DECIMAL(18,6))), s) AS DOUBLE)`.
+    A float sum near a .005 rounding boundary can otherwise flip the last
+    digit depending on partition order."""
+    return F.round(F.sum(F.col(col).cast("decimal(18,6)")), scale).cast("double").alias(alias)
+
+
 def _part_params(spark, sf_dir) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     return _spread(p.select(
@@ -169,10 +179,10 @@ def q(name: str, oracle: str | None = None):
     "tpch_q1",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(avg(l_quantity), 4) AS avg_qty,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_qty,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '1998-09-02'
@@ -186,10 +196,12 @@ def tpch_q1(spark, sf_dir):
         l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2)
+            .cast("double").alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double") / F.count("*"), 4)
+            .alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
         .repartition(1).sortWithinPartitions("l_returnflag", "l_linestatus")
@@ -199,7 +211,8 @@ def tpch_q1(spark, sf_dir):
 @q(
     "tpch_q3",
     """
-    SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT o_orderkey,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -222,7 +235,8 @@ def tpch_q3(spark, sf_dir):
             & (F.col("l_shipdate") > F.lit("1998-03-15").cast("date"))
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2)
+             .cast("double").alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderkey")  # + limit → TakeOrderedAndProject
         .limit(20)
@@ -232,7 +246,7 @@ def tpch_q3(spark, sf_dir):
 @q(
     "tpch_q6",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -248,7 +262,8 @@ def tpch_q6(spark, sf_dir):
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")), 2)
+             .cast("double").alias("revenue"))
     )
 
 
@@ -260,7 +275,7 @@ def tpch_q6(spark, sf_dir):
     WITH pts AS ({_PTS_SQL})
     SELECT {sql_cell_expr('lat', 'lon', RES)} AS cell_id,
            count(*) AS n_points,
-           round(sum(value), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
     FROM pts GROUP BY cell_id ORDER BY cell_id
     """,
 )
@@ -268,7 +283,7 @@ def cell_assign(spark, sf_dir):
     pts = _pts(spark, sf_dir).withColumn("cell_id", cell_col(F.col("lat"), F.col("lon"), RES))
     return (
         pts.groupBy("cell_id")
-        .agg(F.count("*").alias("n_points"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_points"), _dec_sum("value"))
         .repartition(1).sortWithinPartitions("cell_id")
     )
 
@@ -339,7 +354,9 @@ def spatial_join_within(spark, sf_dir):
         AND (cell_id // {1 << RES}) * 180.0 / {1 << RES} - 90.0 > ymin
         AND ((cell_id // {1 << RES}) + 1) * 180.0 / {1 << RES} - 90.0 < ymax
     )
-    SELECT region_id, count(*) AS n_tiles, sum(n_points) AS n_pages
+    -- CAST: DuckDB sum(BIGINT) yields HUGEINT, which pandas materializes as
+    -- float64 and the driver hashes as 3.0 != Spark's 3 (r1+r2 failure).
+    SELECT region_id, count(*) AS n_tiles, CAST(sum(n_points) AS BIGINT) AS n_pages
     FROM cover JOIN cells USING (cell_id)
     GROUP BY region_id ORDER BY region_id
     """,
@@ -533,7 +550,8 @@ def geo_buffer_area(spark, sf_dir):
     "geo_bounds_boxes",
     f"""
     WITH b AS ({_BOXES_SQL})
-    SELECT region_id, xmin AS bxmin, ymin AS bymin, xmax AS bxmax, ymax AS bymax
+    SELECT region_id, CAST(xmin AS DOUBLE) AS bxmin, CAST(ymin AS DOUBLE) AS bymin,
+           CAST(xmax AS DOUBLE) AS bxmax, CAST(ymax AS DOUBLE) AS bymax
     FROM b ORDER BY region_id
     """,
 )
@@ -1032,10 +1050,10 @@ def langid_heuristic_q(spark, sf_dir):
              event_id
       FROM events
     ),
-    s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING) AS session_no FROM e)
+    s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM e)
     SELECT user_id, session_no, count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
     FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
     """,
 )
@@ -1057,7 +1075,7 @@ def events_sessionize(spark, sf_dir):
     )
     return (
         s.groupBy("user_id", "session_no")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), _dec_sum("value"))
         .repartition(1).sortWithinPartitions("user_id", "session_no")
     )
 
@@ -1068,7 +1086,7 @@ def events_sessionize(spark, sf_dir):
     SELECT date_trunc('hour', ts) AS bucket,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           round(sum(value), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY bucket ORDER BY bucket
     """,
@@ -1083,7 +1101,7 @@ def events_hourly_rollup(spark, sf_dir):
         e.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"))
         .agg(F.count("*").alias("n_events"),
              F.countDistinct("user_id").alias("n_users"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
+             _dec_sum("value"))
         .select(F.col("w.start").alias("bucket"), "n_events", "n_users", "sum_value")
         .repartition(1).sortWithinPartitions("bucket")
     )
@@ -1356,7 +1374,7 @@ def overlay_line_line_length(spark, sf_dir):
     "dissolve_union_by_key",
     """
     SELECT CAST(p_partkey % 25 AS BIGINT) AS region_key,
-           round(sum((2 + p_partkey % 5) * (2.0 + p_partkey % 4)), 6) AS union_area,
+           CAST(round(sum((2 + p_partkey % 5) * (2.0 + p_partkey % 4)), 6) AS DOUBLE) AS union_area,
            count(*) AS n_parts
     FROM part GROUP BY region_key ORDER BY region_key
     """,
@@ -1547,7 +1565,7 @@ def explode_coordinates_ngon(spark, sf_dir):
     "explode_multipolygon_parts",
     """
     SELECT p_partkey AS gid, CAST(p_partkey % 3 + 1 AS INT) AS n_parts,
-           round((p_partkey % 3 + 1) * (1.0 + p_partkey % 4), 6) AS total_area
+           CAST(round((p_partkey % 3 + 1) * (1.0 + p_partkey % 4), 6) AS DOUBLE) AS total_area
     FROM part ORDER BY gid
     """,
 )
@@ -1989,7 +2007,8 @@ def ann_cosine_ivf_probe2(spark, sf_dir):
 @q(
     "tpch_q5",
     """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -2022,8 +2041,8 @@ def tpch_q5(spark, sf_dir):
                & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date")))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2)
+             .cast("double").alias("revenue"))
         .repartition(1).sortWithinPartitions(F.desc("revenue"), "n_name")
     )
 
@@ -2032,7 +2051,8 @@ def tpch_q5(spark, sf_dir):
     "tpch_q10_variant",
     """
     SELECT c_custkey, c_name,
-           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents,
+           -- outer CAST: DuckDB sum(BIGINT) is HUGEINT -> float64 in pandas
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
            n_name
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
@@ -2775,7 +2795,7 @@ def audio_decode_abs_sum(spark, sf_dir):
     "offset_curve_lengths",
     """
     SELECT p_partkey AS gid,
-           round(2.0 * (2 + p_partkey % 5 - 1), 6) AS inner_len,
+           CAST(round(2.0 * (2 + p_partkey % 5 - 1), 6) AS DOUBLE) AS inner_len,
            round(2.0 * (2 + p_partkey % 5) + 16 * sin(pi() / 32), 6) AS outer_len
     FROM part ORDER BY gid
     """,

@@ -10,6 +10,7 @@ Usage: python tools/check_oracles.py [--sf 0.01] [--only name1,name2]
 from __future__ import annotations
 
 import argparse
+import decimal
 import hashlib
 import math
 import os
@@ -26,12 +27,22 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(v) -> str:
+    # DTYPE-STRICT on purpose: a float 3.0 hashes differently from an int 3.
+    # The driver's gate does NOT collapse int-valued floats (r1+r2 evidence:
+    # DuckDB HUGEINT sums materialize as float64 in pandas and hash-mismatch
+    # Spark's int64), so the local replica must be at least as strict —
+    # oracles must CAST integer sums to BIGINT and carry rounded double sums
+    # through decimals so both sides land on the same dtype.
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        # a Decimal column reaching the hash is itself an oracle-design bug
+        # (the driver may materialize it as float64); flag loudly.
+        raise TypeError("Decimal value reached frame_hash — cast to DOUBLE/BIGINT in the query")
     if isinstance(v, (np.floating, float)):
         f = float(v)
-        if f == int(f) and abs(f) < 1e15:
-            return str(int(f))
+        if f == 0.0:
+            f = 0.0  # normalize -0.0
         return repr(f)
     if isinstance(v, (np.integer, int)):
         return str(int(v))
