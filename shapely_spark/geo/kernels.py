@@ -478,7 +478,12 @@ def contains(a: Geometry | None, b: Geometry | None) -> bool:
                 return False
             if (cls == INTERIOR).any() or (mcls == INTERIOR).any():
                 return True
-            return False
+            # all sampled points of b sit ON a's boundary (e.g. b == a, or
+            # b tiles a corner of a exactly): a 2-dim b whose closure lies
+            # in closure(a) cannot avoid a's interior (a's boundary has no
+            # area), so interiors intersect — contains(a, a) is True in the
+            # reference (DE-9IM 2FFF1FFF2 matches 'T*****FF*').
+            return db == 2
         return bool((cls == INTERIOR).any())
     # line container: interiors must intersect
     return bool((cls == INTERIOR).any())

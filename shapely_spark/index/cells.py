@@ -99,6 +99,32 @@ def cover_bbox(xmin, ymin, xmax, ymax, res: int = DEFAULT_RES) -> np.ndarray:
     return (gy.ravel() * n + gx.ravel()).astype(np.int64)
 
 
+def cover_bbox_batch(bounds: np.ndarray, res: int = DEFAULT_RES):
+    """Vectorized cover_bbox over a (m, 4) bounds matrix: returns
+    (cells, row_index) flat arrays — cells[k] belongs to input row
+    row_index[k]. One pass of integer arithmetic for the whole batch;
+    the per-geometry meshgrid loop was the cover stage's hot spot in the
+    geometry×geometry join (≈50µs per geometry → ~0 amortized)."""
+    n = grid_n(res)
+    b = np.asarray(bounds, dtype=np.float64)
+    if not len(b):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    ix0 = np.clip(np.floor((b[:, 0] + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    ix1 = np.clip(np.floor((b[:, 2] + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    iy0 = np.clip(np.floor((b[:, 1] + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    iy1 = np.clip(np.floor((b[:, 3] + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    nx = ix1 - ix0 + 1
+    counts = nx * (iy1 - iy0 + 1)
+    total = int(counts.sum())
+    row = np.repeat(np.arange(len(b), dtype=np.int64), counts)
+    starts = np.zeros(len(b), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    t = np.arange(total, dtype=np.int64) - starts[row]
+    nx_r = nx[row]
+    cells = (iy0[row] + t // nx_r) * n + ix0[row] + t % nx_r
+    return cells, row
+
+
 def polygon_cover(geom, res: int = DEFAULT_RES):
     """Polygon → [(cell_id, full)] cover. ``full=True`` cells are entirely
     inside the polygon (join refine can be skipped — the broadcast-side

@@ -239,26 +239,96 @@ def _geom_from_wkb_cached(wkb: bytes):
     return g
 
 
+# rect×rect predicates evaluable in closed form (exact — rectangle DE-9IM
+# reduces to interval arithmetic; covers collinear-edge and corner touches
+# that vertex/crossing heuristics miss). A/B are (n,4) [x0,y0,x1,y1] arrays.
+def _rect_pair_eval(predicate: str, A: np.ndarray, B: np.ndarray) -> np.ndarray | None:
+    closed = (
+        (A[:, 0] <= B[:, 2]) & (B[:, 0] <= A[:, 2])
+        & (A[:, 1] <= B[:, 3]) & (B[:, 1] <= A[:, 3])
+    )
+    interiors = (
+        (A[:, 0] < B[:, 2]) & (B[:, 0] < A[:, 2])
+        & (A[:, 1] < B[:, 3]) & (B[:, 1] < A[:, 3])
+    )
+    a_in_b = (
+        (A[:, 0] >= B[:, 0]) & (A[:, 2] <= B[:, 2])
+        & (A[:, 1] >= B[:, 1]) & (A[:, 3] <= B[:, 3])
+    )
+    b_in_a = (
+        (B[:, 0] >= A[:, 0]) & (B[:, 2] <= A[:, 2])
+        & (B[:, 1] >= A[:, 1]) & (B[:, 3] <= A[:, 3])
+    )
+    if predicate == "intersects":
+        return closed
+    if predicate == "disjoint":
+        return ~closed
+    if predicate in ("within", "covered_by"):
+        return a_in_b  # positive-extent rects: containment ⇒ interior overlap
+    if predicate in ("contains", "covers"):
+        return b_in_a
+    if predicate == "contains_properly":
+        return (
+            (B[:, 0] > A[:, 0]) & (B[:, 2] < A[:, 2])
+            & (B[:, 1] > A[:, 1]) & (B[:, 3] < A[:, 3])
+        )
+    if predicate == "touches":
+        return closed & ~interiors
+    if predicate == "equals":
+        return (A == B).all(axis=1)
+    if predicate == "overlaps":
+        return interiors & ~a_in_b & ~b_in_a
+    return None
+
+
 def _pair_refine_batch(
     predicate: str, lwkb: pd.Series, rcodes: np.ndarray, runiq_geoms: list
 ) -> np.ndarray:
-    """Batch refine for candidate (left_geom, right_geom) pairs: both sides
-    factorized, each unique geometry parsed ONCE per batch (and cached per
-    executor across batches), bbox short-circuit before any kernel call,
-    vectorized prepared point-in-polygon when the left side is all points,
-    per-pair kernel call otherwise. runiq_geoms: parsed Geometry (or None)
-    per unique right code; rcodes: per-row right code (-1 = null)."""
+    """Batch refine for candidate (left_geom, right_geom) pairs. Both sides
+    factorized; each unique geometry is parsed ONCE per batch (and cached
+    per executor across batches). Stages, in decreasing vectorization:
+
+    1. one-shot NumPy bbox mask over the whole batch (bbox-disjoint ⇒ every
+       supported predicate is False — no per-pair Python);
+    2. point-left × polygon-right: prepared point-in-polygon classify per
+       right group (one vectorized call per right geometry);
+    3. rect×rect pairs: closed-form interval arithmetic for the whole
+       sub-batch at once (exact, incl. collinear-edge/corner touches);
+    4. remainder: exact scalar kernel per pair, iterated grouped by right
+       code so each right geometry's derived state stays cache-hot.
+
+    runiq_geoms: parsed Geometry (or None) per unique right code;
+    rcodes: per-row right code (-1 = null)."""
     from ..geo import kernels as K
-    from ..geo.geom import POINT
+    from ..geo.geom import MULTIPOLYGON, POINT, POLYGON
 
     fn = getattr(K, predicate)
     n = len(lwkb)
     out = np.zeros(n, dtype=bool)
     lcodes, luniq = pd.factorize(lwkb)
     lgeoms = [None if w is None else _geom_from_wkb_cached(bytes(w)) for w in luniq]
-    lbounds = [None if g is None or g.is_empty else K.bounds(g) for g in lgeoms]
-    rbounds = [None if g is None or g.is_empty else K.bounds(g) for g in runiq_geoms]
-    from ..geo.geom import MULTIPOLYGON, POLYGON
+
+    def _bounds_arr(geoms) -> np.ndarray:
+        arr = np.full((max(len(geoms), 1), 4), np.nan)
+        for i, g in enumerate(geoms):
+            if g is not None and not g.is_empty:
+                arr[i] = K.bounds(g)
+        return arr
+
+    LB, RB = _bounds_arr(lgeoms), _bounds_arr(runiq_geoms)
+    lc = np.asarray(lcodes, dtype=np.int64)
+    rc = np.asarray(rcodes, dtype=np.int64)
+    valid = (lc >= 0) & (rc >= 0)
+    lci, rci = np.where(valid, lc, 0), np.where(valid, rc, 0)
+    lb, rb = LB[lci], RB[rci]
+    alive = (
+        valid
+        & ~np.isnan(lb[:, 0]) & ~np.isnan(rb[:, 0])
+        & ~((lb[:, 0] > rb[:, 2]) | (lb[:, 2] < rb[:, 0])
+            | (lb[:, 1] > rb[:, 3]) | (lb[:, 3] < rb[:, 1]))
+    )
+    if not alive.any():
+        return out
 
     all_points = bool(len(lgeoms)) and all(
         g is not None and g.type_id == POINT and not g.is_empty for g in lgeoms
@@ -267,26 +337,46 @@ def _pair_refine_batch(
         g is None or g.type_id in (POLYGON, MULTIPOLYGON) for g in runiq_geoms
     )
     if all_points and all_rpoly and predicate in _PREDICATES:
-        px = np.array([g.coords[0][0] for g in lgeoms])[lcodes]
-        py = np.array([g.coords[0][1] for g in lgeoms])[lcodes]
-        for u in np.unique(rcodes):
-            if u < 0 or runiq_geoms[u] is None:
+        px = np.array([g.coords[0][0] for g in lgeoms])[lc]
+        py = np.array([g.coords[0][1] for g in lgeoms])[lc]
+        for u in np.unique(rc[alive]):
+            if runiq_geoms[u] is None:
                 continue
-            sel = np.nonzero(rcodes == u)[0]
+            sel = np.nonzero(alive & (rc == u))[0]
             prep = K.PreparedPolygons([runiq_geoms[u]])
             out[sel] = _classify_to_bool(prep.classify(0, px[sel], py[sel]), predicate)
         return out
-    for i in range(n):
-        lc, rc = lcodes[i], rcodes[i]
-        if lc < 0 or rc < 0:
-            continue
-        lg, rg = lgeoms[lc], runiq_geoms[rc]
-        lb, rb = lbounds[lc], rbounds[rc]
-        if lg is None or rg is None or lb is None or rb is None:
-            continue
-        if lb[0] > rb[2] or lb[2] < rb[0] or lb[1] > rb[3] or lb[3] < rb[1]:
-            continue  # bbox-disjoint ⇒ every supported predicate is False
-        out[i] = bool(fn(lg, rg))
+
+    # rect×rect sub-batch, closed form
+    lrect = np.full((len(lgeoms), 4), np.nan)
+    for i, g in enumerate(lgeoms):
+        r = K._axis_rect(g) if g is not None and g.type_id == POLYGON else None
+        if r is not None:
+            lrect[i] = r
+    rrect = np.full((max(len(runiq_geoms), 1), 4), np.nan)
+    for i, g in enumerate(runiq_geoms):
+        r = K._axis_rect(g) if g is not None and g.type_id == POLYGON else None
+        if r is not None:
+            rrect[i] = r
+    A, B = lrect[lci], rrect[rci]
+    rect_rows = alive & ~np.isnan(A[:, 0]) & ~np.isnan(B[:, 0])
+    remainder = alive & ~rect_rows
+    if rect_rows.any():
+        res = _rect_pair_eval(predicate, A[rect_rows], B[rect_rows])
+        if res is not None:
+            out[rect_rows] = res
+        else:
+            remainder = alive  # predicate has no closed form; scalar everything
+
+    # exact scalar kernel for the rest, grouped by right code
+    idx = np.nonzero(remainder)[0]
+    if len(idx):
+        idx = idx[np.argsort(rc[idx], kind="stable")]
+        for i in idx:
+            lg, rg = lgeoms[lc[i]], runiq_geoms[rc[i]]
+            if lg is None or rg is None:
+                continue
+            out[i] = bool(fn(lg, rg))
     return out
 
 
@@ -313,7 +403,7 @@ def spatial_join_geom(
     bbox columns JVM-side, no dedup shuffle). Refine runs the exact
     DE-9IM kernel per pair with the right-side geometries broadcast.
     """
-    from ..index.cells import cover_bbox, grid_n
+    from ..index.cells import cover_bbox_batch, grid_n
 
     n = grid_n(res)
 
@@ -327,28 +417,30 @@ def spatial_join_geom(
             from ..geo.wkb import from_wkb
 
             for pdf in batches:
-                ids, cells, bx, by, wk = [], [], [], [], []
-                for i, b in zip(pdf[id_col], pdf["wkb"]):
-                    g = from_wkb(bytes(b), on_invalid="ignore") if b is not None else None
-                    if g is None or g.is_empty:
+                # per-geometry work: parse + bounds only; the cell cover and
+                # the fan-out to cover rows are one vectorized pass
+                m = len(pdf)
+                bnds = np.full((m, 4), np.nan)
+                wkbs = pdf["wkb"]
+                for i, b in enumerate(wkbs):
+                    if b is None:
                         continue
-                    bb = K.bounds(g)
-                    cc = cover_bbox(bb[0], bb[1], bb[2], bb[3], res)
-                    for c in cc.tolist():
-                        ids.append(i)
-                        cells.append(c)
-                        bx.append(bb[0])
-                        by.append(bb[1])
-                        if with_wkb:
-                            wk.append(bytes(b))
+                    g = from_wkb(bytes(b), on_invalid="ignore")
+                    if g is not None and not g.is_empty:
+                        bnds[i] = K.bounds(g)
+                ok = ~np.isnan(bnds[:, 0])
+                cells, row = cover_bbox_batch(bnds[ok], res)
+                src = np.nonzero(ok)[0][row]
                 data = {
-                    id_col: pd.Series(ids, dtype="int64"),
+                    id_col: pd.Series(
+                        pdf[id_col].to_numpy(dtype=np.int64)[src], dtype="int64"),
                     "cell_id": pd.Series(cells, dtype="int64"),
-                    "bxmin": pd.Series(bx, dtype="float64"),
-                    "bymin": pd.Series(by, dtype="float64"),
+                    "bxmin": pd.Series(bnds[src, 0], dtype="float64"),
+                    "bymin": pd.Series(bnds[src, 1], dtype="float64"),
                 }
                 if with_wkb:
-                    data["wkb"] = pd.Series(wk, dtype="object")
+                    data["wkb"] = pd.Series(
+                        [bytes(wkbs.iloc[k]) for k in src], dtype="object")
                 yield pd.DataFrame(data)
 
         return df.select(id_col, "wkb").mapInPandas(gen, schema)

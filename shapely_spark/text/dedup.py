@@ -37,6 +37,11 @@ from pyspark.sql import functions as F
 N_MINHASH = 64
 N_BANDS = 16  # 16 bands × 4 rows
 DEFAULT_MAX_BUCKET = 4096
+# `max_bucket=None` means "no recall cap", not "unbounded memory": the pair
+# generator still collects each bucket into one task's collect_list, so a
+# hard internal ceiling bounds worst-case single-task state. A bucket this
+# size emits ~2·10^9 pairs — always a skew bug, never a real near-dup group.
+HARD_MAX_BUCKET = 65536
 
 
 def shingles_col(text_col, n: int = 3):
@@ -199,13 +204,19 @@ def _bucket_pairs(
 
     value_cols: the per-doc payload, first element must be the id (pairs
     are ordered by it via sort_array struct ordering). pair_filter(a, b)
-    optionally prunes pairs as they are produced (still JVM-side)."""
+    optionally prunes pairs as they are produced (still JVM-side).
+
+    max_bucket=None lifts the RECALL cap but not the memory bound: each
+    bucket's payload is collected into one task, so HARD_MAX_BUCKET always
+    applies (a 64k-doc bucket would emit ~2·10^9 pairs from one executor —
+    that is boilerplate skew to audit via oversized_buckets(), not a group
+    worth pairing)."""
     payload = F.struct(*[F.col(c) for c in value_cols])
     capped = exploded.withColumn(
         "__bc", F.count("*").over(Window.partitionBy("bucket"))
     )
-    if max_bucket is not None:
-        capped = capped.where(F.col("__bc") <= max_bucket)
+    cap = HARD_MAX_BUCKET if max_bucket is None else min(max_bucket, HARD_MAX_BUCKET)
+    capped = capped.where(F.col("__bc") <= cap)
     grouped = capped.groupBy("bucket").agg(
         F.sort_array(F.collect_list(payload)).alias("ids")
     )

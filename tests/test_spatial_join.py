@@ -282,3 +282,78 @@ def test_coverage_simplify_grouped(spark):
         assert coverage_is_valid([s1, s2])
         assert abs((K.area(s1) + K.area(s2)) - 8.0) < 1e-9
         assert len(s1.rings[0]) < len(p1.rings[0])
+
+
+def test_rect_pair_eval_matches_scalar_kernels():
+    """The closed-form rect×rect vectorized refine must agree with the
+    exact scalar kernels on every adversarial configuration: corner touch,
+    collinear edge overlap, shared-edge containment, equality, interior
+    containment, partial overlap, disjoint."""
+    import numpy as np
+
+    from shapely_spark.geo import kernels as K
+    from shapely_spark.geo.geom import box
+    from shapely_spark.spark.join import _rect_pair_eval
+
+    rects = [
+        (0, 0, 2, 2), (2, 2, 4, 4),      # corner touch
+        (0, 0, 2, 2), (2, 0, 4, 2),      # full shared edge
+        (0, 0, 4, 2), (2, 0, 6, 2),      # partial collinear edge overlap? no — interiors overlap
+        (0, 0, 4, 1), (4, 0.5, 6, 2),    # partial shared-edge segment
+        (0, 0, 4, 4), (1, 1, 3, 3),      # interior containment
+        (0, 0, 4, 4), (0, 0, 2, 4),      # containment sharing boundary
+        (0, 0, 2, 2), (0, 0, 2, 2),      # equal
+        (0, 0, 1, 1), (3, 3, 4, 4),      # disjoint
+        (0, 0, 3, 3), (2, 2, 5, 5),      # partial overlap
+    ]
+    A = np.array(rects[0::2], dtype=float)
+    B = np.array(rects[1::2], dtype=float)
+    geoms_a = [box(*r) for r in rects[0::2]]
+    geoms_b = [box(*r) for r in rects[1::2]]
+    for pred in ["intersects", "disjoint", "within", "covered_by", "contains",
+                 "covers", "contains_properly", "touches", "equals", "overlaps"]:
+        got = _rect_pair_eval(pred, A, B)
+        fn = getattr(K, pred)
+        want = np.array([bool(fn(a, b)) for a, b in zip(geoms_a, geoms_b)])
+        assert got is not None and (got == want).all(), (
+            pred, got.tolist(), want.tolist())
+
+
+def test_spatial_join_geom_mixed_rects_and_ngons(spark):
+    """Mixed batch: rect lefts ride the closed-form path while n-gons fall
+    to the grouped scalar path — output must equal the O(n²) oracle for
+    both, and for a non-closed-form predicate (touches)."""
+    import pandas as pd
+
+    from shapely_spark.geo import kernels as K
+    from shapely_spark.geo.geom import box, regular_ngon
+    from shapely_spark.geo.wkb import to_wkb
+    from shapely_spark.spark.join import spatial_join_geom
+    from shapely_spark.spark.pages import regions_df, synth_regions
+
+    rng_regions = synth_regions(25, seed=13)
+    right = regions_df(spark, rng_regions)
+    lgeoms = []
+    for i in range(100):
+        hy, hx = (40.71, -74.00) if i % 2 else (51.51, -0.13)
+        x = hx + (i % 9) * 0.25 - 1.0
+        y = hy + (i % 5) * 0.25 - 0.5
+        if i % 3:
+            g = box(x, y, x + 0.3 + (i % 4) * 0.1, y + 0.2 + (i % 3) * 0.1)
+        else:
+            g = regular_ngon(x, y, 0.2, 5 + i % 4, theta0=i * 0.7)
+        lgeoms.append((i, g))
+    left = spark.createDataFrame(
+        pd.DataFrame({"left_id": [i for i, _ in lgeoms],
+                      "wkb": [to_wkb(g) for _, g in lgeoms]}),
+        "left_id long, wkb binary",
+    )
+    for pred in ["intersects", "within"]:
+        got = {(r.left_id, r.region_id)
+               for r in spatial_join_geom(left, right, left_id="left_id",
+                                          predicate=pred).collect()}
+        fn = getattr(K, pred)
+        want = {(i, rid) for i, lg in lgeoms
+                for rid, name, rg, kind in rng_regions
+                if not rg.is_empty and fn(lg, rg)}
+        assert got == want, pred
