@@ -151,10 +151,10 @@ def convex_hull(geom: Geometry | None) -> Geometry | None:
 
 # ---------------------------------------------------------------------------
 # Buffer (reference: shapely/constructive.py:142 — quad_segs=8 default,
-# cap_style round). Round 1 supports point/multipoint buffers (exact
-# 4*quad_segs-gon with vertices on the circle, matching GEOS vertex
-# placement) and positive polygon buffer via vertex-arc offsetting of
-# convex shells; general line buffers raise NotImplementedError.
+# cap_style round). Point/multipoint buffers are exact 4*quad_segs-gons
+# with vertices on the circle (matching GEOS vertex placement); polygon
+# and line buffers (all cap/join styles, mitre_limit, single_sided) go
+# through offset-curve construction + union below.
 # ---------------------------------------------------------------------------
 
 _CAP_STYLES = {1: "round", 2: "flat", 3: "square",
@@ -531,10 +531,10 @@ def clip_ring_by_rect(ring: np.ndarray, xmin, ymin, xmax, ymax) -> np.ndarray | 
 
 def clip_by_rect(geom: Geometry | None, xmin, ymin, xmax, ymax) -> Geometry | None:
     """reference: shapely/constructive.py:380 (GEOSClipByRect). Polygons:
-    Sutherland–Hodgman per ring (holes clipped then subtracted — round 1
-    keeps holes only if fully inside rect, matching valid inputs whose
-    holes don't straddle tile edges are exact; straddling holes are clipped
-    too). Points/lines: coordinate filtering / segment clipping."""
+    Sutherland–Hodgman per ring — each hole is itself clipped to the rect
+    and subtracted, so holes fully inside and holes straddling tile edges
+    are both exact. Points/lines: coordinate filtering / segment
+    clipping."""
     if geom is None:
         return None
     if geom.is_empty:
@@ -1150,9 +1150,11 @@ def minimum_bounding_circle(geom: Geometry | None, return_center: bool = False):
 
 
 # ---------------------------------------------------------------------------
-# intersection — point/line vs polygon, and polygon vs CONVEX polygon
-# (reference: shapely/set_operations.py:114; general concave overlay is a
-# round-2 item — the engine's tiling path needs only rect/convex clips)
+# intersection — internal fast paths for point/line vs polygon and
+# polygon vs CONVEX polygon (the tiling path only needs rect/convex
+# clips); everything else delegates to the general overlay machinery in
+# overlay.py, which is also the public `geo.intersection`.
+# (reference: shapely/set_operations.py:114)
 # ---------------------------------------------------------------------------
 
 def intersection(a: Geometry | None, b: Geometry | None) -> Geometry | None:
@@ -1186,10 +1188,9 @@ def intersection(a: Geometry | None, b: Geometry | None) -> Geometry | None:
                 if out is None:
                     return empty(POLYGON)
             return Geometry(POLYGON, rings=[np.vstack([out, out[:1]])])
-    raise NotImplementedError(
-        "intersection(): round-1 supports point/line/convex-polygon clips "
-        "(set_operations.py:114 general overlay tracked for round 2)"
-    )
+    from . import overlay as O
+
+    return O.intersection(a, b)
 
 
 def _convex_ring(g: Geometry) -> np.ndarray:
@@ -1676,7 +1677,11 @@ def _offset_polyline(c: np.ndarray, d: float, n: int, join: str,
             apex = v + ad * r * bis
             if r <= mitre_limit:
                 return [p1, apex, p2]
+            # clamp: a mitre_limit below cos_half (e.g. < 1) must degrade
+            # to the plain bevel, not extrapolate beyond p1/p2 (GEOS
+            # behavior for sub-unit mitre limits)
             frac = (mitre_limit - cos_half) / max(r - cos_half, 1e-12)
+            frac = min(1.0, max(0.0, frac))
             return [p1, p1 + frac * (apex - p1), p2 + frac * (apex - p2), p2]
         # round
         a1 = math.atan2(p1[1] - v[1], p1[0] - v[0])

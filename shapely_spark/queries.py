@@ -847,25 +847,27 @@ def quality_score(spark, sf_dir):
 def ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup detection: word-3-gram shingle Jaccard ≥ 0.2 via distinct
     shingle explode → self equi-join on shingle → group-count. The
-    shuffle-heavy exact version; minhash_lsh_candidates is the scale path.
-    Joins on xxhash64(shingle) longs, deduplicated per doc INSIDE the
-    array (array_distinct) — same counts as a (doc_id, shingle) distinct
-    unless two distinct shingles of one doc collide in 64 bits
-    (deterministically absent on the gate corpora, where the DuckDB twin
-    joins the string form and hashes match), and it removes the
-    exploded-row distinct shuffle and shrinks the join key to 8 bytes."""
+    shuffle-heavy EXACT version; minhash_lsh_candidates is the scale path.
+    The equi-join (shuffle) key is xxhash64(shingle) — 8 bytes instead of
+    the string — with a residual string-equality condition so a 64-bit
+    collision between distinct shingles is filtered post-join and can
+    never inflate the intersection count (exactness holds on any corpus,
+    not just collision-free ones). Per-doc dedup is array_distinct on the
+    STRING shingles, so sizes are exact too."""
     from .text.dedup import shingles_col
 
     d = _spread(_t(spark, sf_dir, "documents"))
-    hashed = F.array_distinct(
-        F.transform(shingles_col(F.col("text"), 3), lambda s: F.xxhash64(s))
-    )
-    sh = d.select("doc_id", F.explode(hashed).alias("s"))
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(F.col("text"), 3))).alias("s_str"),
+    ).withColumn("s", F.xxhash64("s_str"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.s_str") == F.col("b.s_str"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("ninter"))
     )
@@ -2581,9 +2583,13 @@ def touches_overlaps_boxes(spark, sf_dir):
         from .geo import kernels as K
         from .geo.geom import box
 
-        for pdf in batches:
-            tv, ov = [], []
-            for w, h, reg in zip(pdf.w, pdf.h, pdf.regime):
+        # 60 distinct (w, h, regime) combos across 200k rows: evaluate the
+        # kernels once per combo and map back (memo lives for the task)
+        memo: dict[tuple, tuple[bool, bool]] = {}
+
+        def val(key: tuple) -> tuple[bool, bool]:
+            if key not in memo:
+                w, h, reg = key
                 a = box(0, 0, w, h)
                 if reg == 0:
                     b = box(w, 0, 2 * w, h)          # shares the x=w edge
@@ -2591,12 +2597,15 @@ def touches_overlaps_boxes(spark, sf_dir):
                     b = box(w + 1, 0, 2 * w + 1, h)  # unit gap
                 else:
                     b = box(w - 1, 0, 2 * w - 1, h)  # partial overlap
-                tv.append(bool(K.touches(a, b)))
-                ov.append(bool(K.overlaps(a, b)))
+                memo[key] = (bool(K.touches(a, b)), bool(K.overlaps(a, b)))
+            return memo[key]
+
+        for pdf in batches:
+            pairs = [val(key) for key in zip(pdf.w, pdf.h, pdf.regime)]
             yield pd.DataFrame({
                 "gid": pdf.gid,
-                "touches": pd.Series(tv, dtype="bool"),
-                "overlaps": pd.Series(ov, dtype="bool"),
+                "touches": pd.Series([t for t, _ in pairs], dtype="bool"),
+                "overlaps": pd.Series([o for _, o in pairs], dtype="bool"),
             })
 
     return params.mapInPandas(
@@ -2631,12 +2640,20 @@ def inscribed_circle_box(spark, sf_dir):
         from .geo.geom import box
         from .geo.triangulate import maximum_inscribed_circle
 
+        # only 5 distinct widths across 200k rows: evaluate the quadtree
+        # once per distinct param and map back (memo lives for the task)
+        memo: dict[float, float] = {}
+
+        def val(w: float) -> float:
+            if w not in memo:
+                memo[w] = float(np.round(
+                    K.length(maximum_inscribed_circle(box(0, 0, w, w), tolerance=1e-4)), 2
+                ))
+            return memo[w]
+
         for pdf in batches:
-            vals = [
-                K.length(maximum_inscribed_circle(box(0, 0, w, w), tolerance=1e-4))
-                for w in pdf.w
-            ]
-            yield pd.DataFrame({"gid": pdf.gid, "radius": np.round(vals, 2)})
+            yield pd.DataFrame({"gid": pdf.gid,
+                                "radius": pdf.w.map(val).astype("float64")})
 
     return params.mapInPandas(gen, "gid long, radius double").repartition(1).sortWithinPartitions("gid")
 
@@ -2660,16 +2677,22 @@ def coverage_valid_grid(spark, sf_dir):
         from .geo.coverage import coverage_is_valid
         from .geo.geom import box
 
-        for pdf in batches:
-            vals = []
-            for reg in pdf.regime:
+        # 2 distinct regimes across 200k rows: run the coverage gate once
+        # per regime and map back (memo lives for the task)
+        memo: dict[int, bool] = {}
+
+        def val(reg: int) -> bool:
+            if reg not in memo:
                 cells = [box(x, y, x + 1, y + 1)
                          for x in (0.0, 1.0) for y in (0.0, 1.0)]
                 if reg == 1:
                     cells[3] = box(1.5, 1.0, 2.5, 2.0)
-                vals.append(bool(coverage_is_valid(cells)))
+                memo[reg] = bool(coverage_is_valid(cells))
+            return memo[reg]
+
+        for pdf in batches:
             yield pd.DataFrame({"gid": pdf.gid,
-                                "cov_valid": pd.Series(vals, dtype="bool")})
+                                "cov_valid": pdf.regime.map(val).astype(bool)})
 
     return params.mapInPandas(gen, "gid long, cov_valid boolean").repartition(1).sortWithinPartitions("gid")
 
