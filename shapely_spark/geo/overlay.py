@@ -627,6 +627,115 @@ def _collection(parts: list[Geometry]) -> Geometry:
     return Geometry(GEOMETRYCOLLECTION, parts=parts)
 
 
+# ---------------------------------------------------------------------------
+# heterogeneous GeometryCollection overlay (reference:
+# shapely/set_operations.py:114 — GEOS overlayng treats a collection input
+# as the union of its elements and returns the point-set result). The
+# homogeneous dispatch above already routes all-polygonal / all-lineal
+# collections; this layer handles collections whose parts span dimensions
+# (or contain nested collections / multipoints) by overlaying each
+# dimension pair and dissolving lower-dimensional pieces covered by
+# higher-dimensional results.
+# ---------------------------------------------------------------------------
+
+def _is_hetero(g: Geometry) -> bool:
+    """A non-empty GEOMETRYCOLLECTION the homogeneous dispatch can't route
+    (mixed dimensions, nested collections of points, …)."""
+    return (g.type_id == GEOMETRYCOLLECTION and bool(g.parts)
+            and not (_is_polygonal(g) or _is_lineal(g)))
+
+
+def _split_dims(g: Geometry | None):
+    """Flatten any geometry into canonical homogeneous groups
+    (points, lines, polys) — each None when absent — recursing through
+    nested collections. Point coordinates are deduplicated."""
+    from .geom import LINEARRING, LINESTRING, MULTILINESTRING
+
+    pts: list[np.ndarray] = []
+    lines: list[Geometry] = []
+    polys: list[Geometry] = []
+
+    def walk(x):
+        if x is None or x.is_empty:
+            return
+        t = x.type_id
+        if t == POINT:
+            pts.append(np.asarray(x.coords, dtype=np.float64)[:, :2])
+        elif t in (LINESTRING, LINEARRING):
+            lines.append(x)
+        elif t == POLYGON:
+            polys.append(x)
+        else:
+            for p in x.parts or []:
+                walk(p)
+
+    walk(g)
+    P = _points_geom(np.unique(np.vstack(pts), axis=0)) if pts else None
+    if not lines:
+        L = None
+    elif len(lines) == 1:
+        L = lines[0]
+    else:  # parts of one collection may coincide/overlap: node + dedupe
+        L = _lines_from_frags(_line_edges(
+            node(Geometry(MULTILINESTRING, parts=lines))))
+    if not polys:
+        G = None
+    elif len(polys) == 1:
+        G = polys[0]
+    else:  # parts of one collection may overlap: dissolve to a valid area
+        G = union_all(polys)
+    return P, L, G
+
+
+def _dissolve_mixed(pieces: list[Geometry | None]) -> Geometry:
+    """Combine overlay pieces of mixed dimension into the canonical closed
+    point-set result: polygonal parts unioned, linework noded-unioned then
+    reduced by the polygonal area, points kept only where covered by
+    neither. Output ordered highest dimension first; homogeneous results
+    collapse to a single (multi)geometry like GEOS overlayng."""
+    P, L, G = _split_dims(_collection([p for p in pieces if p is not None]))
+    # _split_dims already dissolved within each dimension group
+    if L is not None and G is not None and not G.is_empty:
+        L = difference(L, G)
+    if P is not None:
+        for higher in (G, L):
+            if higher is not None and not higher.is_empty and not P.is_empty:
+                P = difference(P, higher)
+    present = [g for g in (G, L, P) if g is not None and not g.is_empty]
+    if not present:
+        return empty(GEOMETRYCOLLECTION)
+    if len(present) == 1:
+        return present[0]
+    parts: list[Geometry] = []
+    for g in present:
+        parts.extend(_as_parts(g))
+    return Geometry(GEOMETRYCOLLECTION, parts=parts)
+
+
+def _gc_overlay(a: Geometry, b: Geometry, op: str) -> Geometry:
+    """Overlay with at least one heterogeneous collection input: overlay
+    per dimension pair, then dissolve (point-set semantics,
+    shapely/set_operations.py:114)."""
+    ap, al, ag = _split_dims(a)
+    bp, bl, bg = _split_dims(b)
+    a_dims = [x for x in (ag, al, ap) if x is not None]
+    b_dims = [y for y in (bg, bl, bp) if y is not None]
+    if op == "intersection":
+        pieces = [intersection(x, y) for x in a_dims for y in b_dims]
+    elif op == "union":
+        pieces = a_dims + b_dims
+    else:  # difference: subtract every dimension of B from each part of A
+        pieces = []
+        for x in a_dims:
+            r = x
+            for y in b_dims:
+                if r is None or r.is_empty:
+                    break
+                r = difference(r, y)
+            pieces.append(r)
+    return _dissolve_mixed(pieces)
+
+
 def intersection(a: Geometry, b: Geometry, grid_size: float = 0.0) -> Geometry:
     """reference: shapely/set_operations.py:114."""
     if grid_size:
@@ -638,6 +747,8 @@ def intersection(a: Geometry, b: Geometry, grid_size: float = 0.0) -> Geometry:
         return None
     if a.is_empty or b.is_empty:
         return empty(POLYGON)
+    if _is_hetero(a) or _is_hetero(b):
+        return _gc_overlay(a, b, "intersection")
     if _is_pointish(a) or _is_pointish(b):
         pts_g, other = (a, b) if _is_pointish(a) else (b, a)
         pc = _points_of(pts_g)
@@ -705,6 +816,8 @@ def union(a: Geometry, b: Geometry, grid_size: float = 0.0) -> Geometry:
         return b
     if b.is_empty:
         return a
+    if _is_hetero(a) or _is_hetero(b):
+        return _gc_overlay(a, b, "union")
     if _is_polygonal(a) and _is_polygonal(b):
         return _overlay(a, b, "union")
     if _is_pointish(a) and _is_pointish(b):
@@ -741,6 +854,8 @@ def difference(a: Geometry, b: Geometry, grid_size: float = 0.0) -> Geometry:
         return empty(POLYGON)
     if b.is_empty:
         return a
+    if _is_hetero(a) or _is_hetero(b):
+        return _gc_overlay(a, b, "difference")
     if _is_polygonal(a) and _is_polygonal(b):
         return _overlay(a, b, "difference")
     if _is_pointish(a):
@@ -782,6 +897,9 @@ def symmetric_difference(a: Geometry, b: Geometry, grid_size: float = 0.0) -> Ge
         return None
     d1 = difference(a, b)
     d2 = difference(b, a)
+    if _is_hetero(a) or _is_hetero(b):
+        # (A−B) and (B−A) are disjoint point sets; flatten + canonicalize
+        return _dissolve_mixed([d1, d2])
     if _is_polygonal(a) and _is_polygonal(b):
         parts = []
         for d in (d1, d2):

@@ -1230,6 +1230,118 @@ def overlay_symdifference_area(spark, sf_dir):
     return _overlay_area_query(spark, sf_dir, "symmetric_difference", "xor_area")
 
 
+# --- heterogeneous GEOMETRYCOLLECTION overlay -------------------------------
+# GC = {POINT(px,7), LINESTRING (0 -1, L -1), BOX(0,0,w1,h1)} clipped by the
+# rect x∈[1,X2], y∈[-3,10]. All three dimensions have closed forms: the poly
+# clip is a box slice, the line clip an interval, and the point survives iff
+# px ≤ X2 (closed point-set). The point sits at y=7 (above every poly, off
+# the line) so no cross-dimension dissolve can fire — the oracle is exact.
+
+_GC_PARAM_SQL = """
+SELECT p_partkey AS gid,
+       CAST(2 + p_partkey % 5 AS DOUBLE) AS w1,
+       CAST(2 + p_partkey % 4 AS DOUBLE) AS h1,
+       CAST(4 + p_partkey % 6 AS DOUBLE) AS ll,
+       CAST(1 + p_partkey % 9 AS DOUBLE) AS px,
+       CAST(3 + p_partkey % 7 AS DOUBLE) AS x2
+FROM part
+"""
+
+
+def _gc_overlay_query(spark, sf_dir, op_name: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (2 + k % 5).cast("double").alias("w1"),
+        (2 + k % 4).cast("double").alias("h1"),
+        (4 + k % 6).cast("double").alias("ll"),
+        (1 + k % 9).cast("double").alias("px"),
+        (3 + k % 7).cast("double").alias("x2"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo import overlay as O
+        from .geo.geom import (
+            GEOMETRYCOLLECTION, LINESTRING, MULTIPOINT, POINT, Geometry,
+            box, point,
+        )
+
+        op = getattr(O, op_name)
+        for pdf in batches:
+            areas, lens, npts = [], [], []
+            for w1, h1, ll, px, x2 in zip(pdf.w1, pdf.h1, pdf.ll, pdf.px, pdf.x2):
+                gc = Geometry(GEOMETRYCOLLECTION, parts=[
+                    point(px, 7.0),
+                    Geometry(LINESTRING,
+                             coords=np.array([[0.0, -1.0], [ll, -1.0]])),
+                    box(0.0, 0.0, w1, h1),
+                ])
+                out = op(gc, box(1.0, -3.0, x2, 10.0))
+                areas.append(K.area(out))
+                lens.append(K.length(out))
+                parts = out.parts or [out]
+                n = 0
+                for g in parts:
+                    if g.type_id == POINT and not g.is_empty:
+                        n += 1
+                    elif g.type_id == MULTIPOINT:
+                        n += len(g.parts or [])
+                npts.append(n)
+            yield pd.DataFrame({
+                "gid": pdf.gid,
+                "area": np.round(areas, 6),
+                "length": np.round(lens, 6),
+                "npts": pd.Series(npts, dtype="int32"),
+            })
+
+    return params.mapInPandas(
+        gen, "gid long, area double, length double, npts int"
+    ).repartition(1).sortWithinPartitions("gid")
+
+
+@q(
+    "overlay_gc_intersection",
+    f"""
+    WITH p AS ({_GC_PARAM_SQL})
+    SELECT gid,
+           round((least(w1, x2) - 1) * h1, 6) AS area,
+           round(2 * ((least(w1, x2) - 1) + h1) + least(ll, x2) - 1, 6) AS length,
+           CAST(CASE WHEN px <= x2 THEN 1 ELSE 0 END AS INTEGER) AS npts
+    FROM p ORDER BY gid
+    """,
+)
+def overlay_gc_intersection(spark, sf_dir):
+    """intersection() with a heterogeneous GeometryCollection input
+    (reference: shapely/set_operations.py:114 — GEOS overlayng treats the
+    collection as the union of its parts): per-dimension clip vs closed
+    forms for all three dimensions."""
+    return _gc_overlay_query(spark, sf_dir, "intersection")
+
+
+@q(
+    "overlay_gc_difference",
+    f"""
+    WITH p AS ({_GC_PARAM_SQL})
+    SELECT gid,
+           round((1 + greatest(0, w1 - x2)) * h1, 6) AS area,
+           round(2 * (1 + h1)
+                 + CASE WHEN w1 > x2 THEN 2 * ((w1 - x2) + h1) ELSE 0 END
+                 + 1 + greatest(0, ll - x2), 6) AS length,
+           CAST(CASE WHEN px > x2 THEN 1 ELSE 0 END AS INTEGER) AS npts
+    FROM p ORDER BY gid
+    """,
+)
+def overlay_gc_difference(spark, sf_dir):
+    """difference() with a heterogeneous GeometryCollection minuend
+    (reference: shapely/set_operations.py:41): the clip rect removes
+    x ∈ [1, x2], leaving the unit-wide left strips plus (when x2 < w1 /
+    ll) the right-side leftovers, and the point iff it lies right of the
+    rect. length sums polygon perimeters + line lengths (GEOS length)."""
+    return _gc_overlay_query(spark, sf_dir, "difference")
+
+
 @q(
     "relate_point_box",
     """

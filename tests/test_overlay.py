@@ -877,3 +877,117 @@ class TestParityAliases:
                     hay += open(os.path.join(r, f)).read().lower()
         missing = sorted(n for n in names if n.lower() not in hay)
         assert not missing, f"reference public API without coverage: {missing}"
+
+
+class TestMixedCollectionOverlay:
+    """Heterogeneous GEOMETRYCOLLECTION inputs through all four set ops —
+    point-set semantics (a collection is the union of its parts; the
+    reference delegates to GEOS overlayng, shapely/set_operations.py:114).
+    Closed-form goldens + a full matrix sweep including collection
+    fixtures."""
+
+    GC = ("GEOMETRYCOLLECTION (POINT (5 5), LINESTRING (0 -2, 4 -2),"
+          " POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))")
+    BOX = "POLYGON ((1 -3, 6 -3, 6 6, 1 6, 1 -3))"
+
+    def test_intersection_per_dimension(self):
+        gc, b = from_wkt(self.GC), from_wkt(self.BOX)
+        out = O.intersection(gc, b)
+        from shapely_spark.geo.geom import GEOMETRYCOLLECTION
+        assert out.type_id == GEOMETRYCOLLECTION
+        assert A(out) == pytest.approx(2.0)          # poly clipped to x∈[1,2]
+        assert K.length(out) == pytest.approx(6.0 + 3.0)  # clip perimeter + line x∈[1,4]
+        # symmetric dispatch: collection on the right
+        out2 = O.intersection(b, gc)
+        assert A(out2) == pytest.approx(2.0)
+        assert K.length(out2) == pytest.approx(9.0)
+
+    def test_union_and_difference(self):
+        gc, b = from_wkt(self.GC), from_wkt(self.BOX)
+        u = O.union(gc, b)
+        assert A(u) == pytest.approx(45.0 + 2.0)     # box + poly strip outside
+        d = O.difference(gc, b)
+        assert A(d) == pytest.approx(2.0)            # strip x∈[0,1]
+        assert K.length(d) == pytest.approx(6.0 + 1.0)  # strip perimeter + line x∈[0,1]
+        # the point (5,5) is inside the box: removed from the difference
+        from shapely_spark.geo.geom import POINT
+        assert all(p.type_id != POINT for p in (d.parts or [d]))
+        sd = O.symmetric_difference(gc, b)
+        assert A(sd) == pytest.approx(45.0)          # union − intersection areas
+
+    def test_point_covered_by_own_polygon_dissolves(self):
+        gc = from_wkt("GEOMETRYCOLLECTION (POINT (1 1),"
+                      " POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))")
+        u = O.union(gc, from_wkt("POINT (10 10)"))
+        parts = list(u.parts or [u])
+        # interior point dissolved; only the polygon and the outside point remain
+        assert len(parts) == 2
+        assert A(u) == pytest.approx(4.0)
+
+    def test_collection_of_points_routes(self):
+        gcp = from_wkt("GEOMETRYCOLLECTION (POINT (0 0), MULTIPOINT (1 1, 3 3))")
+        sq = from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        i = O.intersection(gcp, sq)
+        pts = {tuple(p.coords[0][:2]) for p in (i.parts or [i])}
+        assert pts == {(0.0, 0.0), (1.0, 1.0)}      # closed set keeps (0,0)
+        d = O.difference(gcp, sq)
+        assert tuple(d.coords[0][:2]) == (3.0, 3.0)
+
+    def test_nested_collection_and_gc_x_gc(self):
+        gc = from_wkt("GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (9 9),"
+                      " LINESTRING (0 5, 4 5)), POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))")
+        other = from_wkt("GEOMETRYCOLLECTION (POLYGON ((1 4, 3 4, 3 6, 1 6, 1 4)),"
+                         " POINT (9 9))")
+        i = O.intersection(gc, other)
+        # line ∩ poly = segment x∈[1,3] at y=5 ; point (9,9) in both
+        assert K.length(i) == pytest.approx(2.0)
+        assert A(i) == pytest.approx(0.0)
+        u = O.union(gc, other)
+        assert A(u) == pytest.approx(4.0 + 4.0)
+        # line dissolves where it crosses the other's polygon? no — union
+        # keeps full linework length (line ⊄ polygon only partially):
+        assert K.length(u) == pytest.approx(4.0 + 8.0 + 8.0 - 2.0)
+
+    def test_matrix_with_collections_no_raise(self):
+        fx = dict(TestAllTypesOverlayMatrix.FIXTURES)
+        fx["gc_mixed"] = self.GC
+        fx["gc_points"] = "GEOMETRYCOLLECTION (POINT (1 1), MULTIPOINT (3 0.5, 9 9))"
+        fx["gc_nested"] = ("GEOMETRYCOLLECTION (GEOMETRYCOLLECTION ("
+                           "LINESTRING (0 1, 4 1)), POINT (1 1))")
+        geoms = {k: from_wkt(w) for k, w in fx.items()}
+        helper = TestAllTypesOverlayMatrix()
+        for na, a in geoms.items():
+            for nb, b in geoms.items():
+                inter = O.intersection(a, b)
+                uni = O.union(a, b)
+                diff = O.difference(a, b)
+                O.symmetric_difference(a, b)
+                da, db = helper._dim(a), helper._dim(b)
+                assert helper._dim(inter) <= min(da, db), (na, nb)
+                assert helper._dim(uni) == max(da, db), (na, nb)
+                assert helper._dim(diff) <= da, (na, nb)
+
+    def test_fuzz_measure_identities_with_collections(self):
+        """Random mixed collections vs polygons/lines: area bookkeeping
+        A(a)+A(b) = A(a∪b)+A(a∩b) must hold on the polygonal dimension."""
+        rng = np.random.RandomState(29)
+        base = TestOverlayRelateFuzz()._random_geoms(rng, 30)
+        from shapely_spark.geo.geom import GEOMETRYCOLLECTION, Geometry
+
+        def rand_gc():
+            k = 2 + rng.randint(3)
+            parts = [base[rng.randint(len(base))] for _ in range(k)]
+            parts.append(point(float(rng.randint(-5, 6)), float(rng.randint(-5, 6))))
+            return Geometry(GEOMETRYCOLLECTION, parts=parts)
+
+        for t in range(40):
+            a = rand_gc()
+            b = base[rng.randint(len(base))] if t % 2 else rand_gc()
+            ia, ua = A(O.intersection(a, b)), A(O.union(a, b))
+            # polygonal parts inside one collection may self-overlap, so
+            # compare against the DISSOLVED per-side areas
+            aa = A(O.union(a, a))
+            bb = A(O.union(b, b))
+            assert ia + ua == pytest.approx(aa + bb, abs=1e-6), t
+            da = A(O.difference(a, b))
+            assert da == pytest.approx(ua - bb, abs=1e-6), t
