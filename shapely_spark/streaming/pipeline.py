@@ -86,3 +86,19 @@ def foreach_batch_spatial_join(regions: DataFrame, predicate: str = "intersects"
         return spatial_join(batch_df, regions, predicate=predicate, res=res)
 
     return fn
+
+
+def foreach_batch_knn_join(targets: DataFrame, k: int = 1, res: int = DEFAULT_RES,
+                           k_ring: int = 2, **knn_kwargs):
+    """foreachBatch callback running the batch kNN join (cell-ring expand →
+    exact haversine refine, spark/knn.py:56) per micro-batch. Same kernels
+    and guarantees as batch — the micro-batch is just a smaller points
+    side; the target layer is stable across batches so its cell index
+    re-broadcasts from cache."""
+    from ..spark.knn import knn_join
+
+    def fn(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return knn_join(batch_df, targets, k=k, res=res, k_ring=k_ring,
+                        **knn_kwargs)
+
+    return fn

@@ -134,6 +134,51 @@ def test_streaming_foreach_batch_spatial_join(spark, tmp_path):
     assert set(results) == want
 
 
+def test_streaming_foreach_batch_knn_join(spark, tmp_path):
+    """Streaming twin of the kNN join: readStream → with_geo →
+    foreachBatch(knn_join) produces the same (url, target_id, rank) set as
+    the batch plan over the same files — the SURVEY §2.10 claim that the
+    batch kernels run unchanged per micro-batch, proven for the second
+    flagship join."""
+    from shapely_spark.spark.pages import HOTSPOTS
+    from shapely_spark.streaming.pipeline import (
+        foreach_batch_knn_join,
+        read_pages_stream,
+        stream_with_geo,
+    )
+
+    src = str(tmp_path / "landing_knn")
+    synth_pages(spark, 1000).write.mode("overwrite").parquet(src)
+    trows = [(i, float(lat), float(lon)) for i, (lat, lon) in enumerate(HOTSPOTS)]
+    targets = spark.createDataFrame(trows, "target_id long, t_lat double, t_lon double")
+    fn = foreach_batch_knn_join(targets, k=2, k_ring=2)
+
+    results = []
+
+    def sink(batch_df, batch_id):
+        out = fn(batch_df, batch_id)
+        results.extend(
+            (r.url, r.target_id, r.knn_rank)
+            for r in out.select("url", "target_id", "knn_rank").collect()
+        )
+
+    # several micro-batches: maxFilesPerTrigger=1 over a multi-file source
+    stream = stream_with_geo(read_pages_stream(spark, src, max_files=1))
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    from shapely_spark.spark.knn import knn_join
+
+    want = {
+        (r.url, r.target_id, r.knn_rank)
+        for r in knn_join(with_geo(spark.read.parquet(src)), targets, k=2, k_ring=2)
+        .select("url", "target_id", "knn_rank")
+        .collect()
+    }
+    assert set(results) == want
+    assert len(want) > 0
+
+
 def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     """applyInPandasWithState session operator: closed sessions emitted by
     the stream must be a subset of (and in the common case equal to) the
