@@ -610,6 +610,81 @@ def cosine_neardup_pairs(
     return vectors.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
 
+def cosine_neardup_pairs_blocked(
+    vectors: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk_rows: int = 2048,
+) -> DataFrame:
+    """EXACT distributed near-dup pairs via symmetric block matmul — no
+    driver collect, no full-matrix broadcast (the scale fix over
+    cosine_neardup_pairs, which broadcasts all targets). Vectors hash into
+    ⌈n/chunk_rows⌉ chunks; every unordered chunk pair (ca ≤ cb) becomes
+    one task that multiplies the two packed blocks and emits only the
+    (id_a < id_b, cos ≥ threshold) hits. O(n²·d) flops stay inside
+    vectorized NumPy; per-task memory is two ~chunk_rows×d blocks.
+
+    Regime: the right exact plan up to ~10⁶ vectors (C ≈ 500 → 125k
+    block tasks). Past that, candidate generation must prune — use
+    cosine_neardup_pairs_bucketed with a threshold the sketch can
+    actually separate (see its selectivity math)."""
+    n = vectors.count()
+    n_chunks = max(1, -(-n // int(chunk_rows)))
+    packed = (
+        vectors.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)).alias("__c"),
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        )
+        .groupBy("__c")
+        .agg(F.collect_list("__id").alias("__ids"), F.collect_list("__v").alias("__vs"))
+    )
+    a = packed.select(F.col("__c").alias("__ca"), F.col("__ids").alias("__ida"),
+                      F.col("__vs").alias("__va"))
+    b = packed.select(F.col("__c").alias("__cb"), F.col("__ids").alias("__idb"),
+                      F.col("__vs").alias("__vb"))
+    blocks = a.join(b, F.col("__ca") <= F.col("__cb"))
+    thr = float(threshold)
+
+    def gen(batches):
+        for pdf in batches:
+            oa, ob = [], []
+            for ca, ida, va, cb, idb, vb in zip(pdf["__ca"], pdf["__ida"],
+                                                pdf["__va"], pdf["__cb"],
+                                                pdf["__idb"], pdf["__vb"]):
+                ia = np.asarray(ida, dtype=np.int64)
+                ib = np.asarray(idb, dtype=np.int64)
+                A = np.array(list(va), dtype=np.float64)
+                B = np.array(list(vb), dtype=np.float64)
+                for M in (A, B):
+                    nm = np.linalg.norm(M, axis=1, keepdims=True)
+                    nm[nm == 0] = 1.0
+                    M /= nm
+                S = A @ B.T
+                if ca == cb:
+                    # diagonal block: each pair appears at (i,j) AND (j,i);
+                    # keep the ia < ib triangle
+                    hit = (S >= thr) & (ia[:, None] < ib[None, :])
+                else:
+                    # off-diagonal: the pair appears exactly once (chunk
+                    # order, not id order) — canonicalize to (min, max)
+                    hit = S >= thr
+                qi, ti = np.nonzero(hit)
+                lo = np.minimum(ia[qi], ib[ti])
+                hi = np.maximum(ia[qi], ib[ti])
+                oa.extend(lo.tolist())
+                ob.extend(hi.tolist())
+            yield pd.DataFrame({"id_a": pd.Series(oa, dtype="int64"),
+                                "id_b": pd.Series(ob, dtype="int64")})
+
+    # fan block tasks across the cluster: C(C+1)/2 block rows, round-robin
+    # into ≤4 waves per core (more blocks than partitions just iterate)
+    dp = vectors.sparkSession.sparkContext.defaultParallelism
+    n_tasks = n_chunks * (n_chunks + 1) // 2
+    spread = blocks.repartition(max(dp, min(n_tasks, 4 * dp)))
+    return spread.mapInPandas(gen, "id_a long, id_b long")
+
+
 def cosine_lsh_candidate_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -672,7 +747,20 @@ def cosine_neardup_pairs_bucketed(
     joins the two vector sides back on id (broadcast when the vector table
     is dictionary-sized, plain AQE equi-join otherwise) → one vectorized
     row-wise dot per Arrow batch. Nothing is O(n²) and nothing funnels
-    through the driver."""
+    through the driver.
+
+    Selectivity dispatch: a RANDOM (orthogonal) pair collides per table
+    with (1/2)^n_bits, so the fraction of all pairs surviving candidate
+    generation is ≥ 1 − (1 − 2^-n_bits)^n_tables. When that exceeds 25%
+    the sketch cannot prune (e.g. the defaults tuned for low thresholds:
+    48 tables × 4 bits → 95% of ALL pairs are candidates) and generating
+    the candidate list costs more than verifying everything — dispatch to
+    cosine_neardup_pairs_blocked, whose distributed block matmul IS the
+    exact verify of the all-pairs candidate set without materializing it.
+    Recall is only ever improved by the dispatch (blocked is exact)."""
+    p_random_any = 1.0 - (1.0 - 0.5 ** n_bits) ** n_tables
+    if p_random_any >= 0.25:
+        return cosine_neardup_pairs_blocked(vectors, threshold, id_col, vec_col)
     cand = cosine_lsh_candidate_pairs(
         vectors, id_col, vec_col, n_tables, n_bits, seed, max_bucket
     )

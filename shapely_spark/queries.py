@@ -845,37 +845,53 @@ def quality_score(spark, sf_dir):
     """,
 )
 def ngram_jaccard_pairs(spark, sf_dir):
-    """Near-dup detection: word-3-gram shingle Jaccard ≥ 0.2 via distinct
-    shingle explode → self equi-join on shingle → group-count. The
-    shuffle-heavy EXACT version; minhash_lsh_candidates is the scale path.
-    The equi-join (shuffle) key is xxhash64(shingle) — 8 bytes instead of
-    the string — with a residual string-equality condition so a 64-bit
-    collision between distinct shingles is filtered post-join and can
-    never inflate the intersection count (exactness holds on any corpus,
-    not just collision-free ones). Per-doc dedup is array_distinct on the
-    STRING shingles, so sizes are exact too."""
+    """Near-dup detection: word-3-gram shingle Jaccard ≥ 0.2, EXACT on any
+    corpus. Two stages:
+      1. candidates — distinct hashed-shingle explode → self equi-join on
+         the xxhash64 longs (8-byte shuffle keys; strings never enter the
+         shuffle) → per-pair hash-jaccard. Every collision class —
+         inter-doc (inflates ninter) and intra-doc (shrinks a size) — can
+         only RAISE the hash-jaccard, so threshold survivors are a strict
+         superset of the true pairs on any corpus.
+      2. verify — the surviving pairs (tiny) re-compute intersection and
+         sizes on the STRING shingle arrays, so a 64-bit collision can
+         never leak into the output. minhash_lsh_candidates is the scale
+         path; at corpus scale persist the candidate set and semi-join
+         the verify arrays instead of joining the full table."""
     from .text.dedup import shingles_col
 
     d = _spread(_t(spark, sf_dir, "documents"))
-    sh = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles_col(F.col("text"), 3))).alias("s_str"),
-    ).withColumn("s", F.xxhash64("s_str"))
+    hashed = F.array_distinct(
+        F.transform(shingles_col(F.col("text"), 3), lambda s: F.xxhash64(s))
+    )
+    sh = d.select("doc_id", F.explode(hashed).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s"))
-               & (F.col("a.s_str") == F.col("b.s_str"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("ninter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("ninter").cast("double") / (F.col("na") + F.col("nb") - F.col("ninter"))
-    return (
+    jac_h = F.col("ninter").cast("double") / (F.col("na") + F.col("nb") - F.col("ninter"))
+    cand = (
         inter.join(sa, "doc_a").join(sb, "doc_b")
+        .where(jac_h >= 0.2)
+        .select("doc_a", "doc_b")
+    )
+    # exact verify on string shingles (full-table arrays: the docs scan is
+    # cheap here; the candidate subtree executes once in the joined plan)
+    arrs = d.select(
+        "doc_id", F.array_distinct(shingles_col(F.col("text"), 3)).alias("arr")
+    )
+    va = arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
+    vb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
+    ninter = F.size(F.array_intersect("arr_a", "arr_b")).cast("double")
+    jac = ninter / (F.size("arr_a") + F.size("arr_b") - ninter)
+    return (
+        cand.join(va, "doc_a").join(vb, "doc_b")
         .where(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .repartition(1).sortWithinPartitions("doc_a", "doc_b")

@@ -286,6 +286,46 @@ def test_neardup_bucketed_matches_bruteforce_gate(spark):
     assert bucketed == brute and len(brute) >= 1
 
 
+def test_neardup_blocked_matches_bruteforce_multichunk(spark):
+    """cosine_neardup_pairs_blocked (distributed symmetric block matmul —
+    no driver collect, no full-matrix broadcast) is EXACT: equal to the
+    broadcast brute force with chunk_rows small enough to force many
+    diagonal and off-diagonal block tasks."""
+    from shapely_spark.ann.search import (
+        cosine_neardup_pairs, cosine_neardup_pairs_blocked,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    brute = {(r.id_a, r.id_b) for r in cosine_neardup_pairs(e, threshold=0.45).collect()}
+    blocked = {(r.id_a, r.id_b)
+               for r in cosine_neardup_pairs_blocked(
+                   e, threshold=0.45, chunk_rows=64).collect()}
+    assert blocked == brute and len(brute) >= 1
+
+
+def test_neardup_bucketed_noprune_dispatch(spark):
+    """With parameters whose random-pair collision probability exceeds the
+    dispatch cutoff (defaults: 48 tables × 4 bits → 95% of ALL pairs are
+    candidates), the bucketed plan routes to the blocked exact verify —
+    generating a ~full candidate list would cost more than verifying
+    everything. Result must still be exact."""
+    import numpy as np
+
+    from shapely_spark.ann.search import (
+        cosine_neardup_pairs, cosine_neardup_pairs_bucketed,
+    )
+
+    rng = np.random.RandomState(11)
+    V = rng.normal(size=(300, 16))
+    V[250:] = V[:50] + 0.3 * rng.normal(size=(50, 16))  # moderate-cos pairs
+    rows = [(i, [float(x) for x in V[i]]) for i in range(len(V))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    brute = {(r.id_a, r.id_b) for r in cosine_neardup_pairs(df, threshold=0.5).collect()}
+    got = {(r.id_a, r.id_b)
+           for r in cosine_neardup_pairs_bucketed(df, threshold=0.5).collect()}
+    assert got == brute and len(brute) >= 10
+
+
 def test_neardup_bucketed_selective_on_clustered_vectors(spark):
     """On clustered data (the realistic regime) the sketch is SELECTIVE:
     planted duplicate pairs are all found while the candidate set stays
