@@ -4,7 +4,8 @@ SAME input — the driver-sanctioned proxy for two cluster sizes).
 
 Runs bench.py headline paths at both parallelism levels in fresh JVMs,
 computes per-path speedup and efficiency = (rate@32) / (4 × rate@8),
-and writes BENCH/BASELINE.md.
+and writes BENCH/SCALING.md (BENCH/BASELINE.md is the curated
+evidence document and is maintained by hand — never clobbered here).
 
 Usage: python tools/bench_scaling.py [--sf-dir /root/testdata/sf0.1] [--pages N]
 """
@@ -47,7 +48,7 @@ def main():
 
     paths = ["pages_pipeline", "spatial_join_pages", "tile_agg_pages", "knn_pages"]
     lines = [
-        "# BENCH/BASELINE — throughput + scaling efficiency",
+        "# BENCH/SCALING — raw two-level scaling run (see BENCH/BASELINE.md for the curated evidence)",
         "",
         f"Same job, same input (`{args.sf_dir}`, {lo['extras']['pages_rows']:,} synthetic pages, "
         f"1000 regions), two parallelism levels: `local[{args.n}]` vs `local[{args.n4}]` "
@@ -100,7 +101,7 @@ def main():
         "```",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    out_path = os.path.join(REPO, "BENCH", "SCALING.md")
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines[:20]))
