@@ -1024,6 +1024,74 @@ def simhash_dedup_pairs_q(spark, sf_dir):
 
 
 @q(
+    "dedup_components_chain",
+    """
+    WITH RECURSIVE
+    edges AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM documents a JOIN documents b
+        ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+    ),
+    sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+    reach(node, r) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT reach.node, sym.v
+      FROM reach JOIN sym ON reach.r = sym.u AND sym.v <> reach.node
+    ),
+    labels AS (
+      SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node
+    ),
+    all_nodes AS (
+      SELECT d.doc_id AS node, coalesce(l.component, d.doc_id) AS component,
+             d.n_chars
+      FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+    )
+    SELECT component AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM all_nodes GROUP BY component ORDER BY keeper_id
+    """,
+)
+def dedup_components_chain(spark, sf_dir):
+    """Near-dup cluster resolution: connected components over a chaining
+    pair graph (consecutive doc_ids sharing `lang` — pairs chain into
+    paths, so the engine must PROPAGATE labels, not just group cliques),
+    then per-cluster keeper stats. Engine side is the alternating
+    large-star/small-star operator (text/components.py, O(log n) shuffle
+    rounds); the DuckDB twin computes the same labeling by recursive-CTE
+    transitive closure — tractable only at oracle scale, which is exactly
+    why the star algorithm exists."""
+    from .text.components import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    nxt = d.select(
+        (F.col("doc_id") - 1).alias("a"),
+        F.col("doc_id").alias("b"),
+        F.col("lang").alias("lang_b"),
+    )
+    edges = (
+        d.join(nxt, d["doc_id"] == nxt["a"])
+        .where(F.col("lang") == F.col("lang_b"))
+        .select("a", "b")
+    )
+    cc = connected_components(edges)
+    labeled = d.join(cc, d["doc_id"] == cc["node"], "left").select(
+        F.coalesce(cc["component"], d["doc_id"]).alias("keeper_id"),
+        d["n_chars"],
+    )
+    return (
+        labeled.groupBy("keeper_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("keeper_id")
+    )
+
+
+@q(
     "langid_heuristic",
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
