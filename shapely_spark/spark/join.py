@@ -124,6 +124,22 @@ def _prepared_from_bc(bc, bc_id: int, rid: int):
     return prep
 
 
+def _group_ranges(codes: np.ndarray):
+    """Yield (code, index_array) per distinct code via ONE stable argsort.
+    A per-distinct-code boolean mask (`codes == u` in a loop) is
+    O(batch × n_distinct) — with hundreds of regions touched per Arrow
+    batch that scan dominated the refine kernel, not the geometry math."""
+    if len(codes) == 0:
+        return
+    order = np.argsort(codes, kind="stable")
+    sc = codes[order]
+    cuts = np.flatnonzero(sc[1:] != sc[:-1]) + 1
+    starts = np.concatenate(([0], cuts))
+    ends = np.concatenate((cuts, [len(sc)]))
+    for s, e in zip(starts, ends):
+        yield sc[s], order[s:e]
+
+
 def _classify_to_bool(cls: np.ndarray, predicate: str) -> np.ndarray:
     if predicate in ("intersects", "covered_by"):
         return cls >= 1
@@ -178,10 +194,9 @@ def spatial_join(
             y = lat.to_numpy(dtype=np.float64)
             out = np.zeros(len(rid), dtype=bool)
             rids = rid.to_numpy(dtype=np.int64)
-            for u in np.unique(rids):
-                sel = rids == u
+            for u, idx in _group_ranges(rids):
                 prep = _prepared_from_bc(bc, bc_id, int(u))
-                out[sel] = _classify_to_bool(prep.classify(0, x[sel], y[sel]), predicate)
+                out[idx] = _classify_to_bool(prep.classify(0, x[idx], y[idx]), predicate)
             return pd.Series(out)
 
         j = points.join(covers, points[cell_col_name] == covers["__cover_cell"], "inner")
@@ -200,12 +215,14 @@ def spatial_join(
             y = lat.to_numpy(dtype=np.float64)
             out = np.zeros(len(wkb), dtype=bool)
             codes, uniques = pd.factorize(wkb)
-            for u_idx, u_wkb in enumerate(uniques):
+            for u_idx, idx in _group_ranges(codes):
+                if u_idx < 0:  # factorize maps None/NaN to code -1
+                    continue
+                u_wkb = uniques[u_idx]
                 if u_wkb is None:
                     continue
-                sel = codes == u_idx
                 prep = _prepared_from_wkb(bytes(u_wkb))
-                out[sel] = _classify_to_bool(prep.classify(0, x[sel], y[sel]), predicate)
+                out[idx] = _classify_to_bool(prep.classify(0, x[idx], y[idx]), predicate)
             return pd.Series(out)
 
         j = points.join(covers, points[cell_col_name] == covers["__cover_cell"], "inner")
@@ -339,10 +356,11 @@ def _pair_refine_batch(
     if all_points and all_rpoly and predicate in _PREDICATES:
         px = np.array([g.coords[0][0] for g in lgeoms])[lc]
         py = np.array([g.coords[0][1] for g in lgeoms])[lc]
-        for u in np.unique(rc[alive]):
+        alive_idx = np.flatnonzero(alive)
+        for u, gi in _group_ranges(rc[alive_idx]):
             if runiq_geoms[u] is None:
                 continue
-            sel = np.nonzero(alive & (rc == u))[0]
+            sel = alive_idx[gi]
             prep = K.PreparedPolygons([runiq_geoms[u]])
             out[sel] = _classify_to_bool(prep.classify(0, px[sel], py[sel]), predicate)
         return out
