@@ -92,7 +92,11 @@ def run_headline(spark, n_pages: int, n_regions: int, times: dict, extras: dict,
         return with_geo(spark.read.parquet(path)).select("url", "lat", "lon", "cell_id")
 
     regions = synth_regions(n_regions, seed=42)
-    rdf = regions_df(spark, regions).coalesce(4).cache()
+    # covers_df fans out via mapInPandas over THIS layer: a handful of
+    # partitions suffices at 1000 regions, but the 100k-region regime needs
+    # the cover generation spread across every core
+    rparts = max(4, min(spark.sparkContext.defaultParallelism, n_regions // 250))
+    rdf = regions_df(spark, regions).repartition(rparts).cache()
     rdf.count()
 
     # centroid targets for kNN (driver-side; tiny)
@@ -170,6 +174,8 @@ def main():
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--skip-battery", action="store_true")
     ap.add_argument("--pages", type=int, default=None, help="override pages row count")
+    ap.add_argument("--regions", type=int, default=1000,
+                    help="region-layer size (100k exercises the big-broadcast regime)")
     ap.add_argument("--repeat", type=int, default=3,
                     help="median-of-N timing for headline paths")
     ap.add_argument("--scaling", action="store_true",
@@ -183,12 +189,14 @@ def main():
                    "--sf-dir", args.sf_dir, "--skip-battery", "--repeat", str(args.repeat)]
             if args.pages:
                 cmd += ["--pages", str(args.pages)]
+            if args.regions != 1000:
+                cmd += ["--regions", str(args.regions)]
             subprocess.run(cmd, check=True)
         return
 
     sf = float(args.sf_dir.rstrip("/").split("sf")[-1])
     n_pages = args.pages if args.pages is not None else int(10_000_000 * sf)
-    n_regions = 1000
+    n_regions = args.regions
 
     from shapely_spark.spark.session import get_spark
 

@@ -424,23 +424,16 @@ def _all_class(points: np.ndarray, container: Geometry) -> np.ndarray:
         return points_in_rings_class(px, py, _rings_of(container))
     if d == 1:
         onb = points_on_segments(px, py, _edges(container))
-        # interior of a line: on segment but not an endpoint
-        cc = _points_of(container)
-        # endpoints = first/last of each constituent linestring
-        ends = []
-        stack = [container]
-        while stack:
-            g = stack.pop()
-            if g.type_id in (LINESTRING, LINEARRING) and g.coords is not None and len(g.coords):
-                if not np.array_equal(g.coords[0, :2], g.coords[-1, :2]):
-                    ends.append(g.coords[0, :2])
-                    ends.append(g.coords[-1, :2])
-            for p in g.parts or []:
-                stack.append(p)
+        # interior of a line: on segment but not a mod-2 boundary point
+        # (endpoints occurring an odd number of times; shared endpoints of
+        # a connected multiline are interior — reference boundary-node rule)
         cls = np.where(onb, INTERIOR, EXTERIOR).astype(np.int8)
-        if ends:
-            e = np.array(ends)
-            isend = np.any((px[:, None] == e[None, :, 0]) & (py[:, None] == e[None, :, 1]), axis=1)
+        ends = _line_boundary_points(container)
+        if len(ends):
+            isend = np.any(
+                (px[:, None] == ends[None, :, 0]) & (py[:, None] == ends[None, :, 1]),
+                axis=1,
+            )
             cls[onb & isend] = BOUNDARY
         return cls
     cc = _points_of(container)
@@ -485,8 +478,10 @@ def contains(a: Geometry | None, b: Geometry | None) -> bool:
             # reference (DE-9IM 2FFF1FFF2 matches 'T*****FF*').
             return db == 2
         return bool((cls == INTERIOR).any())
-    # line container: interiors must intersect
-    return bool((cls == INTERIOR).any())
+    # line-in-line: vertex sampling misses collinear spans (equal lines have
+    # all vertices on ∂) — require closure containment plus interior witness
+    # ('T*****FF*' == covers ∧ interiors-intersect)
+    return covers(a, b) and _interiors_intersect(a, b)
 
 
 def within(a, b) -> bool:
@@ -500,16 +495,34 @@ def covers(a: Geometry | None, b: Geometry | None) -> bool:
         return False
     if _bbox_disjoint(a, b):
         return False
+    da, db = _dim(a), _dim(b)
+    if db > da:
+        return False
     pb = _points_of(b)
     cls = _all_class(pb, a)
     if (cls == EXTERIOR).any():
         return False
-    if _dim(b) >= 1 and _dim(a) == 2:
+    if db >= 1 and da == 2:
         eb = _edges(b)
         if len(eb):
             mx, my = (eb[:, 0] + eb[:, 2]) / 2.0, (eb[:, 1] + eb[:, 3]) / 2.0
             if (points_in_rings_class(mx, my, _rings_of(a)) == EXTERIOR).any():
                 return False
+    if da == 1 and db == 1:
+        # vertex sampling misses spans of b that leave a between a-vertices:
+        # node b's edges at a's, then EVERY fragment midpoint must lie on a
+        from .overlay import _fragments, _overlay_tol, _split_params
+
+        ea, eb = _edges(a), _edges(b)
+        if not len(ea):
+            return False
+        if len(eb):
+            tol = _overlay_tol(ea, eb)
+            fr = _fragments(eb, _split_params(eb, ea, tol))
+            if len(fr):
+                mx, my = (fr[:, 0] + fr[:, 2]) / 2.0, (fr[:, 1] + fr[:, 3]) / 2.0
+                if not points_on_segments(mx, my, ea, eps=tol).all():
+                    return False
     return True
 
 
@@ -626,6 +639,12 @@ def _interiors_intersect(a: Geometry, b: Geometry) -> bool:
     )
 
     da, db = _dim(a), _dim(b)
+    if da == 0 or db == 0:
+        # a point's interior is the point itself: witness = any point of the
+        # puntal side classified INTERIOR against the other geometry
+        pts, other = (a, b) if da == 0 else (b, a)
+        pp = _points_of(pts)
+        return bool((_all_class(pp, other) == INTERIOR).any())
     if da == 2 and db == 2:
         # axis-aligned-rectangle fast path (GEOS RectangleIntersects
         # analog): open-interval overlap on both axes
@@ -682,19 +701,27 @@ def _interiors_intersect(a: Geometry, b: Geometry) -> bool:
         cls = _noded_line_classes(a, b)
         return bool((cls == INTERIOR).any())
     # line vs line: collinear overlap, proper crossing, or a crossing pinned
-    # at a vertex that is interior (non-endpoint) to both lines
+    # at a vertex that is interior (non-endpoint) to both lines. Overlap
+    # witnesses come from NODED fragment midpoints: an un-noded midpoint can
+    # land exactly on the other line's endpoint (T-junction → int∩∂, not
+    # int∩int), and can miss partial collinear spans entirely.
     ea, eb = _edges(a), _edges(b)
     if not len(ea) or not len(eb):
         return False
-    mx, my = (ea[:, 0] + ea[:, 2]) / 2.0, (ea[:, 1] + ea[:, 3]) / 2.0
-    if points_on_segments(mx, my, eb).any():
-        return True
-    mx, my = (eb[:, 0] + eb[:, 2]) / 2.0, (eb[:, 1] + eb[:, 3]) / 2.0
-    if points_on_segments(mx, my, ea).any():
-        return True
-    if _proper_crossing(ea, eb):
-        return True
     tol = _overlay_tol(ea, eb)
+    for eg, eh in ((ea, eb), (eb, ea)):
+        fr = _fragments(eg, _split_params(eg, eh, tol))
+        if not len(fr):
+            continue
+        mx, my = (fr[:, 0] + fr[:, 2]) / 2.0, (fr[:, 1] + fr[:, 3]) / 2.0
+        # post-noding, a fragment midpoint on the other line is strictly
+        # between nodes, so it is interior to BOTH lines
+        if points_on_segments(mx, my, eh, eps=tol).any():
+            return True
+    # 0-dim witnesses: every crossing/touch point that is a boundary point
+    # of NEITHER line (a proper edge crossing can still land exactly on the
+    # other line's mod-2 endpoint — e.g. a self-crossing polyline — so a
+    # bare proper-crossing boolean is not a valid witness)
     pts = _crossing_touch_points(ea, eb, tol)
     if len(pts):
         ba, bb_ = _line_boundary_points(a), _line_boundary_points(b)
@@ -762,7 +789,14 @@ def overlaps(a: Geometry | None, b: Geometry | None) -> bool:
         return False
     if _dim(a) != _dim(b):
         return False
-    if not _interiors_intersect(a, b):
+    if _dim(a) == 1:
+        # lineal pattern is '1*T***T**': the interior intersection must be
+        # 1-dimensional — segments crossing at a point are crosses, not
+        # overlaps. A dim-1 intersection of polylines forces some edge pair
+        # collinear with positive overlap.
+        if not _collinear_overlap(a, b):
+            return False
+    elif not _interiors_intersect(a, b):
         return False
     return not (covers(a, b) or covers(b, a))
 

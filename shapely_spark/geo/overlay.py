@@ -134,6 +134,12 @@ def _split_params(edges: np.ndarray, other: np.ndarray, tol: float) -> list[np.n
         if ts:
             tt = np.unique(np.concatenate(ts))
             tt = tt[(tt > 1e-12) & (tt < 1 - 1e-12)]
+            if len(tt) > 1:
+                # merge fp-noise twins (e.g. a crossing AND a collinear
+                # projection of the same touch point differing by ~1e-16):
+                # they otherwise yield degenerate fragments whose midpoint
+                # sits exactly ON the noding point
+                tt = tt[np.concatenate(([True], np.diff(tt) > 1e-12))]
             out[i] = tt
         else:
             out[i] = np.zeros(0)
