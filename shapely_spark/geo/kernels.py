@@ -287,6 +287,126 @@ class PreparedPolygons:
         raise ValueError(f"unsupported point-vs-polygon predicate {predicate!r}")
 
 
+class RaggedPolygonLayer:
+    """Whole-layer prepared structure for region-heterogeneous point
+    batches: all regions' edges concatenated into flat arrays with
+    per-region offsets, so classify_many vectorizes the ray-cast across
+    EVERY (point, its-region) pair in one shot (the north-star
+    'vectorized ray-casting' form; reference per-geometry analog:
+    shapely/creation.py:735 prepare).
+
+    Why it exists: PreparedPolygons.classify costs ~20 µs of Python
+    dispatch per distinct region per batch. At a 100k-region layer each
+    Arrow batch holds ~1 candidate per region, so the per-group path
+    degenerates to per-row Python. Here the work per batch is a fixed
+    handful of NumPy ops over the expanded (candidate, edge) pairs —
+    identical FLOPs, no per-region dispatch.
+
+    Built ONCE (driver side, then broadcast as plain arrays): workers
+    pay zero per-region construction. Semantics are bit-identical to
+    points_in_rings_class: half-open even-odd crossing parity XOR-ed
+    across rings == parity of total crossings over all non-degenerate
+    ring edges; exact (eps=0) on-segment boundary test overrides;
+    degenerate rings (<4 pts) contribute boundary segments only."""
+
+    __slots__ = ("n", "bbox", "cross_start", "cross_seg",
+                 "bnd_start", "bnd_seg")
+
+    def __init__(self, geoms_by_id: dict[int, "Geometry"]):
+        n = (max(geoms_by_id) + 1) if geoms_by_id else 0
+        self.n = n
+        self.bbox = np.full((n, 4), np.nan)
+        cross_cnt = np.zeros(n, dtype=np.int64)
+        bnd_cnt = np.zeros(n, dtype=np.int64)
+        cross_parts: list[np.ndarray] = []
+        bnd_parts: list[np.ndarray] = []
+        for rid in sorted(geoms_by_id):
+            g = geoms_by_id[rid]
+            rings: list[np.ndarray] = []
+            if g is not None and not g.is_empty:
+                if g.type_id == POLYGON:
+                    rings = [np.asarray(r)[:, :2] for r in g.rings]
+                elif g.type_id in (MULTIPOLYGON, GEOMETRYCOLLECTION):
+                    for p in g.parts or []:
+                        if p.type_id == POLYGON:
+                            rings.extend(np.asarray(r)[:, :2] for r in p.rings)
+                self.bbox[rid] = bounds(g)
+            ce, be = 0, 0
+            for c in rings:
+                if len(c) >= 2:
+                    seg = np.column_stack([c[:-1], c[1:]])
+                    bnd_parts.append(seg)
+                    be += len(seg)
+                    if len(c) >= 4:
+                        cross_parts.append(seg)
+                        ce += len(seg)
+            cross_cnt[rid] = ce
+            bnd_cnt[rid] = be
+        self.cross_start = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cross_cnt, out=self.cross_start[1:])
+        self.bnd_start = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(bnd_cnt, out=self.bnd_start[1:])
+        self.cross_seg = (np.concatenate(cross_parts, axis=0)
+                          if cross_parts else np.zeros((0, 4)))
+        self.bnd_seg = (np.concatenate(bnd_parts, axis=0)
+                        if bnd_parts else np.zeros((0, 4)))
+
+    @staticmethod
+    def _expand(start: np.ndarray, rids: np.ndarray):
+        """(row_idx, edge_idx) for the ragged ranges of each row's region."""
+        cnt = start[rids + 1] - start[rids]
+        total = int(cnt.sum())
+        if total == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        row_idx = np.repeat(np.arange(len(rids), dtype=np.int64), cnt)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt)
+        return row_idx, start[rids][row_idx] + offs
+
+    def classify_many(self, rids, px, py) -> np.ndarray:
+        """0 exterior / 1 boundary / 2 interior of point i vs region
+        rids[i] — one vectorized pass for the whole heterogeneous batch."""
+        rids = np.asarray(rids, dtype=np.int64)
+        px = np.asarray(px, dtype=np.float64)
+        py = np.asarray(py, dtype=np.float64)
+        out = np.zeros(len(rids), dtype=np.int8)
+        ok = (rids >= 0) & (rids < self.n)
+        bb = self.bbox[np.where(ok, rids, 0)]
+        live = (ok & (px >= bb[:, 0]) & (px <= bb[:, 2])
+                & (py >= bb[:, 1]) & (py <= bb[:, 3]))
+        if not live.any():
+            return out
+        li = np.nonzero(live)[0]
+        r, x, y = rids[li], px[li], py[li]
+        # even-odd crossing parity over the region's own edges
+        row, eidx = self._expand(self.cross_start, r)
+        if len(row):
+            s = self.cross_seg[eidx]
+            x1, y1, x2, y2 = s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+            PX, PY = x[row], y[row]
+            cond = (y1 > PY) != (y2 > PY)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = x1 + (PY - y1) * (x2 - x1) / (y2 - y1)
+            hits = cond & (PX < xint)
+            crossings = np.bincount(row[hits], minlength=len(li))
+            inside = (crossings % 2).astype(bool)
+            out[li[inside]] = INTERIOR
+        # exact on-boundary test overrides (eps = 0, as points_on_segments)
+        row, eidx = self._expand(self.bnd_start, r)
+        if len(row):
+            s = self.bnd_seg[eidx]
+            x1, y1, x2, y2 = s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+            PX, PY = x[row], y[row]
+            cross = (x2 - x1) * (PY - y1) - (y2 - y1) * (PX - x1)
+            onb = ((cross == 0.0)
+                   & (PX >= np.minimum(x1, x2)) & (PX <= np.maximum(x1, x2))
+                   & (PY >= np.minimum(y1, y2)) & (PY <= np.maximum(y1, y2)))
+            if onb.any():
+                hit = np.unique(row[onb])
+                out[li[hit]] = BOUNDARY
+        return out
+
+
 def contains_xy(geom: Geometry, x, y) -> np.ndarray:
     """reference: shapely/predicates.py:1311 — vectorized point fast path,
     auto-prepares (here: rings extracted once per call)."""

@@ -127,10 +127,18 @@ def synth_pages(spark: SparkSession, n_rows: int, partitions: int | None = None)
 # Regions layer (driver-side NumPy — small, broadcastable)
 # ---------------------------------------------------------------------------
 
-def synth_regions(n_regions: int, seed: int = 42):
+def synth_regions(n_regions: int, seed: int = 42, layout: str = "hotspot"):
     """Seeded region polygons around the hotspots plus uniform boxes.
     Returns list[(region_id, name, Geometry, kind)]. ~5% holed, ~2% multi,
-    a few empties (FIXTURES.md §2)."""
+    a few empties (FIXTURES.md §2).
+
+    layout="hotspot" (default) clusters 70% of regions around the page
+    hotspots — right for small layers, but at ≥10k regions it stacks
+    thousands of overlapping polygons on each hotspot cell, so every
+    hotspot page genuinely matches thousands of regions (~10^9 join
+    pairs at 100k regions × 1M pages). layout="uniform" places every
+    region uniformly (≈3× area stacking at any n) — the realistic
+    admin-boundary analog for big-layer probes."""
     from ..geo.geom import Geometry, POLYGON, box, empty, multipolygon, regular_ngon
 
     rng = np.random.RandomState(seed)
@@ -140,6 +148,8 @@ def synth_regions(n_regions: int, seed: int = 42):
         if u < 0.005 and rid > 0:
             out.append((rid, f"region_{rid}", empty(POLYGON), "empty"))
             continue
+        if layout == "uniform":
+            u = 1.0  # every non-empty region takes the uniform-box branch
         if u < 0.7:
             # convex polygon near a hotspot (Voronoi-ish coverage)
             hy, hx = HOTSPOTS[rid % len(HOTSPOTS)]

@@ -1,0 +1,80 @@
+"""Property-based cross-checks between the overlay ops and the measure /
+relate kernels (reference semantics: shapely/set_operations.py — the four
+overlays must satisfy inclusion-exclusion on area, and a positive-area
+intersection must agree with relate's interior∩interior == 2).
+
+Overlay (noded-fragment selection, geo/overlay.py) and relate
+(classification kernels) are INDEPENDENT paths over the same geometry
+zoo as tests/test_predicate_consistency.py, so the invariants below are
+a self-contained oracle: no external engine needed."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from shapely_spark.geo import kernels as K
+from shapely_spark.geo.geom import Geometry, POLYGON, box, polygon, regular_ngon
+from shapely_spark.geo.overlay import (
+    difference,
+    intersection,
+    symmetric_difference,
+    union,
+)
+
+coord = st.integers(min_value=-6, max_value=6).map(lambda v: v * 0.5)
+
+
+@st.composite
+def polys(draw):
+    kind = draw(st.sampled_from(["box", "holed_box", "ngon"]))
+    x, y = draw(coord), draw(coord)
+    w = draw(st.integers(1, 5)) * 0.5
+    h = draw(st.integers(1, 5)) * 0.5
+    if kind == "box":
+        return box(x, y, x + w, y + h)
+    if kind == "holed_box":
+        outer = box(x, y, x + max(w, 1.5), y + max(h, 1.5))
+        sh = outer.rings[0]
+        c = sh[:-1].mean(axis=0)
+        hole = (sh - c) * 0.4 + c
+        return polygon(sh, [hole[::-1]])
+    g = regular_ngon(x, y, w, draw(st.integers(3, 7)))
+    return polygon(np.round(g.rings[0], 9))  # snap cos/sin fp noise
+
+
+def _area(g) -> float:
+    return 0.0 if g is None or g.is_empty else K.area(g)
+
+
+@settings(max_examples=150, deadline=None)
+@given(polys(), polys())
+def test_overlay_inclusion_exclusion(a, b):
+    aa, ab = K.area(a), K.area(b)
+    scale = max(aa, ab, 1.0)
+    tol = 1e-9 * scale
+    ai = _area(intersection(a, b))
+    au = _area(union(a, b))
+    ad = _area(difference(a, b))
+    adb = _area(difference(b, a))
+    asd = _area(symmetric_difference(a, b))
+    assert abs(au - (aa + ab - ai)) < tol
+    assert abs(ad - (aa - ai)) < tol
+    assert abs(adb - (ab - ai)) < tol
+    assert abs(asd - (au - ai)) < tol
+    # commutativity of the symmetric ops
+    assert abs(_area(intersection(b, a)) - ai) < tol
+    assert abs(_area(union(b, a)) - au) < tol
+
+
+@settings(max_examples=150, deadline=None)
+@given(polys(), polys())
+def test_overlay_agrees_with_relate(a, b):
+    ai = _area(intersection(a, b))
+    m = K.relate(a, b)
+    scale = max(K.area(a), K.area(b), 1.0)
+    if ai > 1e-9 * scale:
+        assert m[0] == "2", (ai, m)
+    if m[0] == "2":
+        assert ai > 0.0, (ai, m)
+    # containment duality: a within b ⇔ intersection fills a
+    if K.within(a, b):
+        assert abs(ai - K.area(a)) < 1e-9 * scale

@@ -18,7 +18,9 @@ from shapely_spark.geo import kernels as K
 from shapely_spark.geo.geom import (
     box,
     linestring,
+    multilinestring,
     multipoint,
+    multipolygon,
     point,
     polygon,
     regular_ngon,
@@ -30,7 +32,8 @@ coord = st.integers(min_value=-6, max_value=6).map(lambda v: v * 0.5)
 @st.composite
 def geoms(draw):
     kind = draw(st.sampled_from(
-        ["point", "segment", "polyline", "box", "holed_box", "ngon", "multipoint"]
+        ["point", "segment", "polyline", "box", "holed_box", "ngon", "multipoint",
+         "multiline", "multipolygon"]
     ))
     x, y = draw(coord), draw(coord)
     if kind == "point":
@@ -51,6 +54,23 @@ def geoms(draw):
     if kind == "multipoint":
         n = draw(st.integers(1, 3))
         return multipoint([(draw(coord), draw(coord)) for _ in range(n)])
+    if kind == "multiline":
+        parts = []
+        for _ in range(draw(st.integers(2, 3))):
+            px, py = draw(coord), draw(coord)
+            qx, qy = draw(coord), draw(coord)
+            if (qx, qy) == (px, py):
+                qx += 0.5
+            parts.append(linestring([(px, py), (qx, qy)]))
+        return multilinestring(parts)
+    if kind == "multipolygon":
+        # disjoint parts (reference relate requires valid multipolygons):
+        # two boxes separated by a large fixed offset
+        w = draw(st.integers(1, 3)) * 0.5
+        return multipolygon([
+            box(x, y, x + w, y + w),
+            box(x + w + 0.5, y, x + 2 * w + 0.5, y + w),
+        ])
     w = draw(st.integers(1, 5)) * 0.5
     h = draw(st.integers(1, 5)) * 0.5
     if kind == "box":

@@ -357,3 +357,40 @@ def test_spatial_join_geom_mixed_rects_and_ngons(spark):
                 for rid, name, rg, kind in rng_regions
                 if not rg.is_empty and fn(lg, rg)}
         assert got == want, pred
+
+
+def test_ragged_layer_matches_prepared_classify():
+    """RaggedPolygonLayer.classify_many (the broadcast-join refine kernel)
+    must be bit-identical to per-region PreparedPolygons.classify over the
+    full region zoo — interior/boundary/exterior, exact corner and edge
+    hits, empties, holed and multi polygons, both layer layouts."""
+    from shapely_spark.geo.kernels import PreparedPolygons, RaggedPolygonLayer
+
+    for layout in ("hotspot", "uniform"):
+        regions = synth_regions(600, seed=7, layout=layout)
+        geoms = {rid: g for rid, _, g, _ in regions}
+        layer = RaggedPolygonLayer(geoms)
+        rng = np.random.RandomState(0)
+        rids = rng.randint(0, 600, 5000).astype(np.int64)
+        px = np.zeros(len(rids))
+        py = np.zeros(len(rids))
+        for i, r in enumerate(rids):
+            bb = layer.bbox[r]
+            if np.isnan(bb[0]):
+                continue
+            u = rng.uniform()
+            if u < 0.1:  # exact corner → boundary for boxes
+                px[i], py[i] = bb[0], bb[1]
+            elif u < 0.2:  # exact bbox-edge midpoint
+                px[i], py[i] = (bb[0] + bb[2]) / 2, bb[1]
+            else:
+                px[i] = rng.uniform(bb[0] - 0.2, bb[2] + 0.2)
+                py[i] = rng.uniform(bb[1] - 0.2, bb[3] + 0.2)
+        got = layer.classify_many(rids, px, py)
+        exp = np.zeros(len(rids), dtype=np.int8)
+        for r in np.unique(rids):
+            m = rids == r
+            exp[m] = PreparedPolygons([geoms[r]]).classify(0, px[m], py[m])
+        assert (got == exp).all()
+        # all three classes must actually occur for the test to mean anything
+        assert set(np.unique(got)) == {0, 1, 2}
