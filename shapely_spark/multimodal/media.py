@@ -2,14 +2,15 @@
 
 Media ride as opaque `binary` columns with a typed metadata struct; every
 transform is an Arrow-batched mapInPandas whose schema, partitioning and
-batch shape are real and tested. Decoding is REAL for uncompressed
-formats — binary PPM/PGM and 24/32-bit BMP images, PCM WAV audio — via
-pure stdlib+numpy codecs (`decode_image`, `decode_audio`, with
-`encode_ppm`/`encode_wav` roundtrip fixtures). Compressed formats
-(JPEG/PNG, mp3/aac) require codec libraries absent from this container
-and raise NotImplementedError in the same dispatcher, so swapping in
-PIL/ffmpeg changes one function body, not the pipeline. The deterministic
-MM01 fake payloads used by the synthetic tables route to stub decoders.
+batch shape are real and tested. Decoding is REAL — binary PPM/PGM,
+24/32-bit BMP, PNG and GIF images; WAV audio in PCM, IEEE-float, G.711
+A-law/mu-law and IMA ADPCM flavors — via pure stdlib+numpy codecs
+(codecs.py; `decode_image`, `decode_audio`, with encode_* roundtrip
+fixtures). Only formats whose entropy coding genuinely requires an
+external library (JPEG/WebP, mp3/aac/opus) raise NotImplementedError in
+the same dispatcher, so swapping in PIL/ffmpeg changes one function
+body, not the pipeline. The deterministic MM01 fake payloads used by
+the synthetic tables route to stub decoders.
 
 Schema convention:
   media(url string, kind string, payload binary,
@@ -56,23 +57,31 @@ def synth_media(spark: SparkSession, n: int = 100) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """REAL image decode for uncompressed formats, pure stdlib+numpy:
-    binary PPM (P6) / PGM (P5) and uncompressed 24/32-bit BMP → H×W×3
-    uint8. The synthetic MM01 fake-header payloads route to the
-    deterministic stub. Compressed formats (JPEG/PNG/WebP) require codec
-    libraries not present in this container and raise NotImplementedError
-    — swapping in PIL/turbojpeg changes this dispatcher only, not the
-    pipeline."""
+    """REAL image decode, pure stdlib+numpy: binary PPM (P6) / PGM (P5),
+    uncompressed 24/32-bit BMP, and — via codecs.py — PNG (zlib inflate +
+    all five scanline filters, every color type) and GIF (variable-width
+    LZW, interlace). The synthetic MM01 fake-header payloads route to the
+    deterministic stub. Formats whose entropy coding genuinely needs a
+    codec library (JPEG/WebP) raise NotImplementedError — swapping in
+    PIL/turbojpeg changes this dispatcher only, not the pipeline."""
     b = bytes(payload)
     if b[:5] == b"MM01:":
         return decode_image_stub(b)
     if b[:2] in (b"P6", b"P5"):
         return _decode_pnm(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        from .codecs import decode_png
+
+        return decode_png(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from .codecs import decode_gif
+
+        return decode_gif(b)
     if b[:2] == b"BM":
         return _decode_bmp(b)
     raise NotImplementedError(
-        "compressed image formats need codec libraries (PIL/turbojpeg) not "
-        "present in this container; supported here: PPM/PGM/BMP"
+        "JPEG/WebP need codec libraries (PIL/turbojpeg) not present in "
+        "this container; supported here: PNG/GIF/PPM/PGM/BMP"
     )
 
 
@@ -130,34 +139,21 @@ def encode_ppm(img: np.ndarray) -> bytes:
 
 
 def decode_audio(payload: bytes, sample_rate: int | None = None) -> np.ndarray:
-    """REAL audio decode for PCM WAV (stdlib `wave`) → float32 mono in
-    [-1, 1]; MM01 fake payloads route to the stub; compressed codecs
-    (mp3/aac/opus) raise NotImplementedError (need ffmpeg/soundfile)."""
+    """REAL audio decode → float32 mono in [-1, 1]: WAV in PCM 8/16/24/32,
+    IEEE float, G.711 A-law/mu-law, and IMA ADPCM flavors (codecs.py —
+    stdlib `wave` only reads PCM, so the RIFF walk is hand-rolled). MM01
+    fake payloads route to the stub; perceptual codecs (mp3/aac/opus)
+    raise NotImplementedError (need ffmpeg/soundfile)."""
     b = bytes(payload)
     if b[:5] == b"MM01:":
         return decode_audio_stub(b, sample_rate or 16000)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-        import io
-        import wave
+        from .codecs import decode_wav
 
-        with wave.open(io.BytesIO(b)) as wf:
-            n = wf.getnframes()
-            sw = wf.getsampwidth()
-            nc = wf.getnchannels()
-            raw = wf.readframes(n)
-        if sw == 2:
-            x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-        elif sw == 1:
-            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
-        elif sw == 4:
-            x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
-        else:
-            raise NotImplementedError(f"WAV sample width {sw} unsupported")
-        if nc > 1:
-            x = x.reshape(-1, nc).mean(axis=1)
-        return x.astype(np.float32)
+        return decode_wav(b)
     raise NotImplementedError(
-        "compressed audio codecs need ffmpeg/soundfile; supported here: PCM WAV"
+        "perceptual audio codecs (mp3/aac/opus) need ffmpeg/soundfile; "
+        "supported here: WAV PCM/float/A-law/mu-law/IMA-ADPCM"
     )
 
 

@@ -3061,3 +3061,161 @@ def offset_curve_lengths(spark, sf_dir):
     return params.mapInPandas(
         gen, "gid long, inner_len double, outer_len double"
     ).repartition(1).sortWithinPartitions("gid")
+
+
+# ---- round-3 widening: compressed-codec decode contracts -------------------
+
+@q(
+    "image_decode_png_px_sum",
+    f"""
+    WITH g AS (SELECT p_partkey AS gid,
+                      8 + p_partkey % 5 AS w, 6 + p_partkey % 4 AS h
+               FROM part),
+    px AS (
+      SELECT g.gid,
+             sum((x.x*7 + y.y*11 + c.c*13 + g.gid*17) % 256) AS px_sum
+      FROM g, range(0, 12) x(x), range(0, 9) y(y), range(0, 3) c(c)
+      WHERE x.x < g.w AND y.y < g.h
+      GROUP BY g.gid
+    )
+    SELECT gid, px_sum::BIGINT AS px_sum FROM px ORDER BY gid
+    """,
+)
+def image_decode_png_px_sum(spark, sf_dir):
+    """Contract oracle for the REAL PNG codec (multimodal/codecs.py
+    encode_png → decode_image): same closed-form pixel field as
+    image_decode_px_sum, but serialized as PNG — chunk walk + CRC, zlib
+    inflate, and (encode_png cycles filter = row % 5, h ≥ 6) every one
+    of the five scanline unfilters. Any chunk-parse, inflate, filter, or
+    channel-order bug shifts the sum."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (8 + k % 5).cast("int").alias("w"),
+        (6 + k % 4).cast("int").alias("h"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal.codecs import encode_png
+        from .multimodal.media import decode_image
+
+        for pdf in batches:
+            sums = []
+            for gid, w, h in zip(pdf.gid, pdf.w, pdf.h):
+                y, x, c = np.mgrid[0:h, 0:w, 0:3]
+                img = ((7 * x + 11 * y + 13 * c + 17 * int(gid)) % 256).astype(np.uint8)
+                dec = decode_image(encode_png(img))
+                assert dec.shape == (h, w, 3), (dec.shape, (h, w))
+                sums.append(int(dec.astype(np.int64).sum()))
+            yield pd.DataFrame({"gid": pdf.gid, "px_sum": sums})
+
+    return params.mapInPandas(gen, "gid long, px_sum long").repartition(1).sortWithinPartitions("gid")
+
+
+@q(
+    "image_decode_gif_px_sum",
+    """
+    WITH g AS (SELECT p_partkey AS gid,
+                      8 + p_partkey % 5 AS w, 6 + p_partkey % 4 AS h
+               FROM part),
+    px AS (
+      SELECT g.gid,
+             sum(((p.p*3 + 5) % 256) + ((p.p*7 + 11) % 256) + ((p.p*13 + 17) % 256)) AS px_sum
+      FROM (
+        SELECT g2.gid AS gid2, g2.w, g2.h,
+               (x.x*7 + y.y*11 + g2.gid) % 64 AS p
+        FROM g g2, range(0, 12) x(x), range(0, 9) y(y)
+        WHERE x.x < g2.w AND y.y < g2.h
+      ) p JOIN g ON g.gid = p.gid2
+      GROUP BY g.gid
+    )
+    SELECT gid, px_sum::BIGINT AS px_sum FROM px ORDER BY gid
+    """,
+)
+def image_decode_gif_px_sum(spark, sf_dir):
+    """Contract oracle for the REAL GIF codec (multimodal/codecs.py
+    encode_gif → decode_image, variable-width LZW): palette entry k =
+    ((3k+5)%256, (7k+11)%256, (13k+17)%256), pixel index (x,y) =
+    (7x+11y+gid) mod 64; decode through the production dispatcher and
+    sum all decoded channels. DuckDB recomputes the sum closed-form —
+    an LZW width/reset bug, palette-order bug, or row-layout bug shifts
+    it."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (8 + k % 5).cast("int").alias("w"),
+        (6 + k % 4).cast("int").alias("h"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal.codecs import encode_gif
+        from .multimodal.media import decode_image
+
+        pal = np.stack([(np.arange(64) * 3 + 5) % 256,
+                        (np.arange(64) * 7 + 11) % 256,
+                        (np.arange(64) * 13 + 17) % 256], axis=-1).astype(np.uint8)
+        for pdf in batches:
+            sums = []
+            for gid, w, h in zip(pdf.gid, pdf.w, pdf.h):
+                y, x = np.mgrid[0:h, 0:w]
+                idx = ((7 * x + 11 * y + int(gid)) % 64).astype(np.uint8)
+                dec = decode_image(encode_gif(pal[idx]))
+                assert dec.shape == (h, w, 3), (dec.shape, (h, w))
+                sums.append(int(dec.astype(np.int64).sum()))
+            yield pd.DataFrame({"gid": pdf.gid, "px_sum": sums})
+
+    return params.mapInPandas(gen, "gid long, px_sum long").repartition(1).sortWithinPartitions("gid")
+
+
+@q(
+    "audio_decode_ulaw_abs_sum",
+    """
+    WITH g AS (SELECT p_partkey AS gid, 200 + (p_partkey % 10) * 40 AS n
+               FROM part),
+    s AS (
+      SELECT g.gid,
+             -- G.711 mu-law expansion of code c = (37i+101*gid)%256:
+             -- u = ~c & 255; e = (u>>4)&7; m = u&15;
+             -- |x| = ((8m+132) << e) - 132  (sign = bit 7 of u)
+             sum((((255 - (i.i*37 + g.gid*101) % 256) % 16) * 8 + 132)
+                 * power(2, ((255 - (i.i*37 + g.gid*101) % 256) // 16) % 8) - 132) AS abs_sum
+      FROM g, range(0, 560) i(i)
+      WHERE i.i < g.n
+      GROUP BY g.gid
+    )
+    SELECT gid, abs_sum::BIGINT AS abs_sum FROM s ORDER BY gid
+    """,
+)
+def audio_decode_ulaw_abs_sum(spark, sf_dir):
+    """Contract oracle for the G.711 mu-law WAV path (multimodal/codecs.py
+    decode_wav, format tag 7): the payload is the raw CODE bytes
+    c_i = (37i+101·gid) mod 256 written into a WAV container
+    (encode_wav_codes — no companding encoder in the loop), decoded
+    through the production dispatcher, and |PCM| summed. DuckDB applies
+    the CCITT expansion closed-form: |x| = ((8m+132)·2^e) − 132 with
+    e/m unpacked from the complemented code byte. A table, sign, or
+    container-parse bug shifts the sum."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (200 + (k % 10) * 40).cast("int").alias("n"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal.codecs import encode_wav_codes
+        from .multimodal.media import decode_audio
+
+        for pdf in batches:
+            sums = []
+            for gid, n in zip(pdf.gid, pdf.n):
+                i = np.arange(int(n), dtype=np.int64)
+                codes = ((i * 37 + int(gid) * 101) % 256).astype(np.uint8)
+                dec = decode_audio(encode_wav_codes(codes, "ulaw"))
+                rec = np.rint(dec.astype(np.float64) * 32768.0).astype(np.int64)
+                sums.append(int(np.abs(rec).sum()))
+            yield pd.DataFrame({"gid": pdf.gid, "abs_sum": sums})
+
+    return params.mapInPandas(gen, "gid long, abs_sum long").repartition(1).sortWithinPartitions("gid")

@@ -127,11 +127,11 @@ class TestRealCodecs:
         assert y.dtype == np.float32 and len(y) == len(x)
         assert float(np.abs(y - x.astype(np.float32)).max()) < 1e-3
 
-    def test_compressed_formats_raise(self):
+    def test_codec_library_formats_raise(self):
         import pytest
         from shapely_spark.multimodal.media import decode_audio, decode_image
         with pytest.raises(NotImplementedError):
-            decode_image(b"\x89PNG\r\n\x1a\n....")
+            decode_image(b"\xff\xd8\xff\xe0....jpeg frames")
         with pytest.raises(NotImplementedError):
             decode_audio(b"ID3\x04...mp3 frames")
 
@@ -149,3 +149,268 @@ class TestRealCodecs:
         assert len(out) == 10
         assert all(abs(sum(r.feature) - 1.0) < 1e-9 for r in out)
         assert all(r.width == 8 and r.height == 8 for r in out)
+
+
+class TestCompressedCodecs:
+    """PNG/GIF images + non-PCM WAV, pure stdlib+numpy (codecs.py).
+    Goldens are hand-packed byte streams (independent of the encoders);
+    roundtrips cross every filter / LZW-width / block boundary."""
+
+    # ---- PNG ---------------------------------------------------------
+
+    def test_png_rgb_roundtrip_all_filters(self):
+        import numpy as np
+        from shapely_spark.multimodal.codecs import decode_png, encode_png
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, size=(23, 17, 3), dtype=np.uint8)
+        # encode_png cycles filter = row % 5, so h>=5 exercises all five
+        out = decode_png(encode_png(img))
+        assert out.shape == img.shape and (out == img).all()
+
+    def test_png_gray_roundtrip(self):
+        import numpy as np
+        from shapely_spark.multimodal.codecs import decode_png, encode_png
+        g = (np.arange(9 * 31, dtype=np.int64) * 37 % 256).astype(np.uint8).reshape(9, 31)
+        out = decode_png(encode_png(g))
+        assert out.shape == (9, 31, 3) and (out[..., 0] == g).all() and (out[..., 2] == g).all()
+
+    def test_png_handpacked_palette_golden(self):
+        """Hand-built chunk stream (struct+zlib only — no encoder in the
+        loop): 2x2 paletted, filter 0 rows."""
+        import struct
+        import zlib
+        import numpy as np
+        from shapely_spark.multimodal.codecs import PNG_SIG
+        from shapely_spark.multimodal.media import decode_image
+
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(
+                ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+        rows = b"\x00\x00\x01" + b"\x00\x02\x03"
+        png = (PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+               + chunk(b"PLTE", plte) + chunk(b"IDAT", zlib.compress(rows))
+               + chunk(b"IEND", b""))
+        out = decode_image(png)
+        exp = np.array([[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], np.uint8)
+        assert (out == exp).all()
+
+    def test_png_handpacked_filters_golden(self):
+        """Each unfilter path against hand-computed expectations:
+        rows use filters 1 (Sub), 2 (Up), 3 (Average), 4 (Paeth)."""
+        import struct
+        import zlib
+        import numpy as np
+        from shapely_spark.multimodal.codecs import PNG_SIG, decode_png
+
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(
+                ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+        # grayscale 8-bit, 4 wide x 5 tall; recon hand-stepped per the
+        # spec rules (left neighbor is WITHIN the row; first pixel left=0)
+        rows = bytes([0, 10, 20, 30, 40,        # None  -> 10 20 30 40
+                      1, 5, 5, 5, 5,            # Sub   ->  5 10 15 20
+                      2, 1, 2, 3, 4,            # Up    ->  6 12 18 24
+                      3, 8, 8, 8, 8,            # Avg
+                      4, 1, 1, 1, 1])           # Paeth
+        # Average row over prev=[6,12,18,24]: r[i] = 8 + (left + up)//2
+        #   r0 = 8+(0+6)//2 = 11; r1 = 8+(11+12)//2 = 19
+        #   r2 = 8+(19+18)//2 = 26; r3 = 8+(26+24)//2 = 33
+        # Paeth row over prev=[11,19,26,33]:
+        #   p0: a=0,b=11,c=0  -> p=11, pb=0       -> pred=11 -> 12
+        #   p1: a=12,b=19,c=11 -> p=20, pa=8,pb=1 -> pred=19 -> 20
+        #   p2: a=20,b=26,c=19 -> p=27, pa=7,pb=1 -> pred=26 -> 27
+        #   p3: a=27,b=33,c=26 -> p=34, pa=7,pb=1 -> pred=33 -> 34
+        png = (PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 0, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b""))
+        out = decode_png(png)[..., 0]
+        exp = np.array([[10, 20, 30, 40], [5, 10, 15, 20], [6, 12, 18, 24],
+                        [11, 19, 26, 33], [12, 20, 27, 34]], np.uint8)
+        assert (out == exp).all(), out
+
+    def test_png_16bit_and_subbyte_depths(self):
+        import struct
+        import zlib
+        import numpy as np
+        from shapely_spark.multimodal.codecs import PNG_SIG, decode_png
+
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(
+                ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+        # 16-bit gray 2x1: values 0x1234, 0xFF00 -> high bytes 0x12, 0xFF
+        rows = bytes([0, 0x12, 0x34, 0xFF, 0x00])
+        png = (PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b""))
+        assert (decode_png(png)[0, :, 0] == [0x12, 0xFF]).all()
+        # 1-bit gray 8x1: byte 0b10110001, scaled by 255
+        rows = bytes([0, 0b10110001])
+        png = (PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 1, 1, 0, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b""))
+        exp = np.array([1, 0, 1, 1, 0, 0, 0, 1]) * 255
+        assert (decode_png(png)[0, :, 0] == exp).all()
+
+    def test_png_rgba_alpha_dropped_and_crc_enforced(self):
+        import struct
+        import zlib
+        import numpy as np
+        import pytest
+        from shapely_spark.multimodal.codecs import PNG_SIG, decode_png
+
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(
+                ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+        rows = bytes([0, 1, 2, 3, 200, 4, 5, 6, 100])
+        png = (PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b""))
+        out = decode_png(png)
+        assert (out == np.array([[[1, 2, 3], [4, 5, 6]]], np.uint8)).all()
+        corrupted = bytearray(png)
+        corrupted[-20] ^= 0xFF  # flip a byte inside IDAT, CRC now wrong
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(corrupted))
+
+    # ---- GIF ---------------------------------------------------------
+
+    def test_gif_handpacked_literal_golden(self):
+        """Hand-packed LZW stream — min code size 7 keeps every code a
+        literal at fixed 8-bit width, so the expected byte sequence is
+        exactly [clear, p0, p1, p2, p3, end] with no encoder involved."""
+        import struct
+        import numpy as np
+        from shapely_spark.multimodal.media import decode_image
+        pal = np.stack([np.arange(256), np.arange(256)[::-1], np.zeros(256)], -1).astype(np.uint8)
+        head = b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x80 | 7, 0, 0) + pal.tobytes()
+        desc = b"\x2C" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+        lzw = bytes([0x80, 10, 20, 30, 40, 0x81])  # clear=128, end=129
+        gif = head + desc + bytes([7, len(lzw)]) + lzw + b"\x00" + b"\x3B"
+        out = decode_image(gif)
+        assert (out == pal[np.array([[10, 20], [30, 40]])]).all()
+
+    def test_gif_roundtrip_crosses_width_boundaries(self):
+        import numpy as np
+        from shapely_spark.multimodal.codecs import decode_gif, encode_gif
+        rng = np.random.RandomState(4)
+        # 16 colors, 120x80: the LZW table crosses several width growths
+        pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+        img = pal[rng.randint(0, 16, size=(80, 120), dtype=np.uint8)]
+        out = decode_gif(encode_gif(img))
+        assert (out == img).all()
+
+    def test_gif_roundtrip_table_overflow_reset(self):
+        import numpy as np
+        from shapely_spark.multimodal.codecs import decode_gif, encode_gif
+        rng = np.random.RandomState(12)
+        # high-entropy 256-color image large enough to overflow the
+        # 4096-entry table and force a mid-stream clear + reset
+        pal = np.stack([np.arange(256), (np.arange(256) * 7) % 256,
+                        (np.arange(256) * 13) % 256], -1).astype(np.uint8)
+        img = pal[rng.randint(0, 256, size=(100, 120), dtype=np.uint8)]
+        out = decode_gif(encode_gif(img))
+        assert (out == img).all()
+
+    def test_gif_interlaced_rows(self):
+        import struct
+        import numpy as np
+        from shapely_spark.multimodal.codecs import decode_gif
+        # 1x8 column image, interlaced: stored row order is 0,8?.. for h=8:
+        # pass1 rows 0; pass2 row 4; pass3 rows 2,6; pass4 rows 1,3,5,7
+        stored = [0, 4, 2, 6, 1, 3, 5, 7]
+        pal = np.stack([np.arange(256)] * 3, -1).astype(np.uint8)
+        head = b"GIF89a" + struct.pack("<HHBBB", 1, 8, 0x80 | 7, 0, 0) + pal.tobytes()
+        desc = b"\x2C" + struct.pack("<HHHHB", 0, 0, 1, 8, 0x40)
+        lzw = bytes([0x80] + stored + [0x81])
+        gif = head + desc + bytes([7, len(lzw)]) + lzw + b"\x00" + b"\x3B"
+        out = decode_gif(gif)
+        assert (out[:, 0, 0] == np.arange(8)).all()
+
+    # ---- WAV beyond PCM ---------------------------------------------
+
+    def test_ulaw_spec_goldens_and_inverse(self):
+        import numpy as np
+        from shapely_spark.multimodal.codecs import ULAW_TABLE, ulaw_encode
+        # CCITT G.711 expansion goldens
+        assert ULAW_TABLE[0xFF] == 0          # +0
+        assert ULAW_TABLE[0x80] == 32124      # max positive
+        assert ULAW_TABLE[0x00] == -32124     # max negative
+        assert ULAW_TABLE[0x7F] == 0          # -0 (second zero code)
+        codes = np.arange(256, dtype=np.uint8)
+        back = ulaw_encode(ULAW_TABLE.astype(np.int32))
+        ok = back == codes
+        # the only non-fixed-point is the -0 code, which encodes to +0
+        assert (~ok).sum() == 1 and back[0x7F] == 0xFF
+
+    def test_alaw_spec_goldens_and_inverse(self):
+        import numpy as np
+        from shapely_spark.multimodal.codecs import ALAW_TABLE, alaw_encode
+        assert ALAW_TABLE[0x55] == -8         # minimum magnitude, negative
+        assert ALAW_TABLE[0xD5] == 8          # minimum magnitude, positive
+        assert ALAW_TABLE[0xAA] == 32256      # max positive (0xAA^0x55=0xFF)
+        assert ALAW_TABLE[0x2A] == -32256
+        codes = np.arange(256, dtype=np.uint8)
+        assert (alaw_encode(ALAW_TABLE.astype(np.int32)) == codes).all()
+
+    def test_wav_g711_and_float_paths(self):
+        import numpy as np
+        from shapely_spark.multimodal.codecs import (
+            encode_wav_alaw, encode_wav_float32, encode_wav_ulaw)
+        from shapely_spark.multimodal.media import decode_audio
+        x = (np.sin(np.arange(777) / 9.0) * 20000).astype(np.int16)
+        for enc, tol in ((encode_wav_ulaw, 1024), (encode_wav_alaw, 1024)):
+            y = decode_audio(enc(x)) * 32768.0
+            assert len(y) == len(x)
+            assert float(np.abs(y - x).max()) < tol  # companding quantization
+        yf = decode_audio(encode_wav_float32(x / 32768.0))
+        assert np.allclose(yf, (x / 32768.0).astype(np.float32))
+
+    def test_wav_ima_adpcm_tracks_signal(self):
+        import numpy as np
+        from shapely_spark.multimodal.codecs import encode_wav_ima_adpcm
+        from shapely_spark.multimodal.media import decode_audio
+        x = (np.sin(np.arange(5000) / 11.0) * 15000).astype(np.int16)
+        y = decode_audio(encode_wav_ima_adpcm(x, block_align=256)) * 32768.0
+        assert len(y) == len(x)  # fact chunk truncates block padding
+        # after the adaptive step ramps (index starts at 0), it tracks
+        assert float(np.abs(y - x)[64:].max()) < 1600
+
+    def test_wav_ima_adpcm_nibble_goldens(self):
+        """First decoded samples hand-stepped per the IMA spec: pred=100,
+        index=0 (step 7); nibble 3 -> +diff (7>>3 + 7>>1 + 7>>2) = 5,
+        index +(-1) -> 0; nibble 0x8 -> -0 with step 7 ... verified
+        against the reference step table arithmetic."""
+        import struct
+        import numpy as np
+        from shapely_spark.multimodal.codecs import ima_adpcm_decode_block
+        block = struct.pack("<hBx", 100, 0) + bytes([0x83, 0x00, 0x00, 0x00])
+        out = ima_adpcm_decode_block(block, 1)
+        # nib 3: diff = 7>>3 + 7>>1 + 7>>2 = 0+3+1 = 4... recompute:
+        # step=7: base 7>>3=0; bit0 -> +7>>2=1; bit1 -> +7>>1=3 => 0+1+3=4
+        # pred 100+4=104, index += -1 -> clamp 0
+        # nib 8: diff = 0 (only base 7>>3=0), sign bit -> pred 104-0=104
+        assert out[0] == 100 and out[1] == 104 and out[2] == 104
+        assert isinstance(out, np.ndarray) and out.dtype == np.int16
+
+    def test_wav_24bit_and_stereo_mean(self):
+        import struct
+        import numpy as np
+        from shapely_spark.multimodal.codecs import WAVE_PCM, _wav_header, decode_wav
+        v = np.array([0, 1, -1, 8388607, -8388608, 123456], dtype=np.int64)
+        raw = b"".join(int(t & 0xFFFFFF).to_bytes(3, "little") for t in v)
+        y = decode_wav(_wav_header(WAVE_PCM, 1, 16000, 24, 3, len(raw)) + raw)
+        assert np.allclose(y, v / 8388608.0, atol=1e-7)
+        # stereo 16-bit downmix = channel mean
+        st = np.array([1000, 3000, -2000, -4000], dtype="<i2")  # L R L R
+        y = decode_wav(_wav_header(WAVE_PCM, 2, 16000, 16, 4, 8) + st.tobytes())
+        assert np.allclose(y * 32768.0, [2000.0, -3000.0])
+
+    def test_decode_image_dispatches_png_gif(self):
+        import numpy as np
+        from shapely_spark.multimodal.codecs import encode_gif, encode_png
+        from shapely_spark.multimodal.media import decode_image
+        img = (np.arange(6 * 5 * 3, dtype=np.int64) * 29 % 256).astype(np.uint8).reshape(6, 5, 3)
+        assert (decode_image(encode_png(img)) == img).all()
+        quant = (img // 64) * 64
+        assert (decode_image(encode_gif(quant)) == quant).all()
