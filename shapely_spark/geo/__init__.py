@@ -32,4 +32,4 @@ from .geom import (  # noqa: F401
 )
 from .constructive import transform_coordseq  # noqa: F401
 from .testing import assert_geometries_equal  # noqa: F401
-from . import speedups  # noqa: F401
+from . import plotting, speedups  # noqa: F401
