@@ -2,15 +2,15 @@
 
 Media ride as opaque `binary` columns with a typed metadata struct; every
 transform is an Arrow-batched mapInPandas whose schema, partitioning and
-batch shape are real and tested. Decoding is REAL — binary PPM/PGM,
-24/32-bit BMP, PNG and GIF images; WAV audio in PCM, IEEE-float, G.711
-A-law/mu-law and IMA ADPCM flavors — via pure stdlib+numpy codecs
-(codecs.py; `decode_image`, `decode_audio`, with encode_* roundtrip
-fixtures). Only formats whose entropy coding genuinely requires an
-external library (JPEG/WebP, mp3/aac/opus) raise NotImplementedError in
-the same dispatcher, so swapping in PIL/ffmpeg changes one function
-body, not the pipeline. The deterministic MM01 fake payloads used by
-the synthetic tables route to stub decoders.
+batch shape are real and tested. Decoding is REAL — baseline JPEG, PNG,
+GIF, binary PPM/PGM, 24/32-bit BMP images; WAV audio in PCM, IEEE-float,
+G.711 A-law/mu-law and IMA ADPCM flavors — via pure stdlib+numpy codecs
+(jpeg.py, codecs.py; `decode_image`, `decode_audio`, with encode_*
+roundtrip fixtures). Only formats whose entropy coding genuinely
+requires an external library (WebP/AVIF, mp3/aac/opus) raise
+NotImplementedError in the same dispatcher, so swapping in PIL/ffmpeg
+changes one function body, not the pipeline. The deterministic MM01
+fake payloads used by the synthetic tables route to stub decoders.
 
 Schema convention:
   media(url string, kind string, payload binary,
@@ -58,12 +58,14 @@ def synth_media(spark: SparkSession, n: int = 100) -> DataFrame:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """REAL image decode, pure stdlib+numpy: binary PPM (P6) / PGM (P5),
-    uncompressed 24/32-bit BMP, and — via codecs.py — PNG (zlib inflate +
-    all five scanline filters, every color type) and GIF (variable-width
-    LZW, interlace). The synthetic MM01 fake-header payloads route to the
-    deterministic stub. Formats whose entropy coding genuinely needs a
-    codec library (JPEG/WebP) raise NotImplementedError — swapping in
-    PIL/turbojpeg changes this dispatcher only, not the pipeline."""
+    uncompressed 24/32-bit BMP, and — via codecs.py / jpeg.py — PNG
+    (zlib inflate + all five scanline filters, every color type), GIF
+    (variable-width LZW, interlace), and baseline JPEG (canonical
+    Huffman + IDCT, 4:4:4/4:2:2/4:2:0). The synthetic MM01 fake-header
+    payloads route to the deterministic stub. Formats whose entropy
+    coding genuinely needs a codec library (WebP/AVIF) raise
+    NotImplementedError — swapping in PIL changes this dispatcher only,
+    not the pipeline."""
     b = bytes(payload)
     if b[:5] == b"MM01:":
         return decode_image_stub(b)
@@ -77,11 +79,15 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .codecs import decode_gif
 
         return decode_gif(b)
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     if b[:2] == b"BM":
         return _decode_bmp(b)
     raise NotImplementedError(
-        "JPEG/WebP need codec libraries (PIL/turbojpeg) not present in "
-        "this container; supported here: PNG/GIF/PPM/PGM/BMP"
+        "WebP/AVIF/HEIC need codec libraries not present in this "
+        "container; supported here: JPEG(baseline)/PNG/GIF/PPM/PGM/BMP"
     )
 
 

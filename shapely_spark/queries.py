@@ -3219,3 +3219,52 @@ def audio_decode_ulaw_abs_sum(spark, sf_dir):
             yield pd.DataFrame({"gid": pdf.gid, "abs_sum": sums})
 
     return params.mapInPandas(gen, "gid long, abs_sum long").repartition(1).sortWithinPartitions("gid")
+
+
+@q(
+    "image_decode_jpeg_px_sum",
+    """
+    WITH g AS (SELECT p_partkey AS gid,
+                      16 + p_partkey % 5 AS w, 8 + p_partkey % 3 AS h,
+                      (17 * p_partkey + 23) % 256 AS v1,
+                      (29 * p_partkey + 101) % 256 AS v2
+               FROM part)
+    SELECT gid,
+           CAST(3 * h * (8 * v1 + (w - 8) * v2) AS BIGINT) AS px_sum
+    FROM g ORDER BY gid
+    """,
+)
+def image_decode_jpeg_px_sum(spark, sf_dir):
+    """Contract oracle for the baseline JPEG codec (multimodal/jpeg.py):
+    a two-level grayscale image (first 8-pixel block column = v1, rest =
+    v2) encoded at quality 87, where the luma quantizer q[0,0] is 4 so
+    the DC-only blocks roundtrip BIT-EXACT (2(v−128)·4/8 = v−128 — no
+    rounding anywhere), making a lossy codec oracle-checkable: decoded
+    px_sum = 3·h·(8·v1 + (w−8)·v2). Exercises marker walk, DQT/DHT
+    canonical-Huffman parse, DC diff coding across blocks, EOB, IDCT,
+    and gray→RGB replication; AC paths are pinned by unit goldens."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (16 + k % 5).cast("int").alias("w"),
+        (8 + k % 3).cast("int").alias("h"),
+        ((17 * k + 23) % 256).cast("int").alias("v1"),
+        ((29 * k + 101) % 256).cast("int").alias("v2"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal.jpeg import encode_jpeg
+        from .multimodal.media import decode_image
+
+        for pdf in batches:
+            sums = []
+            for gid, w, h, v1, v2 in zip(pdf.gid, pdf.w, pdf.h, pdf.v1, pdf.v2):
+                img = np.full((int(h), int(w)), int(v1), np.uint8)
+                img[:, 8:] = int(v2)
+                dec = decode_image(encode_jpeg(img, quality=87))
+                assert dec.shape == (h, w, 3), (dec.shape, (h, w))
+                sums.append(int(dec.astype(np.int64).sum()))
+            yield pd.DataFrame({"gid": pdf.gid, "px_sum": sums})
+
+    return params.mapInPandas(gen, "gid long, px_sum long").repartition(1).sortWithinPartitions("gid")

@@ -131,7 +131,7 @@ class TestRealCodecs:
         import pytest
         from shapely_spark.multimodal.media import decode_audio, decode_image
         with pytest.raises(NotImplementedError):
-            decode_image(b"\xff\xd8\xff\xe0....jpeg frames")
+            decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ...")
         with pytest.raises(NotImplementedError):
             decode_audio(b"ID3\x04...mp3 frames")
 
@@ -414,3 +414,118 @@ class TestCompressedCodecs:
         assert (decode_image(encode_png(img)) == img).all()
         quant = (img // 64) * 64
         assert (decode_image(encode_gif(quant)) == quant).all()
+
+
+class TestJpegCodec:
+    """Baseline JPEG (jpeg.py): lossy in general, but DC-only paths are
+    exactly predictable — at quality 87 the luma quantizer q[0,0] is 4,
+    so a uniform gray block roundtrips bit-exact (2(v-128)·4/8 = v-128).
+    Marker/structure handling is pinned by byte-level assertions."""
+
+    def test_uniform_gray_exact_at_q87(self):
+        import numpy as np
+        from shapely_spark.multimodal.jpeg import _quality_tables, decode_jpeg, encode_jpeg
+        ql, _ = _quality_tables(87)
+        assert ql[0, 0] == 4  # the power-of-two quantizer the contract needs
+        for v in (0, 1, 7, 128, 200, 255):
+            img = np.full((16, 11), v, np.uint8)
+            out = decode_jpeg(encode_jpeg(img, quality=87))
+            assert out.shape == (16, 11, 3) and (out == v).all(), (v, out[0, 0])
+
+    def test_two_level_gray_exact_dc_diffs(self):
+        import numpy as np
+        from shapely_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+        img = np.full((10, 19), 60, np.uint8)
+        img[:, 8:] = 201  # second/third block columns differ -> nonzero DC diffs
+        out = decode_jpeg(encode_jpeg(img, quality=87))
+        assert (out[:, :8] == 60).all() and (out[:, 8:] == 201).all()
+
+    def test_uniform_color_closed_form(self):
+        import numpy as np
+        from shapely_spark.multimodal.jpeg import _quality_tables, decode_jpeg, encode_jpeg
+        img = np.zeros((8, 8, 3), np.uint8)
+        img[..., 0], img[..., 1], img[..., 2] = 200, 50, 100
+        ql, qc = _quality_tables(90)
+        rgb = img[0, 0].astype(np.float64)
+        y = 0.299 * rgb[0] + 0.587 * rgb[1] + 0.114 * rgb[2]
+        cb = -0.168736 * rgb[0] - 0.331264 * rgb[1] + 0.5 * rgb[2] + 128.0
+        cr = 0.5 * rgb[0] - 0.418688 * rgb[1] - 0.081312 * rgb[2] + 128.0
+        def dc(v, q):
+            return np.rint(8.0 * (v - 128.0) / q[0, 0]) * q[0, 0] / 8.0 + 128.0
+        yq, cbq, crq = dc(y, ql), dc(cb, qc), dc(cr, qc)
+        exp = np.clip(np.rint([yq + 1.402 * (crq - 128.0),
+                               yq - 0.344136 * (cbq - 128.0) - 0.714136 * (crq - 128.0),
+                               yq + 1.772 * (cbq - 128.0)]), 0, 255).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=90))
+        assert (out == exp).all()
+
+    def test_smooth_gradient_bounded_error(self):
+        import numpy as np
+        from shapely_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+        yy, xx = np.mgrid[0:24, 0:31]
+        img = np.stack([20 + (xx * 150) // 31, 30 + (yy * 120) // 24,
+                        200 - (xx * 100) // 31], -1).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 4
+        out420 = decode_jpeg(encode_jpeg(img, quality=95, subsample=True))
+        assert int(np.abs(out420.astype(int) - img.astype(int)).max()) <= 12
+
+    def test_ac_coefficients_roundtrip_runs_and_zrl(self):
+        import numpy as np
+        from shapely_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+        # checkerboard hits high-frequency AC, long zero runs, and ZRL
+        yy, xx = np.mgrid[0:16, 0:16]
+        img = (((xx + yy) % 2) * 255).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=98))[..., 0].astype(int)
+        # lossy, but the pattern must survive: dark cells < bright cells
+        dark = out[(xx + yy) % 2 == 0].mean()
+        bright = out[(xx + yy) % 2 == 1].mean()
+        assert bright - dark > 200
+
+    def test_dispatcher_and_structure(self):
+        import numpy as np
+        from shapely_spark.multimodal.jpeg import encode_jpeg
+        from shapely_spark.multimodal.media import decode_image
+        img = np.full((9, 9), 77, np.uint8)
+        b = encode_jpeg(img, quality=87)
+        assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+        assert b[2:4] == b"\xff\xe0" and b[6:10] == b"JFIF"  # APP0 first
+        out = decode_image(b)
+        assert (out == 77).all()
+
+    def test_progressive_rejected(self):
+        import pytest
+        from shapely_spark.multimodal.jpeg import decode_jpeg
+        # SOI + minimal SOF2 header -> explicit NotImplementedError
+        b = (b"\xff\xd8\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x08\x00\x08\x01"
+             + b"\x01\x11\x00")
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(b)
+
+    def test_restart_markers(self):
+        """Encoder does not emit DRI, so hand-splice: re-encode each
+        8-line band as its own scan is complex — instead verify the
+        decoder handles a DRI/RSTn stream built from two single-MCU
+        encodes whose entropy segments are joined with RST0."""
+        import numpy as np
+        from shapely_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+        a = encode_jpeg(np.full((8, 8), 50, np.uint8), quality=87)
+        bimg = encode_jpeg(np.full((8, 8), 210, np.uint8), quality=87)
+
+        def split(buf):
+            sos = buf.index(b"\xff\xda")
+            seg_end = sos + 2 + int.from_bytes(buf[sos + 2:sos + 4], "big")
+            return buf[:seg_end], buf[seg_end:-2]  # header+SOS, entropy
+
+        head_a, ent_a = split(a)
+        _, ent_b = split(bimg)
+        # widen the frame to 2 MCUs tall (h=16) and declare DRI=1
+        head = bytearray(head_a)
+        sof = head.index(b"\xff\xc0")
+        head[sof + 5:sof + 7] = (16).to_bytes(2, "big")  # height 8 -> 16
+        dri = b"\xff\xdd\x00\x04\x00\x01"
+        sos_at = head.index(b"\xff\xda")
+        spliced = (bytes(head[:sos_at]) + dri + bytes(head[sos_at:])
+                   + ent_a + b"\xff\xd0" + ent_b + b"\xff\xd9")
+        out = decode_jpeg(spliced)
+        assert (out[:8] == 50).all() and (out[8:] == 210).all()
