@@ -157,9 +157,13 @@ def decode_audio(payload: bytes, sample_rate: int | None = None) -> np.ndarray:
         from .codecs import decode_wav
 
         return decode_wav(b)
+    if b[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(b)
     raise NotImplementedError(
         "perceptual audio codecs (mp3/aac/opus) need ffmpeg/soundfile; "
-        "supported here: WAV PCM/float/A-law/mu-law/IMA-ADPCM"
+        "supported here: WAV PCM/float/A-law/mu-law/IMA-ADPCM, FLAC"
     )
 
 

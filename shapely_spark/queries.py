@@ -3268,3 +3268,49 @@ def image_decode_jpeg_px_sum(spark, sf_dir):
             yield pd.DataFrame({"gid": pdf.gid, "px_sum": sums})
 
     return params.mapInPandas(gen, "gid long, px_sum long").repartition(1).sortWithinPartitions("gid")
+
+
+@q(
+    "audio_decode_flac_abs_sum",
+    """
+    WITH g AS (SELECT p_partkey AS gid, 300 + (p_partkey % 10) * 30 AS n
+               FROM part),
+    s AS (
+      SELECT g.gid,
+             sum(abs((i.i*53 + g.gid*71) % 4001 - 2000)) AS abs_sum
+      FROM g, range(0, 570) i(i)
+      WHERE i.i < g.n
+      GROUP BY g.gid
+    )
+    SELECT gid, abs_sum::BIGINT AS abs_sum FROM s ORDER BY gid
+    """,
+)
+def audio_decode_flac_abs_sum(spark, sf_dir):
+    """Contract oracle for the FLAC codec (multimodal/flac.py): FLAC is
+    LOSSLESS, so decode(encode(s)) recovers the integer PCM exactly —
+    samples s_i = (53i+71·gid) mod 4001 − 2000 go through the order-2
+    fixed predictor + Rice residual path (auto mode; non-uniform input)
+    and |s_i| is summed from the decoded floats. DuckDB recomputes the
+    sum closed-form. Any Rice/predictor/CRC/bit-packing bug shifts it."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (300 + (k % 10) * 30).cast("int").alias("n"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal.flac import encode_flac
+        from .multimodal.media import decode_audio
+
+        for pdf in batches:
+            sums = []
+            for gid, n in zip(pdf.gid, pdf.n):
+                i = np.arange(int(n), dtype=np.int64)
+                s_int = ((i * 53 + int(gid) * 71) % 4001 - 2000).astype(np.int16)
+                dec = decode_audio(encode_flac(s_int, mode="auto", block_size=256))
+                rec = np.rint(dec.astype(np.float64) * 32768.0).astype(np.int64)
+                sums.append(int(np.abs(rec).sum()))
+            yield pd.DataFrame({"gid": pdf.gid, "abs_sum": sums})
+
+    return params.mapInPandas(gen, "gid long, abs_sum long").repartition(1).sortWithinPartitions("gid")
