@@ -561,11 +561,75 @@ def _all_class(points: np.ndarray, container: Geometry) -> np.ndarray:
     return np.where(eq, INTERIOR, EXTERIOR).astype(np.int8)
 
 
+def _hole_rings(geom: Geometry) -> list[np.ndarray]:
+    holes: list[np.ndarray] = []
+    if geom.type_id == POLYGON:
+        holes = [np.asarray(r)[:, :2] for r in (geom.rings or [])[1:]]
+    elif geom.type_id in (MULTIPOLYGON, GEOMETRYCOLLECTION):
+        for p in geom.parts or []:
+            holes.extend(_hole_rings(p))
+    return holes
+
+
+def _noded_midpoint_class(b_edges: np.ndarray, a: Geometry) -> np.ndarray:
+    """Class (vs areal A) of every midpoint of ∂B's edges NODED at ∂A.
+    Raw edge midpoints are not enough: an edge of B bridging the gap
+    between two parts of A can have BOTH endpoints and its midpoint on
+    A's closure while its interior crosses A's exterior (the r3 fuzz
+    counterexample: two abutting boxes vs two boxes with a gap). After
+    noding, each fragment lies in a single DE-9IM class, so midpoints
+    classify exactly."""
+    from .overlay import _fragments, _overlay_tol, _split_params
+
+    ea = _edges(a)
+    if not len(b_edges) or not len(ea):
+        return np.zeros(0, dtype=np.int8)
+    tol = _overlay_tol(ea, b_edges)
+    fb = _fragments(b_edges, _split_params(b_edges, ea, tol))
+    if not len(fb):
+        return np.zeros(0, dtype=np.int8)
+    mx, my = (fb[:, 0] + fb[:, 2]) / 2.0, (fb[:, 1] + fb[:, 3]) / 2.0
+    cls = points_in_rings_class(mx, my, _rings_of(a))
+    onb = points_on_segments(mx, my, ea, eps=tol)
+    return np.where(onb, np.int8(BOUNDARY), cls)
+
+
+def _holes_clear_of(a: Geometry, b: Geometry) -> bool:
+    """True iff no hole of A admits closure(B) into A's exterior: a hole
+    whose interior meets closure(B) breaks covers(A, B) even when ∂B
+    never enters it (B blankets the hole). Each hole is probed at an
+    interior representative; a probe that lands INTERIOR to A means an
+    island sits inside the hole — settled exactly by the overlay engine
+    (area(B \\ A) > 0)."""
+    holes = _hole_rings(a)
+    if not holes:
+        return True
+    from .constructive import point_on_surface
+
+    for ring in holes:
+        hole_poly = Geometry(POLYGON, rings=[ring])
+        rp = point_on_surface(hole_poly)
+        if rp is None or rp.is_empty:
+            continue
+        px, py = float(rp.coords[0, 0]), float(rp.coords[0, 1])
+        cls_a = points_in_rings_class(np.array([px]), np.array([py]), _rings_of(a))[0]
+        if cls_a == EXTERIOR:
+            if points_in_rings_class(np.array([px]), np.array([py]), _rings_of(b))[0] >= BOUNDARY:
+                return False
+        else:
+            # island-inside-hole nesting: exact fallback through overlay
+            from .overlay import difference
+
+            d = difference(b, a)
+            return d is None or d.is_empty or area(d) <= 1e-12 * max(1.0, area(b))
+    return True
+
+
 def contains(a: Geometry | None, b: Geometry | None) -> bool:
     """B lies in A, interiors intersect: DE-9IM 'T*****FF*'.
-    reference: shapely/predicates.py:556. Full support for point/line
-    payloads in polygons/lines/points; polygon-in-polygon supported for
-    non-boundary-crossing cases (sufficient for valid region layers)."""
+    reference: shapely/predicates.py:556. All point/line/polygon
+    combinations; closure containment is exact (noded-fragment
+    classification + hole probes), interior witness per dimension."""
     if a is None or b is None or a.is_empty or b.is_empty:
         return False
     if _bbox_disjoint(a, b):
@@ -580,24 +644,18 @@ def contains(a: Geometry | None, b: Geometry | None) -> bool:
     if db == 0:
         return bool((cls == INTERIOR).any())
     if da == 2:
-        # no edge of b may cross from inside to outside: since all vertices
-        # are in closure, a crossing requires proper edge intersection with
-        # a's boundary that exits — approximate: check midpoints too.
-        eb = _edges(b)
-        if len(eb):
-            mx, my = (eb[:, 0] + eb[:, 2]) / 2.0, (eb[:, 1] + eb[:, 3]) / 2.0
-            mcls = points_in_rings_class(mx, my, _rings_of(a))
-            if (mcls == EXTERIOR).any():
-                return False
-            if (cls == INTERIOR).any() or (mcls == INTERIOR).any():
-                return True
-            # all sampled points of b sit ON a's boundary (e.g. b == a, or
-            # b tiles a corner of a exactly): a 2-dim b whose closure lies
-            # in closure(a) cannot avoid a's interior (a's boundary has no
-            # area), so interiors intersect — contains(a, a) is True in the
-            # reference (DE-9IM 2FFF1FFF2 matches 'T*****FF*').
-            return db == 2
-        return bool((cls == INTERIOR).any())
+        if not covers(a, b):
+            return False
+        if db == 2:
+            # closure(b) ⊆ closure(a) and b has area; ∂a has none, so
+            # interiors must meet — contains(a, a) is True in the
+            # reference (DE-9IM 2FFF1FFF2 matches 'T*****FF*')
+            return True
+        # line in polygon: need a witness of b in int(a)
+        if (cls == INTERIOR).any():
+            return True
+        mcls = _noded_midpoint_class(_edges(b), a)
+        return bool((mcls == INTERIOR).any())
     # line-in-line: vertex sampling misses collinear spans (equal lines have
     # all vertices on ∂) — require closure containment plus interior witness
     # ('T*****FF*' == covers ∧ interiors-intersect)
@@ -623,11 +681,13 @@ def covers(a: Geometry | None, b: Geometry | None) -> bool:
     if (cls == EXTERIOR).any():
         return False
     if db >= 1 and da == 2:
-        eb = _edges(b)
-        if len(eb):
-            mx, my = (eb[:, 0] + eb[:, 2]) / 2.0, (eb[:, 1] + eb[:, 3]) / 2.0
-            if (points_in_rings_class(mx, my, _rings_of(a)) == EXTERIOR).any():
-                return False
+        # exact: node ∂B at ∂A so every fragment sits in one class — raw
+        # midpoints miss an edge of B bridging a gap between parts of A
+        # through A's exterior with all samples on A's closure
+        if (_noded_midpoint_class(_edges(b), a) == EXTERIOR).any():
+            return False
+        if db == 2 and not _holes_clear_of(a, b):
+            return False
     if da == 1 and db == 1:
         # vertex sampling misses spans of b that leave a between a-vertices:
         # node b's edges at a's, then EVERY fragment midpoint must lie on a
@@ -661,9 +721,11 @@ def contains_properly(a: Geometry | None, b: Geometry | None) -> bool:
     if not (cls == INTERIOR).all():
         return False
     if _dim(b) >= 1 and _dim(a) == 2:
-        eb = _edges(b)
-        mx, my = (eb[:, 0] + eb[:, 2]) / 2.0, (eb[:, 1] + eb[:, 3]) / 2.0
-        return bool((points_in_rings_class(mx, my, _rings_of(a)) == INTERIOR).all())
+        mcls = _noded_midpoint_class(_edges(b), a)
+        if not (mcls == INTERIOR).all():
+            return False
+        if _dim(b) == 2 and not _holes_clear_of(a, b):
+            return False
     return True
 
 

@@ -147,13 +147,20 @@ def _split_params(edges: np.ndarray, other: np.ndarray, tol: float) -> list[np.n
 
 
 def _fragments(edges: np.ndarray, params: list[np.ndarray]) -> np.ndarray:
-    """Split each edge at its params → (m,4) fragment segments."""
+    """Split each edge at its params → (m,4) fragment segments. Endpoint
+    params (0/1) reuse the edge's EXACT vertices: x1 + 1.0·(x2−x1) can be
+    off by an ulp, and an ulp landing on a stitch-key quantization
+    boundary severs the ring walk (r3 fuzz: pentagon∖box came back
+    empty because a reversed fragment end differed from the shared ring
+    vertex by 2e-17 across a bucket edge)."""
     frags = []
     for i in range(len(edges)):
         x1, y1, x2, y2 = edges[i]
         ts = np.concatenate([[0.0], params[i], [1.0]])
         xs = x1 + ts * (x2 - x1)
         ys = y1 + ts * (y2 - y1)
+        xs[0], ys[0] = x1, y1
+        xs[-1], ys[-1] = x2, y2
         frags.append(np.column_stack([xs[:-1], ys[:-1], xs[1:], ys[1:]]))
     if not frags:
         return np.zeros((0, 4))
@@ -230,6 +237,23 @@ def _stitch(frags: np.ndarray, tol: float) -> list[np.ndarray]:
     starts = {}
     for i, (x1, y1, x2, y2) in enumerate(frags):
         starts.setdefault(key(x1, y1), []).append(i)
+
+    def outgoing(x, y):
+        """Fragments starting within tol of (x, y). Quantized keys alone
+        are not enough: two fp-computed copies of the same node can
+        straddle a bucket boundary (they differ by ulps but round to
+        adjacent keys), so probe the 3×3 key neighbourhood and confirm
+        with a real distance check."""
+        kx, ky = key(x, y)
+        out = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for j in starts.get((kx + dx, ky + dy), ()):
+                    if (abs(frags[j, 0] - x) <= 2 * tol
+                            and abs(frags[j, 1] - y) <= 2 * tol):
+                        out.append(j)
+        return out
+
     used = np.zeros(len(frags), dtype=bool)
     ang = np.arctan2(frags[:, 3] - frags[:, 1], frags[:, 2] - frags[:, 0])
     rings = []
@@ -241,11 +265,12 @@ def _stitch(frags: np.ndarray, tol: float) -> list[np.ndarray]:
         cur = s
         closed = False
         for _ in range(len(frags) + 1):
-            kend = key(frags[cur, 2], frags[cur, 3])
-            if kend == key(frags[path[0], 0], frags[path[0], 1]):
+            ex, ey = frags[cur, 2], frags[cur, 3]
+            if (abs(ex - frags[path[0], 0]) <= 2 * tol
+                    and abs(ey - frags[path[0], 1]) <= 2 * tol):
                 closed = True
                 break
-            cands = [j for j in starts.get(kend, []) if not used[j]]
+            cands = [j for j in outgoing(ex, ey) if not used[j]]
             if not cands:
                 break
             if len(cands) == 1:
@@ -265,16 +290,27 @@ def _stitch(frags: np.ndarray, tol: float) -> list[np.ndarray]:
 
 
 def _split_pinches(ring: np.ndarray, tol: float) -> list[np.ndarray]:
-    """Split a closed ring at repeated nodes into simple rings."""
+    """Split a closed ring at repeated nodes into simple rings (same
+    bucket-neighbourhood matching as _stitch: ulp-separated copies of a
+    node may round to adjacent keys)."""
     seen: dict[tuple, int] = {}
     for i in range(len(ring) - 1):
-        k = (round(ring[i, 0] / tol), round(ring[i, 1] / tol))
-        if k in seen:
-            j = seen[k]
+        kx, ky = round(ring[i, 0] / tol), round(ring[i, 1] / tol)
+        j = None
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                jj = seen.get((kx + dx, ky + dy))
+                if jj is not None and (abs(ring[jj, 0] - ring[i, 0]) <= 2 * tol
+                                       and abs(ring[jj, 1] - ring[i, 1]) <= 2 * tol):
+                    j = jj
+                    break
+            if j is not None:
+                break
+        if j is not None:
             inner = np.vstack([ring[j:i], ring[j : j + 1]])
             outer = np.vstack([ring[:j], ring[i:]])
             return _split_pinches(inner, tol) + _split_pinches(outer, tol)
-        seen[k] = i
+        seen[(kx, ky)] = i
     return [ring] if len(ring) >= 4 else []
 
 

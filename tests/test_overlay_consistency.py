@@ -78,3 +78,23 @@ def test_overlay_agrees_with_relate(a, b):
     # containment duality: a within b ⇔ intersection fills a
     if K.within(a, b):
         assert abs(ai - K.area(a)) < 1e-9 * scale
+
+
+def test_pentagon_box_ulp_node_regression():
+    """r3 fuzz counterexample: difference(box, pentagon) came back EMPTY
+    because a reversed fragment's endpoint (computed as x1 + 1.0·(x2−x1))
+    differed from the shared ring vertex by one ulp that landed exactly
+    on a stitch-key quantization boundary — the ring walk severed at
+    that node. _fragments now pins t=0/1 to the exact vertices and
+    _stitch matches nodes across neighbouring key buckets."""
+    pent = polygon(np.round(regular_ngon(0.5, 2, 0.5, 5).rings[0], 9))
+    b = box(0, 1.5, 0.5, 4)
+    aa, ab = K.area(pent), K.area(b)
+    ai = _area(intersection(pent, b))
+    au = _area(union(pent, b))
+    ad = _area(difference(pent, b))
+    adb = _area(difference(b, pent))
+    assert ai > 0.25  # they genuinely overlap
+    assert abs(au - (aa + ab - ai)) < 1e-9
+    assert abs(ad - (aa - ai)) < 1e-9
+    assert abs(adb - (ab - ai)) < 1e-9

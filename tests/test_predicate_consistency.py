@@ -166,3 +166,48 @@ def test_distance_dwithin_consistency(a, b):
     if d > 0:
         assert not K.dwithin(a, b, d * 0.99)
         assert not K.intersects(a, b)
+
+
+class TestNodedContainmentRegressions:
+    """r3 fuzz counterexample family: closure containment must node ∂B at
+    ∂A before classifying (raw vertex/midpoint samples can all land on
+    A's closure while an edge of B bridges A's inter-part gap through
+    the exterior), and holes of A blanketed by B break covers even
+    though ∂B never enters them."""
+
+    def _w(self, s):
+        from shapely_spark.geo import from_wkt
+        return from_wkt(s)
+
+    def test_multipolygon_gap_bridge(self):
+        a = self._w("MULTIPOLYGON(((0 0,1.5 0,1.5 1.5,0 1.5,0 0)),"
+                    "((2 0,3.5 0,3.5 1.5,2 1.5,2 0)))")
+        b = self._w("MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),"
+                    "((1.5 0,2.5 0,2.5 1,1.5 1,1.5 0)))")
+        assert not K.contains(a, b) and not K.covers(a, b)
+        assert not K.within(b, a) and not K.covered_by(b, a)
+        m = K.relate(b, a)
+        assert m[2] == "2"  # int(B) ∩ ext(A) is 2-dimensional
+        # control: shrink B's second part inside A's second part
+        c = self._w("MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),"
+                    "((2 0,3 0,3 1,2 1,2 0)))")
+        assert K.contains(a, c) and K.covers(a, c)
+
+    def test_line_bridging_gap_on_boundary(self):
+        a = self._w("MULTIPOLYGON(((0 0,1.5 0,1.5 1.5,0 1.5,0 0)),"
+                    "((2 0,3.5 0,3.5 1.5,2 1.5,2 0)))")
+        bridge = self._w("LINESTRING(1 0,3 0)")  # midpoint (2,0) is A's corner
+        assert not K.covers(a, bridge) and not K.contains(a, bridge)
+        on_edge = self._w("LINESTRING(0 0,1.5 0)")
+        assert K.covers(a, on_edge) and not K.contains(a, on_edge)
+
+    def test_hole_blanket_and_exact_hole(self):
+        h = self._w("POLYGON((0 0,10 0,10 10,0 10,0 0),(4 4,6 4,6 6,4 6,4 4))")
+        blanket = self._w("POLYGON((3 3,7 3,7 7,3 7,3 3))")
+        assert not K.covers(h, blanket) and not K.contains(h, blanket)
+        assert not K.contains_properly(h, blanket)
+        exact_hole = self._w("POLYGON((4 4,6 4,6 6,4 6,4 4))")
+        assert not K.covers(h, exact_hole)
+        assert K.touches(h, exact_hole)
+        inside = self._w("POLYGON((1 1,3 1,3 3,1 3,1 1))")
+        assert K.contains(h, inside) and K.contains_properly(h, inside)
