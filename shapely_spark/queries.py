@@ -3314,3 +3314,31 @@ def audio_decode_flac_abs_sum(spark, sf_dir):
             yield pd.DataFrame({"gid": pdf.gid, "abs_sum": sums})
 
     return params.mapInPandas(gen, "gid long, abs_sum long").repartition(1).sortWithinPartitions("gid")
+
+
+@q(
+    "duplicate_spans_counts",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    w AS (
+      SELECT doc_id, array_to_string(toks[i.i+1 : i.i+8], ' ') AS span
+      FROM d, range(0, 4000) i(i)
+      WHERE i.i % 4 = 0 AND i.i + 8 <= len(toks)
+    )
+    SELECT span,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ
+    FROM w GROUP BY span HAVING count(*) >= 2
+    ORDER BY span
+    """,
+)
+def duplicate_spans_counts(spark, sf_dir):
+    """Duplicate-span counting over the documents table (text/dedup.py
+    duplicate_spans): 8-token windows at stride 4, global frequency with
+    countDistinct docs — the substring-dedup approximation. DuckDB
+    rebuilds the identical window set with list slicing and recounts."""
+    from .text.dedup import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = duplicate_spans(docs, window=8, stride=4, min_count=2)
+    return out.repartition(1).sortWithinPartitions("span")

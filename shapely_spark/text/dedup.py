@@ -393,3 +393,37 @@ def simhash_dedup_pairs(
         ) <= max_hamming,
     )
     return _verify_pairs(docs, cand, text_col, id_col, threshold, shingle_n)
+
+
+def duplicate_spans(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    window: int = 8, stride: int = 4, min_count: int = 2,
+) -> DataFrame:
+    """Duplicate-span counting — the distributed approximation of exact
+    substring deduplication (suffix-array dedup à la "Deduplicating
+    Training Data Makes Language Models Better"): slide a `window`-token
+    span every `stride` tokens over each document, then count global
+    span frequency. Output (span, n_docs, n_occ) for spans occurring at
+    least `min_count` times; downstream filtering removes (or masks) the
+    spans with pathological frequency (boilerplate, license headers).
+
+    Scale shape: one JVM explode (sequence + slice + concat_ws — no
+    Python) and ONE shuffle with map-side partial aggregation; span
+    strings are the grouping key so results stay oracle-comparable. At
+    shuffle widths where long string keys dominate the wire, group by
+    (xxhash64(span), span-sample) instead — identical counts short of a
+    64-bit collision."""
+    toks = F.split(F.col(text_col), " ")
+    starts = F.when(
+        F.size(toks) >= window,
+        F.sequence(F.lit(0), F.size(toks) - window, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    span = F.explode(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)))
+    )
+    return (
+        docs.select(F.col(id_col), span.alias("span"))
+        .groupBy("span")
+        .agg(F.countDistinct(id_col).alias("n_docs"), F.count("*").alias("n_occ"))
+        .where(F.col("n_occ") >= min_count)
+    )
