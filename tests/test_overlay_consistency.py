@@ -25,12 +25,28 @@ coord = st.integers(min_value=-6, max_value=6).map(lambda v: v * 0.5)
 
 @st.composite
 def polys(draw):
-    kind = draw(st.sampled_from(["box", "holed_box", "ngon"]))
+    kind = draw(st.sampled_from(
+        ["box", "holed_box", "ngon", "rot_ngon", "touch_multipolygon"]))
     x, y = draw(coord), draw(coord)
     w = draw(st.integers(1, 5)) * 0.5
     h = draw(st.integers(1, 5)) * 0.5
     if kind == "box":
         return box(x, y, x + w, y + h)
+    if kind == "rot_ngon":
+        # off-grid vertices (irrational angles): the fp-noding regime where
+        # the r3 ulp-severed-stitch bug lived
+        n = draw(st.integers(3, 7))
+        r = draw(st.integers(1, 4)) * 0.4
+        th = draw(st.integers(0, 11)) * (np.pi / 11.7)
+        ang = th + np.arange(n) * 2 * np.pi / n
+        ring = np.column_stack([x + r * np.cos(ang), y + r * np.sin(ang)])
+        return polygon(np.vstack([ring, ring[:1]]))
+    if kind == "touch_multipolygon":
+        from shapely_spark.geo.geom import multipolygon
+        return multipolygon([
+            box(x, y, x + w, y + w),
+            box(x + w, y + w, x + 2 * w, y + 2 * w),
+        ])
     if kind == "holed_box":
         outer = box(x, y, x + max(w, 1.5), y + max(h, 1.5))
         sh = outer.rings[0]

@@ -33,7 +33,7 @@ coord = st.integers(min_value=-6, max_value=6).map(lambda v: v * 0.5)
 def geoms(draw):
     kind = draw(st.sampled_from(
         ["point", "segment", "polyline", "box", "holed_box", "ngon", "multipoint",
-         "multiline", "multipolygon"]
+         "multiline", "multipolygon", "rot_ngon", "touch_multipolygon"]
     ))
     x, y = draw(coord), draw(coord)
     if kind == "point":
@@ -71,6 +71,23 @@ def geoms(draw):
             box(x, y, x + w, y + w),
             box(x + w + 0.5, y, x + 2 * w + 0.5, y + w),
         ])
+    if kind == "touch_multipolygon":
+        # parts meeting at a single corner — valid per OGC, and the shape
+        # family the r3 gap-bridge containment bug hid in
+        w = draw(st.integers(1, 3)) * 0.5
+        return multipolygon([
+            box(x, y, x + w, y + w),
+            box(x + w, y + w, x + 2 * w, y + 2 * w),
+        ])
+    if kind == "rot_ngon":
+        # off-grid vertices at irrational angles: exercises the fp-noding
+        # path the grid zoo cannot (ulp-separated node copies, r3 stitch bug)
+        n = draw(st.integers(3, 7))
+        r = draw(st.integers(1, 4)) * 0.4
+        th = draw(st.integers(0, 11)) * (np.pi / 11.7)
+        ang = th + np.arange(n) * 2 * np.pi / n
+        ring = np.column_stack([x + r * np.cos(ang), y + r * np.sin(ang)])
+        return polygon(np.vstack([ring, ring[:1]]))
     w = draw(st.integers(1, 5)) * 0.5
     h = draw(st.integers(1, 5)) * 0.5
     if kind == "box":
