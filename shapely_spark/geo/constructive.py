@@ -471,10 +471,14 @@ def _offset_convex_ring(ring: np.ndarray, d: float, quad_segs: int) -> np.ndarra
         p_prev, p, p_next = prv[i], c[i], nxt[i]
         d_in = p - p_prev
         d_out = p_next - p
+        # CCW traversal keeps the interior on the LEFT, so the outward
+        # normal is the RIGHT normal (dy, -dx) — unnegated (the r3 fuzz
+        # caught this path offsetting inward: buffer(+d) shrank convex
+        # polygons; every gate query buffered only points/lines)
         n_in = np.array([d_in[1], -d_in[0]])
         n_out = np.array([d_out[1], -d_out[0]])
-        n_in = n_in / (np.linalg.norm(n_in) or 1.0) * -1
-        n_out = n_out / (np.linalg.norm(n_out) or 1.0) * -1
+        n_in = n_in / (np.linalg.norm(n_in) or 1.0)
+        n_out = n_out / (np.linalg.norm(n_out) or 1.0)
         a0 = math.atan2(n_in[1], n_in[0])
         a1 = math.atan2(n_out[1], n_out[0])
         while a1 < a0:

@@ -3342,3 +3342,62 @@ def duplicate_spans_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = duplicate_spans(docs, window=8, stride=4, min_count=2)
     return out.repartition(1).sortWithinPartitions("span")
+
+
+@q(
+    "buffer_polygon_ring_area",
+    """
+    WITH g AS (
+      SELECT p_partkey AS gid,
+             2 * (p_partkey % 7) + 3 AS n,               -- ODD vertex counts
+             (p_partkey % 97 + 10) / 20.0 AS r,
+             0.5 + (p_partkey % 3) * 0.25 AS d
+      FROM part
+    ),
+    e AS (
+      SELECT gid, n, r, d, 2 * pi() / n AS theta,
+             ceil((2 * pi() / n) / (pi() / 16.0)) AS k
+      FROM g
+    )
+    SELECT gid,
+           round(n * r * r * sin(theta) / 2
+                 + 2 * n * r * sin(pi() / n) * d
+                 + n * d * d / 2 * k * sin(theta / k), 4) AS buf_area
+    FROM e ORDER BY gid
+    """,
+)
+def buffer_polygon_ring_area(spark, sf_dir):
+    """Round-style POLYGON buffer (the convex arc-offset fast path,
+    constructive.py:_offset_convex_ring) — the r3 fuzz found this path
+    offsetting INWARD while every gate query buffered only points and
+    lines, so it is now pinned: buffered regular-n-gon area has the
+    closed form A + P·d + Σ discretized join sectors, where each vertex
+    wedge of exterior angle θ=2π/n is an inscribed fan of
+    k = ceil(θ/(π/16)) chords (quad_segs=8) with area k·d²·sin(θ/k)/2.
+    Vertex counts are ODD so θ never divides the arc step exactly (an
+    exact division makes k flip on atan2 ulps). DuckDB recomputes the
+    closed form; an inward/outward or arc-step bug shifts every row."""
+    p = _t(spark, sf_dir, "part")
+    key = F.col("p_partkey")
+    params = _spread(p.select(
+        key.alias("gid"),
+        (2 * (key % 7) + 3).cast("int").alias("n"),
+        ((key % 97 + 10) / 20.0).alias("r"),
+        (0.5 + (key % 3) * 0.25).alias("d"),
+        ((key % 300) - 150 + 0.5).cast("double").alias("cx"),
+        ((key % 160) - 80 + 0.25).cast("double").alias("cy"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.constructive import buffer
+        from .geo.geom import regular_ngon
+
+        for pdf in batches:
+            areas = [
+                K.area(buffer(regular_ngon(cx, cy, r, int(n)), d, quad_segs=8))
+                for n, r, d, cx, cy in zip(pdf.n, pdf.r, pdf.d, pdf.cx, pdf.cy)
+            ]
+            yield pd.DataFrame({"gid": pdf.gid, "buf_area": np.round(areas, 4)})
+
+    return params.mapInPandas(gen, "gid long, buf_area double").repartition(1).sortWithinPartitions("gid")

@@ -575,3 +575,50 @@ class TestInteriorOverlapWitnesses:
         bb = box(0, 0, 2, 2)
         assert K.touches(l, bb) and not K.crosses(l, bb)
         assert K.relate(l, bb) == "F1FF0F212"
+
+
+class TestPolygonRoundBuffer:
+    """r3 fuzz regression: the convex fast path offset INWARD for every
+    input (outward normal negated), so buffer(+d) shrank convex polygons.
+    No gate query buffered a polygon with round/round style — points and
+    lines only — which is why two rounds of green gates never saw it.
+    Pinned against the exact closed form A + P·d + πd²."""
+
+    def _assert_closed_form(self, g, d):
+        import math
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo.constructive import buffer
+        got = K.area(buffer(g, d, quad_segs=64))
+        exact = K.area(g) + K.length(g) * d + math.pi * d * d
+        assert abs(got - exact) < 2e-4 * exact, (got, exact)
+
+    def test_box_buffer_grows_closed_form(self):
+        from shapely_spark.geo.geom import box
+        for d in (0.1, 0.5, 2.0):
+            self._assert_closed_form(box(0, 0, 2, 1.5), d)
+
+    def test_ngon_buffer_both_orientations(self):
+        import numpy as np
+        from shapely_spark.geo.geom import Geometry, POLYGON, regular_ngon
+        g = regular_ngon(3, -1, 1.25, 7)
+        self._assert_closed_form(g, 0.3)
+        cw = Geometry(POLYGON, rings=[g.rings[0][::-1].copy()])
+        self._assert_closed_form(cw, 0.3)
+
+    def test_negative_buffer_shrinks_exactly(self):
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo.constructive import buffer
+        from shapely_spark.geo.geom import box
+        out = buffer(box(0, 0, 2, 1.5), -0.2)
+        assert abs(K.area(out) - (2 - 0.4) * (1.5 - 0.4)) < 1e-9
+
+    def test_concave_polygon_buffer_grows(self):
+        from shapely_spark.geo import kernels as K
+        from shapely_spark.geo.constructive import buffer
+        from shapely_spark.geo.geom import polygon
+        import numpy as np
+        ring = np.array([[0, 0], [4, 0], [4, 3], [2, 1], [0, 3], [0, 0]], float)
+        g = polygon(ring)
+        a0 = K.area(g)
+        grown = K.area(buffer(g, 0.25))
+        assert grown > a0 + 0.25 * 1.9  # at least ~P·d growth on most of ∂
