@@ -277,8 +277,17 @@ def _stitch(frags: np.ndarray, tol: float) -> list[np.ndarray]:
                 nxt = cands[0]
             else:
                 back = ang[cur] + math.pi  # reversed incoming direction
-                # most-clockwise turn: smallest positive (back - angle) mod 2π
-                nxt = min(cands, key=lambda j: (back - ang[j]) % (2 * math.pi) or 2 * math.pi)
+                # most-clockwise turn: smallest positive (back - angle) mod 2π.
+                # The immediate backtrack's turn is 0 only in exact math —
+                # atan2 of the reversed edge differs from ang+π by ulps, so
+                # a bare `or 2π` guard misses +2e-16 and the walk reverses
+                # into itself (r3 fuzz: polygonize of off-grid rings came
+                # back empty); anything under 1e-9 rad IS the backtrack.
+                def _turn(j):
+                    t = (back - ang[j]) % (2 * math.pi)
+                    return t if t > 1e-9 else 2 * math.pi
+
+                nxt = min(cands, key=_turn)
             used[nxt] = True
             path.append(nxt)
             cur = nxt

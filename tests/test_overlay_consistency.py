@@ -114,3 +114,31 @@ def test_pentagon_box_ulp_node_regression():
     assert abs(au - (aa + ab - ai)) < 1e-9
     assert abs(ad - (aa - ai)) < 1e-9
     assert abs(adb - (ab - ai)) < 1e-9
+
+
+def test_polygonize_offgrid_ring_backtrack_regression():
+    """r3 fuzz: polygonize of an off-grid closed ring returned EMPTY —
+    the face walk's most-clockwise rule mapped only an EXACT zero turn
+    to 2π, but the backtrack half-edge's atan2 differs from ang+π by
+    ulps, so its turn came out +2e-16 (smallest positive) and the walk
+    reversed into itself. Any turn under 1e-9 rad is now treated as the
+    backtrack."""
+    from shapely_spark.geo.geom import linestring
+    from shapely_spark.geo.overlay import polygonize
+    ring = np.array([
+        [1.5350622, -3.6266913], [1.6461543, -2.3252691],
+        [0.5746323, -1.5783521], [-0.6079749, -2.1328508],
+        [-0.7190671, -3.4342731], [0.3524549, -4.1811901],
+        [1.5350622, -3.6266913]]) + 1e-13 * np.arange(14).reshape(7, 2)
+    ring[-1] = ring[0]  # keep the ring exactly closed; the ulp noise stays
+    f = polygonize([linestring(ring)])
+    assert not f.is_empty
+    exp = abs(0.5 * np.sum(ring[:-1, 0] * ring[1:, 1] - ring[1:, 0] * ring[:-1, 1]))
+    assert abs(K.area(f) - exp) < 1e-6
+    # rotated rings at many phases all produce their face
+    for th in np.linspace(0.1, 3.0, 7):
+        n = 6
+        ang = th + np.arange(n) * 2 * np.pi / n
+        r = np.column_stack([1.3 * np.cos(ang), 1.3 * np.sin(ang)])
+        f = polygonize([linestring(np.vstack([r, r[:1]]))])
+        assert not f.is_empty, th
