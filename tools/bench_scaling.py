@@ -21,12 +21,17 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(cpus: int, sf_dir: str, pages: int | None) -> dict:
+def run(cpus: int, sf_dir: str, pages: int | None, repeat: int = 1) -> dict:
     cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--cpus", str(cpus),
-           "--sf-dir", sf_dir, "--skip-battery"]
+           "--sf-dir", sf_dir, "--skip-battery", "--repeat", str(repeat)]
     if pages:
         cmd += ["--pages", str(pages)]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    # min-of-N per leg (BENCH/BASELINE.md methodology): the sandbox host is
+    # time-sliced with invisible preemption; under additive interference the
+    # minimum estimates uncontended runtime
+    env = dict(os.environ, SPARK_GRAFT_BENCH_AGG=os.environ.get(
+        "SPARK_GRAFT_BENCH_AGG", "min"))
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
     for line in reversed(out.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
@@ -40,10 +45,11 @@ def main():
     ap.add_argument("--pages", type=int, default=None)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--n4", type=int, default=32)
+    ap.add_argument("--repeat", type=int, default=4)
     args = ap.parse_args()
 
-    lo = run(args.n, args.sf_dir, args.pages)
-    hi = run(args.n4, args.sf_dir, args.pages)
+    lo = run(args.n, args.sf_dir, args.pages, args.repeat)
+    hi = run(args.n4, args.sf_dir, args.pages, args.repeat)
     ratio = args.n4 / args.n
 
     paths = ["pages_pipeline", "spatial_join_pages", "tile_agg_pages", "knn_pages"]
