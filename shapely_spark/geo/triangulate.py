@@ -213,10 +213,18 @@ def _signed_dist_to_polygon(x: float, y: float, geom: Geometry) -> float:
     return d if cls == K.INTERIOR else (0.0 if cls == K.BOUNDARY else -d)
 
 
-def polylabel(geom: Geometry, tolerance: float = 1.0):
+def polylabel(geom: Geometry, tolerance: float = 1.0) -> Geometry:
     """Pole of inaccessibility via quadtree refinement (reference:
     shapely/algorithms/polylabel.py:7 — same cell-queue algorithm).
-    Returns (point, distance).
+    Returns the Point, exactly like the reference (the r3 parity sweep
+    caught this returning a (point, distance) tuple — distance callers
+    use _polylabel_with_distance)."""
+    return _polylabel_with_distance(geom, tolerance)[0]
+
+
+def _polylabel_with_distance(geom: Geometry, tolerance: float = 1.0):
+    """(point, clearance distance) — the internal variant
+    maximum_inscribed_circle builds its radius from.
 
     Rings and edges are extracted once per call and every refinement
     evaluates its 4 children in one broadcast signed-distance batch —
@@ -294,7 +302,7 @@ def maximum_inscribed_circle(geom: Geometry, tolerance: float | None = None) -> 
     if tolerance is None:
         b = K.bounds(geom)
         tolerance = max(b[2] - b[0], b[3] - b[1]) / 1000.0
-    center, r = polylabel(geom, tolerance)
+    center, r = _polylabel_with_distance(geom, tolerance)
     cx, cy = float(center.coords[0, 0]), float(center.coords[0, 1])
     # nearest boundary point
     segs = K._edges(geom)

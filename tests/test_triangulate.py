@@ -95,17 +95,25 @@ class TestVoronoi:
 
 class TestPolylabel:
     def test_square_center(self):
-        p, d = polylabel(box(0, 0, 4, 4), tolerance=0.01)
-        assert d == pytest.approx(2.0, abs=0.05)
+        # reference parity: polylabel returns the POINT, not a tuple
+        # (shapely/algorithms/polylabel.py returns Point)
+        from shapely_spark.geo.triangulate import _polylabel_with_distance
+
+        p = polylabel(box(0, 0, 4, 4), tolerance=0.01)
+        assert p.type_id == 0  # POINT
         assert p.coords[0, 0] == pytest.approx(2.0, abs=0.05)
+        _, d = _polylabel_with_distance(box(0, 0, 4, 4), tolerance=0.01)
+        assert d == pytest.approx(2.0, abs=0.05)
 
     def test_holed(self):
         from shapely_spark.geo import overlay as O
+        from shapely_spark.geo.triangulate import _polylabel_with_distance
 
         holed = O.difference(box(0, 0, 10, 10), box(1, 1, 9, 5))
-        p, d = polylabel(holed, tolerance=0.05)
+        p, d = _polylabel_with_distance(holed, tolerance=0.05)
         assert K.contains(holed, p)
         assert d == pytest.approx(2.5, abs=0.1)  # widest band y∈[5,10] → depth 2.5
+        assert K.contains(holed, polylabel(holed, tolerance=0.05))
 
     def test_max_inscribed_circle(self):
         mic = maximum_inscribed_circle(box(0, 0, 4, 2))
