@@ -283,16 +283,22 @@ def is_valid_input(obj) -> bool:
     return obj is None or isinstance(obj, Geometry)
 
 
-def linearrings(coords, indices=None) -> list:
-    """reference: shapely/creation.py:236 — build rings (auto-closed) from
-    an array of coordinate rows. Without indices: one ring from the whole
-    array. With indices: rows are grouped by index (must be
-    non-decreasing, like the reference's ufunc contract) and one ring is
-    built per group. The DataFrame-scale equivalent is the grouped
-    collect in spark/parts.py (creation with indices=)."""
+def linearrings(coords, y=None, z=None, indices=None) -> list:
+    """reference: shapely/creation.py:236 (same signature: optional
+    separate y/z columns) — build rings (auto-closed) from an array of
+    coordinate rows. Without indices: one ring from the whole array.
+    With indices: rows are grouped by index (must be non-decreasing,
+    like the reference's ufunc contract) and one ring is built per
+    group. The DataFrame-scale equivalent is the grouped collect in
+    spark/parts.py (creation with indices=)."""
     import numpy as np
 
     a = np.asarray(coords, dtype=np.float64)
+    if y is not None:
+        cols = [a, np.asarray(y, dtype=np.float64)]
+        if z is not None:
+            cols.append(np.asarray(z, dtype=np.float64))
+        a = np.column_stack(cols)
     if indices is None:
         return [linearring(a)]
     idx = np.asarray(indices)

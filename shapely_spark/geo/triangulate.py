@@ -140,9 +140,13 @@ def delaunay_triangles(geom: Geometry | None, tolerance: float = 0.0,
     return Geometry(GEOMETRYCOLLECTION, parts=polys)
 
 
-def voronoi_polygons(geom: Geometry | None, extend_to: Geometry | None = None,
-                     tolerance: float = 0.0, only_edges: bool = False) -> Geometry | None:
-    """reference: shapely/constructive.py:1270. Each input point's cell is
+def voronoi_polygons(geom: Geometry | None, tolerance: float = 0.0,
+                     extend_to: Geometry | None = None,
+                     only_edges: bool = False) -> Geometry | None:
+    """reference: shapely/constructive.py:1270 — same parameter ORDER
+    (tolerance second; the r3 parity audit caught ours taking extend_to
+    second, so a reference-style positional call would misbind).
+    Each input point's cell is
     the intersection of the (expanded) envelope with the half-planes closer
     to it than to every other point — O(n²) half-plane clipping instead of
     the dual-graph walk, trivially robust for UDF-scale inputs. Envelope
@@ -449,5 +453,9 @@ def constrained_delaunay_triangles(geom: Geometry | None) -> Geometry | None:
     return Geometry(GEOMETRYCOLLECTION, parts=out)
 
 
-# legacy shapely.ops name (reference: shapely/ops.py voronoi_diagram)
-voronoi_diagram = voronoi_polygons
+def voronoi_diagram(geom: Geometry | None, envelope: Geometry | None = None,
+                    tolerance: float = 0.0, edges: bool = False) -> Geometry | None:
+    """Legacy shapely.ops name + signature (reference: shapely/ops.py:291
+    voronoi_diagram(geom, envelope=None, tolerance=0.0, edges=False))."""
+    return voronoi_polygons(geom, tolerance=tolerance, extend_to=envelope,
+                            only_edges=edges)

@@ -45,19 +45,52 @@ class WKBError(ValueError):
 
 def to_wkb(
     geom: Geometry | None,
-    byte_order: int = 1,
+    hex: bool = False,
+    output_dimension: int = 3,
+    byte_order: int = -1,
     include_srid: bool = False,
     flavor: str = "iso",
-) -> bytes | None:
-    """geometry → WKB bytes. byte_order 1=little (default), 0=big.
+) -> bytes | str | None:
+    """geometry → WKB bytes (or uppercase hex string with hex=True).
+    byte_order: -1 native (little everywhere this engine runs), 1=little,
+    0=big. output_dimension 2 strips Z/M, 3 keeps Z (strips M), 4 keeps
+    both — GEOS WKBWriter semantics.
 
-    reference: shapely/io.py:119 (defaults: little-endian, ISO).
+    reference: shapely/io.py:119 to_wkb(geometry, hex=False,
+    output_dimension=3, byte_order=-1, flavor="iso") — signature aligned
+    in the r3 parity audit (hex/output_dimension were missing and
+    byte_order sat in their positional slots).
     """
     if geom is None:
         return None
+    if output_dimension == 2 and (geom.has_z or geom.has_m):
+        from .constructive import force_2d
+
+        geom = force_2d(geom)
+    elif output_dimension == 3 and geom.has_m:
+        geom = _drop_m(geom)
     out = bytearray()
-    _write_geom(out, geom, byte_order, include_srid, flavor, top=True)
-    return bytes(out)
+    bo = 1 if byte_order == -1 else byte_order
+    _write_geom(out, geom, bo, include_srid, flavor, top=True)
+    return bytes(out).hex().upper() if hex else bytes(out)
+
+
+def _drop_m(geom: Geometry) -> Geometry:
+    """Copy without the M column (keeps Z when present)."""
+    keep = 3 if geom.has_z else 2
+
+    def strip(c):
+        return None if c is None else np.asarray(c, dtype=np.float64)[:, :keep]
+
+    tid = geom.type_id
+    if geom.rings is not None:
+        return Geometry(tid, rings=[strip(r) for r in geom.rings],
+                        has_z=geom.has_z, has_m=False, srid=geom.srid)
+    if geom.parts is not None:
+        return Geometry(tid, parts=[_drop_m(p) for p in geom.parts],
+                        has_z=geom.has_z, has_m=False, srid=geom.srid)
+    return Geometry(tid, coords=strip(geom.coords),
+                    has_z=geom.has_z, has_m=False, srid=geom.srid)
 
 
 # internal type id (shapely/_geometry.py enum, 0-based) ↔ WKB code (1-based

@@ -601,8 +601,12 @@ class TestAccessorsAndFix:
     def test_skew_golden(self):
         from shapely_spark.geo import from_wkt, to_wkt
         from shapely_spark.geo.constructive import skew
+        # reference default origin is the bbox CENTER (shapely/affinity.py:204
+        # via interpret_origin) — shear of a vertical segment about (0, 1)
         g = skew(from_wkt("LINESTRING (0 0, 0 2)"), xs=45.0)
-        assert to_wkt(g, rounding_precision=6) == "LINESTRING (0 0, 2 2)"
+        assert to_wkt(g, rounding_precision=6) == "LINESTRING (-1 0, 1 2)"
+        g0 = skew(from_wkt("LINESTRING (0 0, 0 2)"), xs=45.0, origin=(0, 0))
+        assert to_wkt(g0, rounding_precision=6) == "LINESTRING (0 0, 2 2)"
 
     def test_get_zm(self):
         import math
