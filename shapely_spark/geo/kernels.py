@@ -993,18 +993,24 @@ def equals(a: Geometry | None, b: Geometry | None) -> bool:
     return covers(a, b) and covers(b, a)
 
 
-def dwithin(a: Geometry | None, b: Geometry | None, d: float) -> bool:
-    """distance(a,b) <= d without materializing it when bbox prune fails.
-    reference: shapely/predicates.py:1269."""
+_distance_of = distance  # dwithin's reference-named parameter shadows the kernel
+
+
+def dwithin(a: Geometry | None, b: Geometry | None, distance: float) -> bool:
+    """distance(a,b) <= distance without materializing it when the bbox
+    prune fails. reference: shapely/predicates.py:1269 (same parameter
+    name for keyword compatibility; the kernel is _distance_of here
+    because the parameter shadows it)."""
     if a is None or b is None or a.is_empty or b.is_empty:
         return False
+    d = distance
     ba, bb = bounds(a), bounds(b)
     if (
         ba[0] - d > bb[2] or bb[0] - d > ba[2]
         or ba[1] - d > bb[3] or bb[1] - d > ba[3]
     ):
         return False
-    return distance(a, b) <= d
+    return _distance_of(a, b) <= d
 
 
 def _boundary_dim(g: Geometry) -> int:
