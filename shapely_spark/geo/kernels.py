@@ -520,13 +520,17 @@ def intersects(a: Geometry | None, b: Geometry | None) -> bool:
         if _segments_intersect_any(ea, eb):
             return True
         return bool((points_in_rings_class(pa[:, 0], pa[:, 1], _rings_of(b)) >= BOUNDARY).any())
-    # polygon vs polygon
+    # polygon vs polygon: with no boundary crossing, every CONNECTED
+    # component of each side is wholly inside or wholly outside the other —
+    # but a multipolygon has several components, so EVERY part must be
+    # probed (the r3 fuzz caught a one-vertex probe missing a multipolygon
+    # whose first part lies outside while the second sits inside)
     if _segments_intersect_any(ea, eb):
         return True
     pb = _points_of(b)
-    if (points_in_rings_class(pb[:1, 0], pb[:1, 1], _rings_of(a)) >= BOUNDARY).any():
+    if (points_in_rings_class(pb[:, 0], pb[:, 1], _rings_of(a)) >= BOUNDARY).any():
         return True
-    return bool((points_in_rings_class(pa[:1, 0], pa[:1, 1], _rings_of(b)) >= BOUNDARY).any())
+    return bool((points_in_rings_class(pa[:, 0], pa[:, 1], _rings_of(b)) >= BOUNDARY).any())
 
 
 def disjoint(a, b) -> bool:

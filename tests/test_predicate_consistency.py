@@ -228,3 +228,24 @@ class TestNodedContainmentRegressions:
         assert K.touches(h, exact_hole)
         inside = self._w("POLYGON((1 1,3 1,3 3,1 3,1 1))")
         assert K.contains(h, inside) and K.contains_properly(h, inside)
+
+
+def test_intersects_multipolygon_part_inside():
+    """r3 fuzz: after the no-crossing check, intersects probed ONE vertex
+    per side — a multipolygon whose first part lies outside while its
+    second part sits wholly inside the other polygon returned False.
+    Every part's vertices are probed now."""
+    import numpy as np
+    from shapely_spark.geo.geom import Geometry, POLYGON, box, multipolygon
+    ring = np.array([[5., 0.], [3.61803399, 1.90211303],
+                     [1.38196601, 1.17557051], [1.38196601, -1.17557051],
+                     [3.61803399, -1.90211303], [5., 0.]])
+    a = Geometry(POLYGON, rings=[ring])
+    b = multipolygon([box(0, 0, 1, 1), box(1.5, 0, 2.5, 1)])  # part 2 inside a
+    assert K.intersects(a, b) and K.intersects(b, a)
+    assert not K.disjoint(a, b)
+    assert K.overlaps(a, b)
+    assert K.relate(a, b)[0] == "2"
+    # still False when no part touches
+    c = multipolygon([box(10, 10, 11, 11), box(13, 10, 14, 11)])
+    assert not K.intersects(a, c)
