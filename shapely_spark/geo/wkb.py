@@ -3,7 +3,9 @@
 Semantics pinned to the reference codec (shapely/io.py:119 to_wkb /
 :313 from_wkb): ISO flavor uses type = base + 1000*Z + 2000*M; extended
 (EWKB) flavor uses high-bit flags (0x80000000 Z, 0x40000000 M,
-0x20000000 SRID). Default write: little-endian ISO, like the reference.
+0x20000000 SRID). Default write: little-endian extended (EWKB), matching
+the reference's to_wkb default (shapely/io.py:119 flavor="extended");
+identical bytes to ISO for 2-D SRID-less geometries.
 POINT EMPTY serializes as POINT (nan nan), matching GEOS. LINEARRING has
 no WKB code and is written as LINESTRING.
 
@@ -46,23 +48,28 @@ class WKBError(ValueError):
 def to_wkb(
     geom: Geometry | None,
     hex: bool = False,
-    output_dimension: int = 3,
+    output_dimension: int | None = None,
     byte_order: int = -1,
     include_srid: bool = False,
-    flavor: str = "iso",
+    flavor: str = "extended",
 ) -> bytes | str | None:
     """geometry → WKB bytes (or uppercase hex string with hex=True).
     byte_order: -1 native (little everywhere this engine runs), 1=little,
     0=big. output_dimension 2 strips Z/M, 3 keeps Z (strips M), 4 keeps
-    both — GEOS WKBWriter semantics.
+    both; None (the default) resolves to 4 — GEOS WKBWriter semantics.
 
     reference: shapely/io.py:119 to_wkb(geometry, hex=False,
-    output_dimension=3, byte_order=-1, flavor="iso") — signature aligned
-    in the r3 parity audit (hex/output_dimension were missing and
-    byte_order sat in their positional slots).
+    output_dimension=None, byte_order=-1, include_srid=False,
+    flavor="extended") — defaults matched exactly (r4: previously this
+    defaulted to iso/3, silently dropping M and diverging on 3-D bytes).
+    None resolves to 4 because M is supported here, mirroring the
+    reference on GEOS >= 3.12. For 2-D SRID-less geometries (the engine's
+    internal hot path) extended and iso bytes are identical.
     """
     if geom is None:
         return None
+    if output_dimension is None:
+        output_dimension = 4
     if output_dimension == 2 and (geom.has_z or geom.has_m):
         from .constructive import force_2d
 

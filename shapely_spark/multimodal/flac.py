@@ -191,6 +191,10 @@ def decode_flac(b: bytes) -> np.ndarray:
         if hdr & 0x7F == 0:  # STREAMINFO
             si = b[pos + 4:pos + 4 + ln]
             total = ((si[13] & 0x0F) << 32) | struct.unpack(">I", si[14:18])[0]
+            if total == 0:
+                # RFC 9639 §8.2: a total-samples field of 0 means UNKNOWN
+                # (piped/live encodes) — decode every frame, no truncation.
+                total = None
         pos += 4 + ln
         if hdr & 0x80:
             break

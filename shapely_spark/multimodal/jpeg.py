@@ -251,8 +251,12 @@ def _decode_scan(data: bytes, frame, scan, qt, restart) -> dict:
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
     interleaved = len(scan) > 1
-    # allocate per-component sample planes (padded to whole blocks/MCUs)
-    for c in frame["comps"]:
+    # Allocate sample planes only for THIS scan's components, and only once:
+    # a multi-scan baseline file (one SOS per component) must keep planes
+    # decoded by earlier scans intact.
+    for c, _, _ in scan:
+        if "plane" in c:
+            continue
         cw = -(-w * c["h"] // hmax)
         ch = -(-h * c["v"] // vmax)
         if interleaved:
@@ -336,6 +340,8 @@ def _to_rgb(planes: dict, frame) -> np.ndarray:
     vmax = max(c["v"] for c in comps)
     chans = []
     for c in comps:
+        if "plane" not in c:
+            raise ValueError("JPEG scan data missing for a frame component")
         p = c["plane"][: c["ch"], : c["cw"]]
         p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
         chans.append(p[:h, :w])
@@ -398,9 +404,11 @@ def _pad_to(p: np.ndarray, bh: int, bw_: int) -> np.ndarray:
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 90,
-                subsample: bool = False) -> bytes:
+                subsample: bool = False, multi_scan: bool = False) -> bytes:
     """H×W×3 uint8 (or H×W gray) -> baseline JFIF bytes. subsample=True
-    emits 4:2:0 (2x2 box-averaged chroma), else 4:4:4."""
+    emits 4:2:0 (2x2 box-averaged chroma), else 4:4:4. multi_scan=True
+    emits one single-component SOS per channel (legal sequential baseline,
+    T.81 §B.2.3) instead of one interleaved scan — a decoder fixture."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -445,13 +453,35 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
                                (1, 0, _AC_BITS, _AC_SYMBOLS)):
         out += b"\xff\xc4" + struct.pack(">HB", 19 + sum(bits), (tc << 4) | th)
         out += bytes(bits) + bytes(vals)
+    dc_tab = _build_encode_table(_DC_BITS, _DC_VALS)
+    ac_tab = _build_encode_table(_AC_BITS, _AC_SYMBOLS)
+    if multi_scan:
+        # one non-interleaved scan per component, blocks in raster order
+        # over that component's own block grid (DC pred resets per scan)
+        for ci in range(nc):
+            sh, sv = samp[ci]
+            cw = -(-w * sh // hmax)
+            ch_ = -(-h * sv // vmax)
+            bxs, bys = -(-cw // 8), -(-ch_ // 8)
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += bytes([ci + 1, 0x00]) + b"\x00\x3f\x00"
+            bw = _BitWriter()
+            pred = 0
+            q = ql if qids[ci] == 0 else qc
+            for by in range(bys):
+                for bx in range(bxs):
+                    block = padded[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                    pred = _encode_block(bw, block, q, pred, dc_tab, ac_tab)
+            bw.flush()
+            out += bw.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
     for ci in range(nc):
         out += bytes([ci + 1, 0x00])
     out += b"\x00\x3f\x00"
 
-    dc_tab = _build_encode_table(_DC_BITS, _DC_VALS)
-    ac_tab = _build_encode_table(_AC_BITS, _AC_SYMBOLS)
     bw = _BitWriter()
     preds = [0] * nc
     for my in range(mcus_y):

@@ -3320,10 +3320,11 @@ def audio_decode_flac_abs_sum(spark, sf_dir):
     "duplicate_spans_counts",
     """
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    u AS (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM d),
     w AS (
-      SELECT doc_id, array_to_string(toks[i.i+1 : i.i+8], ' ') AS span
-      FROM d, range(0, 4000) i(i)
-      WHERE i.i % 4 = 0 AND i.i + 8 <= len(toks)
+      SELECT doc_id, array_to_string(toks[i+1 : i+8], ' ') AS span
+      FROM u
+      WHERE i % 4 = 0 AND i + 8 <= len(toks)
     )
     SELECT span,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -3336,7 +3337,10 @@ def duplicate_spans_counts(spark, sf_dir):
     """Duplicate-span counting over the documents table (text/dedup.py
     duplicate_spans): 8-token windows at stride 4, global frequency with
     countDistinct docs — the substring-dedup approximation. DuckDB
-    rebuilds the identical window set with list slicing and recounts."""
+    rebuilds the identical window set with per-row unnest(range(len))
+    list slicing — no token-length cap on either side (r4: the oracle
+    previously enumerated a fixed range(0,4000), silently bounding
+    documents to ~4004 tokens while the Spark side had no cap)."""
     from .text.dedup import duplicate_spans
 
     docs = _t(spark, sf_dir, "documents")

@@ -530,6 +530,32 @@ class TestJpegCodec:
         out = decode_jpeg(spliced)
         assert (out[:8] == 50).all() and (out[8:] == 210).all()
 
+    def test_multi_scan_three_sos_matches_interleaved(self):
+        """Three single-component scans (sequential baseline, one SOS per
+        channel) must decode identically to the interleaved single-scan
+        encoding — earlier scans' planes must survive later SOS markers."""
+        import numpy as np
+        from shapely_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+        yy, xx = np.mgrid[0:24, 0:17]
+        img = np.stack([20 + (xx * 150) // 17, 30 + (yy * 120) // 24,
+                        200 - (xx * 100) // 17], -1).astype(np.uint8)
+        multi = encode_jpeg(img, quality=95, multi_scan=True)
+        single = encode_jpeg(img, quality=95)
+        assert multi.count(b"\xff\xda") >= 3  # really three scans
+        out_m = decode_jpeg(multi)
+        out_s = decode_jpeg(single)
+        assert (out_m == out_s).all()
+        assert int(np.abs(out_m.astype(int) - img.astype(int)).max()) <= 4
+
+    def test_multi_scan_uniform_exact(self):
+        import numpy as np
+        from shapely_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+        img = np.zeros((16, 11, 3), np.uint8)
+        img[..., 0], img[..., 1], img[..., 2] = 200, 50, 100
+        a = decode_jpeg(encode_jpeg(img, quality=90, multi_scan=True))
+        b = decode_jpeg(encode_jpeg(img, quality=90))
+        assert (a == b).all()
+
 
 class TestFlacCodec:
     """FLAC (flac.py): lossless, so roundtrips are bit-exact; decoder
@@ -544,6 +570,22 @@ class TestFlacCodec:
             y = decode_flac(encode_flac(x, mode=mode, block_size=1024))
             assert len(y) == len(x)
             assert (np.rint(y * 32768).astype(np.int64) == x).all(), mode
+
+    def test_unknown_total_samples_decodes_all_frames(self):
+        """RFC 9639 §8.2: STREAMINFO total-samples == 0 means UNKNOWN
+        (piped/live encodes) — the decoder must decode every frame, not
+        truncate to zero. Zero out the 36-bit field in a valid stream."""
+        import numpy as np
+        from shapely_spark.multimodal.flac import decode_flac, encode_flac
+        x = (np.sin(np.arange(2500) / 5.0) * 12000).astype(np.int16)
+        b = bytearray(encode_flac(x, mode="fixed2", block_size=1024))
+        # STREAMINFO starts at byte 8 (4 magic + 4 block header); total
+        # samples = low nibble of si[13] + si[14:18]
+        b[8 + 13] &= 0xF0
+        b[8 + 14:8 + 18] = b"\x00\x00\x00\x00"
+        y = decode_flac(bytes(b))
+        assert len(y) == len(x)
+        assert (np.rint(y * 32768).astype(np.int64) == x).all()
 
     def test_lossless_on_random_noise(self):
         import numpy as np
