@@ -30,6 +30,24 @@ from .kernels import (  # noqa: F401
 from .geom import (  # noqa: F401
     is_geometry, is_missing, is_valid_input, linearrings,
 )
-from .constructive import transform_coordseq  # noqa: F401
+from .constructive import (  # noqa: F401
+    boundary, minimum_rotated_rectangle, transform_coordseq,
+)
 from .testing import assert_geometries_equal  # noqa: F401
 from . import plotting, speedups  # noqa: F401
+from . import creation, inspection, ops, prepared, ragged, wkb, wkt  # noqa: F401
+from .prepared import PreparedGeometry, prep  # noqa: F401
+from .ragged import from_ragged_array, to_ragged_array  # noqa: F401
+from .creation import (  # noqa: F401
+    geometrycollections, linestrings, multilinestrings, multipoints,
+    multipolygons, points, polygons,
+)
+from .inspection import (  # noqa: F401
+    GeometryType, count_coordinates, equals_exact, equals_identical,
+    get_coordinate_dimension, get_coordinates, get_dimensions,
+    get_exterior_ring, get_geometry, get_interior_ring,
+    get_num_coordinates, get_num_geometries, get_num_interior_rings,
+    get_num_points, get_parts, get_point, get_precision, get_rings,
+    get_srid, get_type_id, has_m, has_z, is_empty, set_srid, transform,
+)
+from .ops import linemerge, orient, unary_union  # noqa: F401

@@ -792,7 +792,9 @@ def extract_unique_points(geom: Geometry | None) -> Geometry | None:
 
 
 def set_precision(geom: Geometry | None, grid_size: float) -> Geometry | None:
-    """Snap coordinates to grid. reference: shapely/_geometry.py:868."""
+    """Snap coordinates to grid. reference: shapely/_geometry.py:868.
+    The grid size is stored on the result so get_precision
+    (shapely/_geometry.py:824) can read it back."""
     if geom is None or geom.is_empty or grid_size == 0:
         return geom
 
@@ -801,10 +803,13 @@ def set_precision(geom: Geometry | None, grid_size: float) -> Geometry | None:
 
     tid = geom.type_id
     if tid in (POINT, LINESTRING, LINEARRING):
-        return Geometry(tid, coords=snap(geom.coords), has_z=geom.has_z)
+        return Geometry(tid, coords=snap(geom.coords), has_z=geom.has_z,
+                        precision=grid_size)
     if tid == POLYGON:
-        return Geometry(POLYGON, rings=[snap(r) for r in geom.rings])
-    return Geometry(tid, parts=[set_precision(p, grid_size) for p in geom.parts])
+        return Geometry(POLYGON, rings=[snap(r) for r in geom.rings],
+                        precision=grid_size)
+    return Geometry(tid, parts=[set_precision(p, grid_size) for p in geom.parts],
+                    precision=grid_size)
 
 
 def force_2d(geom: Geometry | None) -> Geometry | None:
@@ -943,11 +948,13 @@ def skew(geom, xs=0.0, ys=0.0, origin="center", use_radians=False):
 # ---------------------------------------------------------------------------
 
 def line_interpolate_point(line: Geometry, distance: float, normalized: bool = False) -> Geometry:
-    """reference: shapely/linear.py:26 (negative distance measures from end)."""
-    c = np.asarray(line.coords)[:, :2]
+    """reference: shapely/linear.py:26 (negative distance measures from
+    end). Distance is measured in XY; Z/M ride along and interpolate
+    linearly within the hit segment (GEOS LengthIndexedLine semantics)."""
+    c = np.asarray(line.coords, dtype=np.float64)
     if len(c) == 0:
         return empty(POINT)
-    seg = np.sqrt((np.diff(c, axis=0) ** 2).sum(axis=1))
+    seg = np.sqrt((np.diff(c[:, :2], axis=0) ** 2).sum(axis=1))
     total = seg.sum()
     if normalized:
         distance = distance * total
@@ -959,7 +966,8 @@ def line_interpolate_point(line: Geometry, distance: float, normalized: bool = F
     i = min(i, len(seg) - 1)
     t = 0.0 if seg[i] == 0 else (distance - cum[i]) / seg[i]
     p = c[i] + t * (c[i + 1] - c[i])
-    return make_point(float(p[0]), float(p[1]))
+    return Geometry(POINT, coords=p.reshape(1, -1), has_z=line.has_z,
+                    has_m=line.has_m)
 
 
 def line_locate_point(line: Geometry, other: Geometry, normalized: bool = False) -> float:
@@ -982,9 +990,10 @@ def line_locate_point(line: Geometry, other: Geometry, normalized: bool = False)
     return float(dist)
 
 
-def line_merge(geom: Geometry | None) -> Geometry | None:
+def line_merge(geom: Geometry | None, directed: bool = False) -> Geometry | None:
     """Stitch multilinestring parts at shared endpoints.
-    reference: shapely/linear.py:119 (directed=False)."""
+    reference: shapely/linear.py:119 (directed=True forbids reversing a
+    part to make the join)."""
     if geom is None or geom.type_id != MULTILINESTRING:
         return geom
     lines = [np.asarray(p.coords)[:, :2] for p in geom.parts or [] if p.coords is not None and len(p.coords) >= 2]
@@ -996,11 +1005,11 @@ def line_merge(geom: Geometry | None) -> Geometry | None:
                 a, b = lines[i], lines[j]
                 if np.array_equal(a[-1], b[0]):
                     lines[i] = np.vstack([a, b[1:]])
-                elif np.array_equal(a[-1], b[-1]):
-                    lines[i] = np.vstack([a, b[::-1][1:]])
                 elif np.array_equal(a[0], b[-1]):
                     lines[i] = np.vstack([b, a[1:]])
-                elif np.array_equal(a[0], b[0]):
+                elif not directed and np.array_equal(a[-1], b[-1]):
+                    lines[i] = np.vstack([a, b[::-1][1:]])
+                elif not directed and np.array_equal(a[0], b[0]):
                     lines[i] = np.vstack([b[::-1], a[1:]])
                 else:
                     continue
@@ -1852,3 +1861,58 @@ def transform_coordseq(geom: Geometry | None, transformation, *,
         return np.column_stack([xs, ys])
 
     return transform_coords(geom, fn)
+
+
+def boundary(geom: Geometry | None) -> Geometry | None:
+    """Topological boundary (reference: shapely/constructive.py:92 —
+    GEOSBoundary semantics, pinned to the reference docstring examples):
+
+    - POINT / MULTIPOINT        -> GEOMETRYCOLLECTION EMPTY
+    - LINESTRING / LINEARRING / MULTILINESTRING -> MULTIPOINT of the
+      endpoints that occur an ODD number of times (the mod-2 rule);
+      closed rings therefore yield MULTIPOINT EMPTY. Points sorted
+      lexicographically like GEOS output.
+    - POLYGON                   -> exterior ring as LINESTRING, or
+      MULTILINESTRING of all rings when holes are present
+    - MULTIPOLYGON              -> MULTILINESTRING of every ring
+    - GEOMETRYCOLLECTION        -> None (reference returns None)
+    """
+    if geom is None:
+        return None
+    tid = geom.type_id
+    if tid == GEOMETRYCOLLECTION:
+        return None
+    if tid in (POINT, MULTIPOINT):
+        return empty(GEOMETRYCOLLECTION)
+    if tid in (LINESTRING, LINEARRING, MULTILINESTRING):
+        counts: dict[tuple, int] = {}
+        lines = geom.parts if tid == MULTILINESTRING else [geom]
+        for ln in lines:
+            c = ln.coords
+            if c is None or len(c) < 2:
+                continue
+            for end in (c[0], c[-1]):
+                k = (float(end[0]), float(end[1]))
+                counts[k] = counts.get(k, 0) + 1
+        pts = sorted(k for k, n in counts.items() if n % 2 == 1)
+        if not pts:
+            return Geometry(MULTIPOINT, parts=[])
+        return multipoint([make_point(x, y) for x, y in pts])
+    # POLYGON / MULTIPOLYGON -> rings as lines
+    rings = []
+    polys = geom.parts if tid == MULTIPOLYGON else [geom]
+    for p in polys:
+        for r in p.rings or []:
+            rings.append(linestring(np.asarray(r)[:, :2]))
+    if tid == POLYGON and len(rings) == 1:
+        return rings[0]
+    if not rings:
+        return (Geometry(MULTILINESTRING, parts=[]) if tid == MULTIPOLYGON
+                or tid == POLYGON else Geometry(MULTIPOINT, parts=[]))
+    return Geometry(MULTILINESTRING, parts=rings)
+
+
+def minimum_rotated_rectangle(geom: Geometry | None) -> Geometry | None:
+    """reference: shapely/constructive.py oriented_envelope alias
+    (minimum_rotated_rectangle is the historical name)."""
+    return oriented_envelope(geom)

@@ -71,6 +71,7 @@ class Geometry:
     has_z: bool = False
     has_m: bool = False
     srid: int = 0
+    precision: float = 0.0  # grid size set by set_precision; 0 = full double
 
     def __post_init__(self):
         if self.coords is not None:

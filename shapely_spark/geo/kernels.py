@@ -1442,3 +1442,144 @@ def validate(geom: Geometry | None) -> str | None:
     """reference: shapely/ops.py:211 ops.validate — returns the validity
     reason string (the reference delegates to is_valid_reason)."""
     return is_valid_reason(geom)
+
+
+# ---------------------------------------------------------------------------
+# Group-vectorized intersects: one right geometry vs a batch of lefts
+# (the spatial_join_geom refine hot path — r3 verdict item 2: the non-rect
+# remainder ran the scalar kernel per pair)
+# ---------------------------------------------------------------------------
+
+_EDGE_CHUNK = 1 << 22  # cap the (left-edge × right-edge) outer product rows
+
+
+def _ragged_stack(arrays: list[np.ndarray], width: int):
+    """Concatenate per-owner arrays; return (stacked, owner_index)."""
+    keep = [(i, a) for i, a in enumerate(arrays) if len(a)]
+    if not keep:
+        return np.zeros((0, width)), np.zeros(0, np.int64)
+    stacked = np.concatenate([a for _, a in keep], axis=0)
+    owner = np.repeat(np.fromiter((i for i, _ in keep), np.int64,
+                                  count=len(keep)),
+                      [len(a) for _, a in keep])
+    return stacked, owner
+
+
+def _any_by_owner(hits: np.ndarray, owner: np.ndarray, n: int) -> np.ndarray:
+    out = np.zeros(n, dtype=bool)
+    if hits.any():
+        out[np.unique(owner[hits])] = True
+    return out
+
+
+def _points_on_closure(px, py, geom: Geometry) -> np.ndarray:
+    """Boolean: each point lies on the CLOSURE of geom (the intersects
+    point test — points_in_rings_class >= BOUNDARY for areas,
+    points_on_segments for lines, coordinate equality for points)."""
+    d = _dim(geom)
+    if d == 2:
+        return points_in_rings_class(px, py, _rings_of(geom)) >= BOUNDARY
+    if d == 1:
+        return points_on_segments(px, py, _edges(geom))
+    rp = _points_of(geom)
+    return np.any((px[:, None] == rp[None, :, 0])
+                  & (py[:, None] == rp[None, :, 1]), axis=1)
+
+
+def _segments_intersect_pairs(sa: np.ndarray, owner: np.ndarray,
+                              sb: np.ndarray, n: int) -> np.ndarray:
+    """Per-owner any-intersection between owner-tagged segments sa and the
+    shared segment set sb — same proper/touch maths as
+    _segments_intersect_any, chunked so the outer product stays in cache."""
+    out = np.zeros(n, dtype=bool)
+    if len(sa) == 0 or len(sb) == 0:
+        return out
+    rows_per_chunk = max(1, _EDGE_CHUNK // max(len(sb), 1))
+    for s in range(0, len(sa), rows_per_chunk):
+        a = sa[s:s + rows_per_chunk]
+        own = owner[s:s + rows_per_chunk]
+        ax1, ay1, ax2, ay2 = (a[:, i][:, None] for i in range(4))
+        bx1, by1, bx2, by2 = (sb[:, i][None, :] for i in range(4))
+        d1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+        d2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+        d3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+        d4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+        hit = (((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+               & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0))
+
+        def on(d, px, py, x1, y1, x2, y2):
+            return ((d == 0)
+                    & (px >= np.minimum(x1, x2)) & (px <= np.maximum(x1, x2))
+                    & (py >= np.minimum(y1, y2)) & (py <= np.maximum(y1, y2)))
+
+        hit |= (on(d1, bx1, by1, ax1, ay1, ax2, ay2)
+                | on(d2, bx2, by2, ax1, ay1, ax2, ay2)
+                | on(d3, ax1, ay1, bx1, by1, bx2, by2)
+                | on(d4, ax2, ay2, bx1, by1, bx2, by2))
+        rows = hit.any(axis=1)
+        if rows.any():
+            out[np.unique(own[rows])] = True
+    return out
+
+
+def group_intersects(lgeoms: list, rgeom: Geometry | None) -> np.ndarray:
+    """Vectorized intersects(lgeoms[i], rgeom) over a whole left batch.
+
+    Exactly the scalar dispatch's three-way union (kernels.intersects):
+    a pair intersects iff (1) some left vertex lies on the right's
+    closure, or (2) some right vertex lies on the left's closure, or
+    (3) some left edge meets some right edge (proper or touching).
+    Each stage is one NumPy pass over owner-tagged stacked arrays —
+    no per-pair Python. Agreement with the scalar kernel is pinned by a
+    fuzz test (tests/test_join.py)."""
+    n = len(lgeoms)
+    out = np.zeros(n, dtype=bool)
+    if rgeom is None or rgeom.is_empty:
+        return out
+    rb = bounds(rgeom)
+
+    alive_idx = []
+    for i, g in enumerate(lgeoms):
+        if g is None or g.is_empty:
+            continue
+        lb = bounds(g)
+        if np.isnan(lb[0]) or lb[0] > rb[2] or rb[0] > lb[2] \
+                or lb[1] > rb[3] or rb[1] > lb[3]:
+            continue
+        alive_idx.append(i)
+    if not alive_idx:
+        return out
+    alive_idx = np.asarray(alive_idx, dtype=np.int64)
+    alive = [lgeoms[i] for i in alive_idx]
+    m = len(alive)
+
+    # stage 1: left vertices on closure(right)
+    pts, owner = _ragged_stack([_points_of(g) for g in alive], 2)
+    dec = _any_by_owner(_points_on_closure(pts[:, 0], pts[:, 1], rgeom),
+                        owner, m)
+
+    # stage 2: right vertices on closure(left), undecided lefts only
+    und = np.flatnonzero(~dec)
+    if len(und):
+        rpts = _points_of(rgeom)
+        rx, ry = rpts[:, 0], rpts[:, 1]
+        for k in und:
+            g = alive[k]
+            # per-left call, but each is ONE vectorized pass over all
+            # right vertices (right vertex counts dwarf left counts in
+            # the admin-boundary regime this path serves)
+            if _points_on_closure(rx, ry, g).any():
+                dec[k] = True
+
+    # stage 3: edge × edge, still-undecided lefts
+    und = np.flatnonzero(~dec)
+    if len(und):
+        redges = _edges(rgeom)
+        if len(redges):
+            ledges, eowner = _ragged_stack(
+                [_edges(alive[k]) for k in und], 4)
+            hit = _segments_intersect_pairs(ledges, eowner, redges, len(und))
+            dec[und[hit]] = True
+
+    out[alive_idx[dec]] = True
+    return out

@@ -269,3 +269,40 @@ def from_wkb_batch(column, on_invalid: str = "ignore") -> list[Geometry | None]:
 
 def to_wkb_batch(geoms) -> list[bytes | None]:
     return [None if g is None else to_wkb(g) for g in geoms]
+
+
+# --------------------------------------------------------------------------
+# Legacy 1.x module API (reference: shapely/wkb.py:9 loads, :23 load,
+# :36 dumps, :69 dump) — veneers over from_wkb/to_wkb including the
+# big_endian= translation the reference keeps for 1.x callers.
+# --------------------------------------------------------------------------
+
+def loads(data, hex: bool = False):
+    """reference: shapely/wkb.py:9 (from_wkb auto-detects hex strings,
+    matching the reference, so hex= only documents intent)."""
+    if hex and isinstance(data, str):
+        data = bytes.fromhex(data)
+    return from_wkb(data)
+
+
+def load(fp, hex: bool = False):
+    """reference: shapely/wkb.py:23."""
+    return loads(fp.read(), hex=hex)
+
+
+def dumps(ob, hex: bool = False, srid: int | None = None, **kw):
+    """reference: shapely/wkb.py:36 — srid= clones with the SRID set and
+    forces include_srid; big_endian= maps to byte_order 0/1."""
+    if srid is not None:
+        from dataclasses import replace
+
+        ob = replace(ob, srid=int(srid))
+        kw["include_srid"] = True
+    if "big_endian" in kw:
+        kw["byte_order"] = 0 if kw.pop("big_endian") else 1
+    return to_wkb(ob, hex=hex, **kw)
+
+
+def dump(ob, fp, hex: bool = False, **kw):
+    """reference: shapely/wkb.py:69."""
+    fp.write(dumps(ob, hex=hex, **kw))

@@ -35,6 +35,8 @@ class WKTError(ValueError):
 def _fmt(v: float, precision: int, trim: bool) -> str:
     if precision >= 0:
         s = f"{v:.{precision}f}"
+    elif not trim:
+        s = f"{v:.16f}"  # legacy dumps(): GEOS WKTWriter untrimmed default
     else:
         s = repr(float(v))
     if trim and "." in s:
@@ -226,3 +228,30 @@ def _parse_geom(toks: list[str], i: int):
     for p in g.parts or []:
         p.has_z, p.has_m = has_z, has_m
     return g, i
+
+
+# --------------------------------------------------------------------------
+# Legacy 1.x module API (reference: shapely/wkt.py:9 loads, :25 load,
+# :42 dumps, :65 dump) — thin veneers over from_wkt/to_wkt with the
+# reference's legacy defaults (trim=False, full precision).
+# --------------------------------------------------------------------------
+
+def loads(data):
+    """reference: shapely/wkt.py:9."""
+    return from_wkt(data)
+
+
+def load(fp):
+    """reference: shapely/wkt.py:25."""
+    return loads(fp.read())
+
+
+def dumps(ob, trim: bool = False, rounding_precision: int = -1, **kw):
+    """reference: shapely/wkt.py:42 (legacy defaults: no trim, full
+    precision — unlike to_wkt's trim=True/6)."""
+    return to_wkt(ob, trim=trim, rounding_precision=rounding_precision, **kw)
+
+
+def dump(ob, fp, **settings):
+    """reference: shapely/wkt.py:65."""
+    fp.write(dumps(ob, **settings))

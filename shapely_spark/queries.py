@@ -3405,3 +3405,223 @@ def buffer_polygon_ring_area(spark, sf_dir):
             yield pd.DataFrame({"gid": pdf.gid, "buf_area": np.round(areas, 4)})
 
     return params.mapInPandas(gen, "gid long, buf_area double").repartition(1).sortWithinPartitions("gid")
+
+
+@q(
+    "boundary_by_type",
+    f"""
+    WITH p AS ({_PART_PARAMS_SQL})
+    SELECT gid,
+           round(12 * r, 4) AS holed_len,
+           round(n * 2.0 * r * sin(pi() / n), 4) AS ngon_len,
+           round(2 * cx + r, 4) AS seg_endpoint_xsum,
+           2 AS holed_parts
+    FROM p ORDER BY gid
+    """,
+)
+def boundary_by_type(spark, sf_dir):
+    """`boundary` through every type branch (reference:
+    shapely/constructive.py:92 — new in r4 after the symbol-resolution
+    sweep caught the operator missing). Per row: a holed box (boundary
+    MUST be a 2-part MULTILINESTRING; length = outer 8r + hole 4r = 12r),
+    a plain n-gon (boundary is its shell LINESTRING; length = perimeter
+    n·2r·sin(π/n)), and an open segment (boundary is the endpoint
+    MULTIPOINT; x-sum = 2cx + r). Per CLAUDE.md gate-per-path rule each
+    dispatch branch is pinned by its own closed form."""
+    params = _part_params(spark, sf_dir)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo import kernels as K
+        from .geo.constructive import boundary
+        from .geo.geom import MULTILINESTRING, MULTIPOINT, box, linestring, polygon, regular_ngon
+
+        for pdf in batches:
+            holed_len, ngon_len, xsum, nparts = [], [], [], []
+            for cx, cy, r, n in zip(pdf.cx, pdf.cy, pdf.r, pdf.n):
+                h = r / 2.0
+                holed = polygon(
+                    [[cx - r, cy - r], [cx + r, cy - r], [cx + r, cy + r],
+                     [cx - r, cy + r], [cx - r, cy - r]],
+                    [[[cx - h, cy - h], [cx + h, cy - h], [cx + h, cy + h],
+                      [cx - h, cy + h], [cx - h, cy - h]]])
+                hb = boundary(holed)
+                assert hb.type_id == MULTILINESTRING
+                holed_len.append(K.length(hb))
+                nparts.append(len(hb.parts))
+                ngon_len.append(K.length(boundary(regular_ngon(cx, cy, r, int(n)))))
+                sb = boundary(linestring([[cx, cy], [cx + r, cy]]))
+                assert sb.type_id == MULTIPOINT
+                xsum.append(sum(p.coords[0][0] for p in sb.parts))
+            yield pd.DataFrame({
+                "gid": pdf.gid,
+                "holed_len": np.round(holed_len, 4),
+                "ngon_len": np.round(ngon_len, 4),
+                "seg_endpoint_xsum": np.round(xsum, 4),
+                "holed_parts": np.asarray(nparts, dtype=np.int32),
+            })
+
+    return params.mapInPandas(
+        gen,
+        "gid long, holed_len double, ngon_len double,"
+        " seg_endpoint_xsum double, holed_parts int",
+    ).repartition(1).sortWithinPartitions("gid")
+
+
+@q(
+    "xyzm_line_interpolate",
+    f"""
+    WITH p AS ({_PART_PARAMS_SQL})
+    SELECT gid,
+           round(cx + 3 * r * ((gid % 5) + 1) / 10.0, 4) AS px,
+           round(cy + 4 * r * ((gid % 5) + 1) / 10.0, 4) AS py,
+           round(10 * r * ((gid % 5) + 1) / 10.0, 4) AS pz
+    FROM p ORDER BY gid
+    """,
+)
+def xyzm_line_interpolate(spark, sf_dir):
+    """Z through the whole engine path (r3 verdict item 6): the XYZ WKT
+    is assembled JVM-side (format_string), parsed by from_wkt, round-
+    tripped through WKB (to_wkb/from_wkb with the extended-flavor Z bit),
+    then line_interpolate_point measures in XY and interpolates Z
+    linearly (reference shapely/linear.py:26 / tests/test_linear.py).
+    Line (cx,cy,0)→(cx+3r,cy+4r,10r) has XY length 5r, so the point at
+    normalized t is (cx+3rt, cy+4rt, 10rt)."""
+    params = _part_params(spark, sf_dir).select(
+        "gid",
+        F.format_string(
+            "LINESTRING Z (%s %s 0, %s %s %s)",
+            F.col("cx").cast("string"), F.col("cy").cast("string"),
+            (F.col("cx") + 3 * F.col("r")).cast("string"),
+            (F.col("cy") + 4 * F.col("r")).cast("string"),
+            (10 * F.col("r")).cast("string"),
+        ).alias("wkt"),
+        (((F.col("gid") % 5) + 1) / 10.0).alias("t"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo.constructive import line_interpolate_point
+        from .geo.wkb import from_wkb, to_wkb
+        from .geo.wkt import from_wkt
+
+        for pdf in batches:
+            px, py, pz = [], [], []
+            for wkt_s, t in zip(pdf.wkt, pdf.t):
+                g = from_wkb(to_wkb(from_wkt(wkt_s)))
+                assert g.has_z
+                p = line_interpolate_point(g, float(t), normalized=True)
+                assert p.has_z
+                px.append(p.coords[0][0])
+                py.append(p.coords[0][1])
+                pz.append(p.coords[0][2])
+            yield pd.DataFrame({
+                "gid": pdf.gid, "px": np.round(px, 4),
+                "py": np.round(py, 4), "pz": np.round(pz, 4),
+            })
+
+    return params.mapInPandas(
+        gen, "gid long, px double, py double, pz double"
+    ).repartition(1).sortWithinPartitions("gid")
+
+
+
+
+@q(
+    "spatial_join_ngon_pairs",
+    """
+    SELECT p_partkey AS gid,
+           CAST(((p_partkey // 5) % 5) * 5 + p_partkey % 5 AS BIGINT) AS region_id
+    FROM part ORDER BY gid, region_id
+    """,
+)
+def spatial_join_ngon_pairs(spark, sf_dir):
+    """Geometry×geometry join with NON-rectangular polygons on BOTH sides
+    (r3 verdict item 2's gate: the rect closed form must not fire; every
+    candidate runs the group-vectorized intersects kernel,
+    kernels.group_intersects). Both layers are rotated regular n-gons on
+    a 24-unit lattice built so the answer is closed-form: a left n-gon
+    (circumradius ≤ 3, center ≤ √10 from its lattice point) always
+    intersects its own lattice cell's right n-gon (incircle radii sum
+    ≥ 5·cos(π/7)+2·cos(π/5) ≈ 6.1 > √10) and never any other (center
+    distance ≥ 24 > 7+3 = max circumradius sum) — verified against the
+    scalar kernel for every (k ≤ 2000, r < 25) pair. Each left therefore
+    pairs with exactly region_id = 5·(⌊gid/5⌋ mod 5) + (gid mod 5)."""
+    from .spark.join import spatial_join_geom
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    lparams = _spread(p.select(
+        k.alias("gid"),
+        ((k % 5) * 24 - 48 + (k % 7) - 3).cast("double").alias("cx"),
+        ((F.floor(k / 5) % 5) * 24 - 48 + (k % 3) - 1).cast("double").alias("cy"),
+        (2 + k % 2).cast("double").alias("r"),
+        (5 + k % 5).cast("int").alias("n"),
+        (0.2 * (k % 9)).cast("double").alias("ph"),
+    ))
+
+    def lgen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geo.geom import regular_ngon
+        from .geo.wkb import to_wkb
+
+        for pdf in batches:
+            wkbs = [
+                to_wkb(regular_ngon(cx, cy, r, int(n), ph))
+                for cx, cy, r, n, ph in zip(pdf.cx, pdf.cy, pdf.r, pdf.n, pdf.ph)
+            ]
+            yield pd.DataFrame({"gid": pdf.gid, "wkb": wkbs})
+
+    left = lparams.mapInPandas(lgen, "gid long, wkb binary")
+
+    from .geo.geom import regular_ngon as _ngon
+    from .geo.wkb import to_wkb as _to_wkb
+
+    rows = [
+        (r, _to_wkb(_ngon((r % 5) * 24 - 48, (r // 5) * 24 - 48,
+                          5 + r % 3, 7 + r % 4, 0.1 * r)))
+        for r in range(25)
+    ]
+    right = spark.createDataFrame(rows, "region_id long, wkb binary")
+    return (
+        spatial_join_geom(left, right, predicate="intersects", left_id="gid")
+        .repartition(1).sortWithinPartitions("gid", "region_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver-window rotation (r3 verdict item 4): the correctness driver
+# samples the FIRST 50 of queries(), so long-stable kernels rotate out and
+# the newest / highest-risk queries rotate in. Local `tools/check_oracles.py`
+# still gates all of them every round.
+# ---------------------------------------------------------------------------
+
+_DRIVER_WINDOW = [
+    # flagship plans (always driver-visible)
+    "tpch_q1", "spatial_join_boxes", "knn_nearest_center",
+    "tile_agg_regions", "cell_assign",
+    # never driver-sampled before r4 (r2/r3 additions)
+    "voronoi_two_cell_areas", "minimum_clearance_box", "shortest_line_gap",
+    "buffer_line_capsule_area", "spatial_join_geom_boxes",
+    "ann_cosine_ivf_top1", "embedding_neardup_pairs",
+    "ann_cosine_ivf_dist_top1", "ann_cosine_ivf_probe2", "tpch_q5",
+    "tpch_q10_variant", "crosses_segments", "hausdorff_boxes",
+    "frechet_segments", "make_valid_bowtie_area", "oriented_envelope_area",
+    "segmentize_diag_npoints", "snap_point_tol", "line_merge_chain",
+    "split_segment_pieces", "substring_frac_length",
+    "geojson_roundtrip_area", "mbc_radius_ngon", "touches_overlaps_boxes",
+    "inscribed_circle_box", "coverage_valid_grid", "skew_area_box",
+    "image_decode_px_sum", "audio_decode_abs_sum", "offset_curve_lengths",
+    "image_decode_png_px_sum", "image_decode_gif_px_sum",
+    "audio_decode_ulaw_abs_sum", "image_decode_jpeg_px_sum",
+    "audio_decode_flac_abs_sum", "duplicate_spans_counts",
+    "buffer_polygon_ring_area",
+    # new in r4
+    "boundary_by_type", "xyzm_line_interpolate",
+    # named in the r3 verdict's done-criteria
+    "dedup_components_chain", "overlay_gc_intersection",
+    "overlay_gc_difference", "minhash_dedup_pairs", "events_sessionize",
+    "spatial_join_ngon_pairs",
+]
+
+assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))
+QUERIES = {k: QUERIES[k] for k in
+           _DRIVER_WINDOW + [k for k in QUERIES if k not in _DRIVER_WINDOW]}

@@ -381,16 +381,67 @@ def _pair_refine_batch(
         else:
             remainder = alive  # predicate has no closed form; scalar everything
 
-    # exact scalar kernel for the rest, grouped by right code
+    # exact kernel for the rest, grouped by right code. intersects (the
+    # join hot path) runs the group-vectorized kernel — one stacked NumPy
+    # pass per right geometry (kernels.group_intersects, r4); other
+    # predicates fall back to the scalar kernel per pair.
     idx = np.nonzero(remainder)[0]
     if len(idx):
-        idx = idx[np.argsort(rc[idx], kind="stable")]
-        for i in idx:
-            lg, rg = lgeoms[lc[i]], runiq_geoms[rc[i]]
-            if lg is None or rg is None:
-                continue
-            out[i] = bool(fn(lg, rg))
+        if predicate == "intersects":
+            for u, gi in _group_ranges(rc[idx]):
+                rg = runiq_geoms[u]
+                if rg is None:
+                    continue
+                sel = idx[gi]
+                out[sel] = K.group_intersects(
+                    [lgeoms[lc[i]] for i in sel], rg)
+        else:
+            idx = idx[np.argsort(rc[idx], kind="stable")]
+            for i in idx:
+                lg, rg = lgeoms[lc[i]], runiq_geoms[rc[i]]
+                if lg is None or rg is None:
+                    continue
+                out[i] = bool(fn(lg, rg))
     return out
+
+
+def _rect_pred_col(predicate: str):
+    """Closed-form rect×rect predicate as a pure Catalyst expression over
+    the two bbox column sets — the JVM twin of _rect_pair_eval (an
+    axis-aligned rectangle IS its bbox). Returns None when the predicate
+    has no closed form (those rows route to the Python refine)."""
+    lx, ly, lx2, ly2 = (F.col(c) for c in ("__lx", "__ly", "__lx2", "__ly2"))
+    rx, ry, rx2, ry2 = (F.col(c) for c in ("__rx", "__ry", "__rx2", "__ry2"))
+    closed = (lx <= rx2) & (rx <= lx2) & (ly <= ry2) & (ry <= ly2)
+    interiors = (lx < rx2) & (rx < lx2) & (ly < ry2) & (ry < ly2)
+    a_in_b = (lx >= rx) & (lx2 <= rx2) & (ly >= ry) & (ly2 <= ry2)
+    b_in_a = (rx >= lx) & (rx2 <= lx2) & (ry >= ly) & (ry2 <= ly2)
+    if predicate == "intersects":
+        return closed
+    if predicate in ("within", "covered_by"):
+        return a_in_b
+    if predicate in ("contains", "covers"):
+        return b_in_a
+    if predicate == "contains_properly":
+        return (rx > lx) & (rx2 < lx2) & (ry > ly) & (ry2 < ly2)
+    if predicate == "touches":
+        return closed & ~interiors
+    if predicate == "equals":
+        return (lx == rx) & (ly == ry) & (lx2 == rx2) & (ly2 == ry2)
+    if predicate == "overlaps":
+        return interiors & ~a_in_b & ~b_in_a
+    return None  # e.g. crosses (always False rect×rect but dim-dependent)
+
+
+# predicates spatial_join_geom supports: every one implies the pair shares
+# a point (or, for touches/equals/overlaps, overlapping bboxes), so the
+# JVM bbox-overlap prefilter below is semantics-preserving. `disjoint` is
+# rejected: a cell-cover join only ever SEES bbox-nearby candidates, so a
+# disjoint join would silently return near-misses only.
+_GEOM_JOIN_PREDICATES = {
+    "intersects", "within", "covered_by", "contains", "covers",
+    "contains_properly", "touches", "equals", "overlaps", "crosses",
+}
 
 
 def spatial_join_geom(
@@ -418,10 +469,15 @@ def spatial_join_geom(
     """
     from ..index.cells import cover_bbox_batch, grid_n
 
+    if predicate not in _GEOM_JOIN_PREDICATES:
+        raise ValueError(
+            f"predicate {predicate!r} is not supported by spatial_join_geom; "
+            f"valid: {sorted(_GEOM_JOIN_PREDICATES)}")
     n = grid_n(res)
 
     def covers(df: DataFrame, id_col: str, with_wkb: bool) -> DataFrame:
-        schema = f"{id_col} long, cell_id long, bxmin double, bymin double"
+        schema = (f"{id_col} long, cell_id long, bxmin double, bymin double,"
+                  " bxmax double, bymax double, is_rect boolean")
         if with_wkb:
             schema += ", wkb binary"
 
@@ -430,10 +486,11 @@ def spatial_join_geom(
             from ..geo.wkb import from_wkb
 
             for pdf in batches:
-                # per-geometry work: parse + bounds only; the cell cover and
-                # the fan-out to cover rows are one vectorized pass
+                # per-geometry work: parse + bounds + axis-rect flag only;
+                # the cell cover and the fan-out are one vectorized pass
                 m = len(pdf)
                 bnds = np.full((m, 4), np.nan)
+                rect = np.zeros(m, dtype=bool)
                 wkbs = pdf["wkb"]
                 for i, b in enumerate(wkbs):
                     if b is None:
@@ -441,6 +498,10 @@ def spatial_join_geom(
                     g = from_wkb(bytes(b), on_invalid="ignore")
                     if g is not None and not g.is_empty:
                         bnds[i] = K.bounds(g)
+                        # an axis-aligned rectangle IS its bbox, so the
+                        # bbox columns drive the closed-form JVM predicate
+                        rect[i] = (g.type_id == 3
+                                   and K._axis_rect(g) is not None)
                 ok = ~np.isnan(bnds[:, 0])
                 cells, row = cover_bbox_batch(bnds[ok], res)
                 src = np.nonzero(ok)[0][row]
@@ -450,6 +511,9 @@ def spatial_join_geom(
                     "cell_id": pd.Series(cells, dtype="int64"),
                     "bxmin": pd.Series(bnds[src, 0], dtype="float64"),
                     "bymin": pd.Series(bnds[src, 1], dtype="float64"),
+                    "bxmax": pd.Series(bnds[src, 2], dtype="float64"),
+                    "bymax": pd.Series(bnds[src, 3], dtype="float64"),
+                    "is_rect": pd.Series(rect[src], dtype="bool"),
                 }
                 if with_wkb:
                     data["wkb"] = pd.Series(
@@ -461,12 +525,16 @@ def spatial_join_geom(
     lcov = covers(left, left_id, with_wkb=True).select(
         F.col(left_id), F.col("cell_id").alias("__lc"),
         F.col("bxmin").alias("__lx"), F.col("bymin").alias("__ly"),
+        F.col("bxmax").alias("__lx2"), F.col("bymax").alias("__ly2"),
+        F.col("is_rect").alias("__lrect"),
         F.col("wkb").alias("__lwkb"),
     )
     rcov = covers(right, right_id, with_wkb=not broadcast)
     rcols = [
         F.col(right_id), F.col("cell_id").alias("__rc"),
         F.col("bxmin").alias("__rx"), F.col("bymin").alias("__ry"),
+        F.col("bxmax").alias("__rx2"), F.col("bymax").alias("__ry2"),
+        F.col("is_rect").alias("__rrect"),
     ]
     if not broadcast:
         rcols.append(F.col("wkb").alias("__rwkb"))
@@ -488,6 +556,12 @@ def spatial_join_geom(
     iy = F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor(
         (F.greatest("__ly", "__ry") + 90.0) / 180.0 * n)))
     j = j.where(F.col("__lc") == (iy * n + ix).cast("bigint"))
+    # JVM bbox-overlap prefilter: bbox-disjoint candidates are False under
+    # every supported predicate — they never reach the Python refine
+    j = j.where(
+        (F.col("__lx") <= F.col("__rx2")) & (F.col("__rx") <= F.col("__lx2"))
+        & (F.col("__ly") <= F.col("__ry2")) & (F.col("__ry") <= F.col("__ly2"))
+    )
 
     if broadcast:
 
@@ -513,4 +587,14 @@ def spatial_join_geom(
 
         refine_call = refine_wkb(F.col("__rwkb"), F.col("__lwkb"))
 
+    # rect×rect rows evaluate fully JVM-side (no UDF in that branch's
+    # physical plan); only mixed/non-rect rows pay the Python refine. The
+    # union re-executes the (small) cover fan-outs once per branch — the
+    # refine cost it removes dominates at every scale.
+    rect_expr = _rect_pred_col(predicate)
+    if rect_expr is not None:
+        both_rect = F.col("__lrect") & F.col("__rrect")
+        rect_pairs = j.where(both_rect).where(rect_expr).select(left_id, right_id)
+        py_pairs = j.where(~both_rect).where(refine_call).select(left_id, right_id)
+        return rect_pairs.unionByName(py_pairs)
     return j.where(refine_call).select(left_id, right_id)

@@ -30,13 +30,21 @@ ACCEPTED = {
     "nearest_points",              # g1,g2 -> a,b
     "set_coordinates",             # geometry,coordinates -> geom,coords
     "empty",                       # reference creates ARRAYS of missing geoms (creation.py); ours creates an empty geometry — documented divergence (SURVEY §2.1)
+    "loads", "dumps", "load", "dump",  # defined in BOTH wkt.py and wkb.py with different signatures; the flat name table can't disambiguate — test_legacy_wkt_wkb_module_api pins each module's signature exactly
 }
+
+
+# reference modules whose top-level functions are build/test plumbing,
+# not geometry API: versioneer, deprecation decorators, pytest hooks,
+# signal-handler setup, assert-message formatting internals
+NON_API_FILES = {"_version.py", "decorators.py", "conftest.py"}
+NON_API_NAMES = {"setup_signal_checks", "build_err_msg"}
 
 
 def _reference_signatures() -> dict:
     sigs = {}
     for fn in sorted(os.listdir(REF)):
-        if not fn.endswith(".py"):
+        if not fn.endswith(".py") or fn in NON_API_FILES:
             continue
         try:
             tree = ast.parse(open(os.path.join(REF, fn)).read())
@@ -48,16 +56,33 @@ def _reference_signatures() -> dict:
     return sigs
 
 
-def _ours(name):
+def OUR_MODULES():
     import shapely_spark.geo as g
     import shapely_spark.geo.constructive as c
+    import shapely_spark.geo.coverage as cov
+    import shapely_spark.geo.creation as cr
+    import shapely_spark.geo.geojson as gj
     import shapely_spark.geo.geom as gm
+    import shapely_spark.geo.inspection as ins
     import shapely_spark.geo.kernels as k
+    import shapely_spark.geo.ops as ops
     import shapely_spark.geo.overlay as o
     import shapely_spark.geo.plotting as p
+    import shapely_spark.geo.prepared as pr
+    import shapely_spark.geo.ragged as rg
+    import shapely_spark.geo.speedups as sp
+    import shapely_spark.geo.strtree as st
+    import shapely_spark.geo.testing as tst
     import shapely_spark.geo.triangulate as t
+    import shapely_spark.geo.wkb as wkb
+    import shapely_spark.geo.wkt as wkt
 
-    for m in (g, k, c, o, t, gm, p):
+    return (g, k, c, o, t, gm, p, ins, cr, ops, pr, rg, wkt, wkb,
+            gj, st, cov, tst, sp)
+
+
+def _ours(name):
+    for m in OUR_MODULES():
         if hasattr(m, name):
             return getattr(m, name)
     return None
@@ -71,9 +96,14 @@ def test_signature_prefix_parity():
     ref = _reference_signatures()
     assert len(ref) > 150  # the parse actually saw the reference surface
     bad = []
+    absent = []
     for name, rargs in ref.items():
         o = _ours(name)
-        if o is None or not callable(o) or name in ACCEPTED:
+        if o is None:
+            if name not in NON_API_NAMES:
+                absent.append(name)  # r4: absent used to silently pass
+            continue
+        if not callable(o) or name in ACCEPTED:
             continue
         try:
             oargs = list(inspect.signature(o).parameters)
@@ -84,6 +114,7 @@ def test_signature_prefix_parity():
         oa = ["G" if a in GEOM_ALIASES else a for a in oargs[:k]]
         if ra != oa:
             bad.append((name, rargs[:4], oargs[:4]))
+    assert not absent, f"reference functions with no implementation: {absent}"
     assert not bad, f"signature drift vs reference: {bad}"
 
 
@@ -107,3 +138,29 @@ def test_reference_kwargs_accepted(name, kwargs):
 
     out = getattr(C, name)(box(0, 0, 1, 1), **kwargs)
     assert out is not None and not out.is_empty
+
+
+def test_legacy_wkt_wkb_module_api():
+    """The 1.x module API (loads/load/dumps/dump) exists in BOTH codec
+    modules with each reference module's own signature (shapely/wkt.py:9,
+    shapely/wkb.py:9) — the flat-name parity test allowlists these four
+    names because they collide across modules."""
+    import inspect
+
+    from shapely_spark.geo import wkb, wkt
+
+    assert list(inspect.signature(wkt.dumps).parameters)[:3] == [
+        "ob", "trim", "rounding_precision"]
+    assert list(inspect.signature(wkb.dumps).parameters)[:3] == [
+        "ob", "hex", "srid"]
+    for mod in (wkt, wkb):
+        for name in ("loads", "load", "dumps", "dump"):
+            assert callable(getattr(mod, name)), (mod.__name__, name)
+
+    g = wkt.loads("POINT (1.5 2.5)")
+    assert wkt.dumps(g) == "POINT (1.5000000000000000 2.5000000000000000)"
+    assert wkt.dumps(g, trim=True) == "POINT (1.5 2.5)"
+    assert wkb.loads(wkb.dumps(g)).equals_exact(g, 0)
+    assert wkb.loads(wkb.dumps(g, hex=True), hex=True).equals_exact(g, 0)
+    assert wkb.loads(wkb.dumps(g, srid=4326)).srid == 4326
+    assert wkb.dumps(g, big_endian=True)[0:1] == b"\x00"

@@ -859,28 +859,29 @@ class TestParityAliases:
         assert K.area(g) == pytest.approx(8.0, rel=1e-6)
 
     def test_full_public_api_sweep(self):
-        """Every name in the reference's module __all__ lists resolves to
-        an implementation, alias, or documented equivalent in this repo
-        (source or COVERAGE.md)."""
+        """Every name in the reference's module __all__ lists RESOLVES to
+        an actual attribute of a shapely_spark.geo module (r4: the old
+        version substring-matched the concatenated sources, so a name
+        mentioned in any comment passed — that is how `boundary`,
+        `loads`, `get_srid` hid for two rounds)."""
         import os
         import re
+
+        from tests.test_api_signatures import OUR_MODULES
 
         ref = "/root/reference/shapely"
         names = set()
         for f in os.listdir(ref):
-            if f.endswith(".py") and not f.startswith("_"):
+            if f.endswith(".py"):
                 m = re.search(r"__all__\s*=\s*\[(.*?)\]",
                               open(os.path.join(ref, f)).read(), re.S)
                 if m:
                     names |= set(re.findall(r'"(\w+)"', m.group(1)))
-        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        hay = open(os.path.join(root, "COVERAGE.md")).read().lower()
-        for r, _, fs in os.walk(os.path.join(root, "shapely_spark")):
-            for f in fs:
-                if f.endswith(".py"):
-                    hay += open(os.path.join(r, f)).read().lower()
-        missing = sorted(n for n in names if n.lower() not in hay)
-        assert not missing, f"reference public API without coverage: {missing}"
+        assert len(names) > 100  # the scrape saw the reference surface
+        missing = sorted(
+            n for n in names
+            if not any(hasattr(m, n) for m in OUR_MODULES()))
+        assert not missing, f"reference public API not resolvable: {missing}"
 
 
 class TestMixedCollectionOverlay:

@@ -394,3 +394,86 @@ def test_ragged_layer_matches_prepared_classify():
         assert (got == exp).all()
         # all three classes must actually occur for the test to mean anything
         assert set(np.unique(got)) == {0, 1, 2}
+
+
+def test_group_intersects_matches_scalar_fuzz():
+    """kernels.group_intersects (the r4 vectorized non-rect pair refine)
+    agrees with the scalar intersects kernel over a mixed fuzz batch:
+    rotated n-gons, segments, points, gapped multipolygons, None, plus
+    exact vertex-touch constructions."""
+    from shapely_spark.geo import kernels as K
+    from shapely_spark.geo.geom import (
+        box, linestring, multipolygon, point, polygon, regular_ngon,
+    )
+
+    rng = np.random.RandomState(7)
+    for rgeom in (
+        regular_ngon(0, 0, 3.0, 7, 0.3),
+        linestring([[-4, -4], [4, 4], [6, -2]]),
+        multipolygon([box(-3, -3, -1, -1), box(1, 1, 3, 3)]),
+    ):
+        lefts = []
+        for i in range(300):
+            kind = i % 4
+            cx, cy = rng.uniform(-8, 8, 2)
+            if kind == 0:
+                lefts.append(regular_ngon(cx, cy, rng.uniform(0.2, 4),
+                                          int(rng.randint(3, 9)),
+                                          rng.uniform(0, 3)))
+            elif kind == 1:
+                dx, dy = rng.uniform(-5, 5, 2)
+                lefts.append(linestring([[cx, cy], [cx + dx, cy + dy]]))
+            elif kind == 2:
+                lefts.append(point(cx, cy))
+            else:
+                lefts.append(multipolygon([
+                    box(cx, cy, cx + 1, cy + 1),
+                    box(cx + 6, cy + 6, cx + 7, cy + 7)]))
+        lefts[7] = None
+        # exact touch: a triangle sharing exactly one right vertex
+        rv = rgeom.all_coords()[0]
+        lefts.append(polygon([[rv[0], rv[1]], [rv[0] + 9, rv[1] + 9],
+                              [rv[0] + 10, rv[1] + 8], [rv[0], rv[1]]]))
+        got = K.group_intersects(lefts, rgeom)
+        want = np.array([False if g is None else K.intersects(g, rgeom)
+                         for g in lefts])
+        assert (got == want).all(), np.flatnonzero(got != want)[:5]
+        assert want.any() and not want.all()
+
+
+def test_geom_join_rect_branch_has_no_udf(spark):
+    """r3 verdict item 3: when both sides are axis-aligned rectangles the
+    pair predicate evaluates JVM-side — the rect branch of the union plan
+    contains no ArrowEvalPython node, and the whole-plan answer still
+    matches brute force."""
+    from shapely_spark.geo.geom import box
+    from shapely_spark.geo.wkb import to_wkb
+    from shapely_spark.spark.join import spatial_join_geom
+
+    lrows = [(i, to_wkb(box(i * 3.0, 0.0, i * 3.0 + 4.0, 4.0)))
+             for i in range(40)]
+    rrows = [(j, to_wkb(box(j * 5.0, 2.0, j * 5.0 + 5.0, 8.0)))
+             for j in range(20)]
+    left = spark.createDataFrame(lrows, "left_id long, wkb binary")
+    right = spark.createDataFrame(rrows, "region_id long, wkb binary")
+    out = spatial_join_geom(left, right, predicate="intersects",
+                            left_id="left_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # union of two branches: exactly the non-rect branch carries the UDF
+    assert plan.count("ArrowEvalPython") == 1
+    got = {(r.left_id, r.region_id) for r in out.collect()}
+    want = {
+        (i, j)
+        for i in range(40) for j in range(20)
+        if i * 3.0 <= j * 5.0 + 5.0 and j * 5.0 <= i * 3.0 + 4.0
+        and 0.0 <= 8.0 and 2.0 <= 4.0
+    }
+    assert got == want
+
+
+def test_geom_join_rejects_disjoint_predicate(spark):
+    from shapely_spark.spark.join import spatial_join_geom
+
+    df = spark.createDataFrame([(0, None)], "left_id long, wkb binary")
+    with pytest.raises(ValueError, match="disjoint"):
+        spatial_join_geom(df, df, predicate="disjoint")
