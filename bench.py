@@ -164,6 +164,15 @@ def run_headline(spark, n_pages: int, n_regions: int, times: dict, extras: dict,
                 lambda: knn_join_broadcast(pages, targets, k=1, point_id="url").count())
     extras["knn_rows_per_sec"] = round(knn / times["knn_pages"], 1)
 
+    # audit the cell-ring scale path's safety guarantee on the same data
+    # (r3 verdict item 7): what share of points the first disk pass cannot
+    # certify and would escalate. Untimed — stats={} runs extra count jobs.
+    from shapely_spark.spark.knn import knn_join
+
+    knn_stats: dict = {}
+    knn_join(pages, targets, k=1, point_id="url", stats=knn_stats).count()
+    extras["knn_cell_unsafe_fraction"] = knn_stats.get("unsafe_fraction")
+
     pages.unpersist()
     return n
 
@@ -236,7 +245,7 @@ def main():
                 extras[f"{name}_error"] = str(ex)[:100]
 
     total = round(sum(v for v in times.values() if v > 0), 3)
-    print(json.dumps({
+    payload = {
         "metric": "spatial-join+tiling engine wall time (headline paths + battery)",
         "value": total,
         "unit": "sec",
@@ -244,7 +253,32 @@ def main():
         "sf": sf,
         "cpus": args.cpus,
         "extras": extras,
-    }))
+    }
+    # The driver records only the LAST 2000 chars of stdout — a 90-query
+    # battery dict overflows that window and head-truncates the JSON
+    # (BENCH_r03.json parsed=null). Persist the complete payload to the
+    # repo, and print a line guaranteed to fit: full headline dict +
+    # slowest battery entries + battery rollup.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", "BENCH_FULL_LATEST.json")
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    line = json.dumps(payload)
+    if len(line) > 1900:
+        headline = {k: times[k] for k in (
+            "pages_pipeline", "text_extract", "spatial_join_pages",
+            "tile_agg_pages", "knn_pages") if k in times}
+        battery = {k: v for k, v in times.items() if k not in headline}
+        slowest = dict(sorted(battery.items(), key=lambda kv: -kv[1])[:10])
+        payload["queries"] = {
+            **headline, **slowest,
+            "battery_n": len(battery),
+            "battery_total_sec": round(sum(v for v in battery.values() if v > 0), 2),
+        }
+        payload["queries_full"] = "BENCH/BENCH_FULL_LATEST.json"
+        line = json.dumps(payload)
+    print(line)
     spark.stop()
 
 

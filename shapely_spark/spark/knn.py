@@ -66,36 +66,38 @@ def knn_join(
     target_id: str = "target_id",
     point_cols: tuple[str, str] = ("lat", "lon"),
     target_cols: tuple[str, str] = ("t_lat", "t_lon"),
+    ring_growth: tuple[int, ...] = (4,),
+    stats: dict | None = None,
 ) -> DataFrame:
     """points(point_id, lat, lon) × targets(target_id, t_lat, t_lon) →
     (point_id, target_id, dist_km, knn_rank), k rows per point (more on
-    ties with ties='keep')."""
+    ties with ties='keep').
+
+    Adversarial-density hardening (r3 verdict item 7): points the first
+    disk pass cannot certify (sparse neighborhoods, or the shrinking
+    longitude guarantee near the poles) retry with each ring multiplier in
+    `ring_growth` (default: one retry at 4×k_ring) before the final
+    broadcast brute-force pass — so a target layer clustered at a pole
+    degrades to a wider disk join, not |points|×|targets| brute force.
+    Each escalation only re-joins the still-uncertified remainder.
+
+    Pass `stats={}` to eagerly record the per-pass uncertified point
+    counts (`unsafe_after_pass_<kr>`, plus `points` and
+    `unsafe_fraction` for the first pass) — this runs extra count jobs,
+    so it is opt-in, for benchmarks/audits only."""
     plat, plon = point_cols
     tlat, tlon = target_cols
     n = grid_n(res)
-
-    # safety radius, PER POINT: a target outside the Chebyshev disk has
-    # either |Δlat| > (k_ring-1) cells  → ≥ g_lat km, or |Δlon| >
-    # (k_ring-1) cells within the disk's lat band → ≥ g_lon km, where
-    # g_lon must use the cos() at the band's extreme latitude (cell width
-    # in km shrinks toward the poles — a fixed latitude-only guarantee is
-    # WRONG at high |lat|). The per-point guarantee __g = min(g_lat, g_lon).
     cell_h_deg = 180.0 / n
-    g_lat = max(0.0, (k_ring - 1) * cell_h_deg) * KM_PER_DEG_LAT
-    band = F.least(F.lit(89.99), F.abs(F.col(plat)) + (k_ring + 1) * cell_h_deg)
-    g_lon = (
-        F.lit(max(0.0, (k_ring - 1) * (2.0 * cell_h_deg)) * KM_PER_DEG_LAT)
-        * F.greatest(F.lit(0.0), F.cos(F.radians(band)))
-    )
 
     tgt = targets.withColumn("__tcell", cell_col(F.col(tlat), F.col(tlon), res))
-    pts = (
+    base_pts = (
         points.where(F.col(plat).isNotNull() & F.col(plon).isNotNull())
         .withColumn("__pcell", cell_col(F.col(plat), F.col(plon), res))
-        .withColumn("__g", F.least(F.lit(g_lat), g_lon))
     )
 
     dist = haversine_col(F.col(plat), F.col(plon), F.col(tlat), F.col(tlon))
+    keep = [point_id, target_id, "dist_km", "knn_rank"]
 
     def ranked(cand: DataFrame) -> DataFrame:
         if exclusive:
@@ -109,57 +111,79 @@ def knn_join(
             out = out.where(F.col("dist_km") <= max_distance_km)
         return out
 
-    # ---- pass 1: disk-candidate join -------------------------------------
-    # Chebyshev disks are symmetric (t ∈ disk(p) ⇔ p ∈ disk(t)), so explode
-    # the SMALL broadcast side into its disk cells and join points on their
-    # own cell — the big side never explodes (was (2k+1)² rows per point)
-    tgt_disk = tgt.withColumn(
-        "__tdisk", F.explode(_neighbor_cells(F.col("__tcell"), k_ring, res))
-    )
-    cand = (
-        pts.join(F.broadcast(tgt_disk), F.col("__pcell") == F.col("__tdisk"), "inner")
-        .withColumn("dist_km", dist)
-    )
-    got = ranked(cand)
-
-    keep = [point_id, target_id, "dist_km", "knn_rank"]
-
-    if max_distance_km is not None:
-        # points whose guarantee covers the whole search radius are exact
-        # from pass 1 by a pure FILTER — no join, no aggregate; only the
-        # high-latitude remainder (lon guarantee shrunk below the radius)
-        # goes through the safety machinery below
-        radius_exact = got.where(F.col("__g") >= F.lit(max_distance_km))
-        got = got.where(F.col("__g") < F.lit(max_distance_km))
-        pts = pts.where(F.col("__g") < F.lit(max_distance_km))
-    else:
-        radius_exact = None
-
-    # a point is safe iff it found ≥k candidates AND its k-th distance is
-    # provably inside its own searched disk; points with ZERO candidates
-    # are absent from the aggregate and therefore unsafe by construction.
-    safe = (
-        got.groupBy(point_id)
-        .agg(
-            F.count("*").alias("__nmatch"),
-            F.max("dist_km").alias("__kth"),
-            F.first("__g").alias("__gp"),
+    def disk_pass(src: DataFrame, kr: int):
+        """One candidate-disk pass at ring radius kr. Returns
+        (exact_rows, still_unsafe_points)."""
+        # safety radius, PER POINT: a target outside the Chebyshev disk has
+        # either |Δlat| > (kr-1) cells → ≥ g_lat km, or |Δlon| > (kr-1)
+        # cells within the disk's lat band → ≥ g_lon km, where g_lon uses
+        # the cos() at the band's extreme latitude (cell width in km
+        # shrinks toward the poles — a fixed latitude-only guarantee is
+        # WRONG at high |lat|). Per-point guarantee __g = min(g_lat, g_lon).
+        g_lat = max(0.0, (kr - 1) * cell_h_deg) * KM_PER_DEG_LAT
+        band = F.least(F.lit(89.99), F.abs(F.col(plat)) + (kr + 1) * cell_h_deg)
+        g_lon = (
+            F.lit(max(0.0, (kr - 1) * (2.0 * cell_h_deg)) * KM_PER_DEG_LAT)
+            * F.greatest(F.lit(0.0), F.cos(F.radians(band)))
         )
-        .where((F.col("__nmatch") >= k) & (F.col("__kth") < F.col("__gp")))
-        .select(point_id)
-    )
+        pts = src.withColumn("__g", F.least(F.lit(g_lat), g_lon))
 
-    safe_rows = got.join(safe, point_id, "left_semi")
+        # Chebyshev disks are symmetric (t ∈ disk(p) ⇔ p ∈ disk(t)), so
+        # explode the SMALL broadcast side into its disk cells and join
+        # points on their own cell — the big side never explodes
+        tgt_disk = tgt.withColumn(
+            "__tdisk", F.explode(_neighbor_cells(F.col("__tcell"), kr, res))
+        )
+        cand = (
+            pts.join(F.broadcast(tgt_disk), F.col("__pcell") == F.col("__tdisk"), "inner")
+            .withColumn("dist_km", dist)
+        )
+        got = ranked(cand)
 
-    # ---- pass 2: exact fallback for unsafe points (broadcast brute force) -
-    unsafe_pts = pts.join(safe, point_id, "left_anti")
-    fb = unsafe_pts.crossJoin(F.broadcast(tgt)).withColumn("dist_km", dist)
-    fb_rows = ranked(fb)
+        if max_distance_km is not None:
+            # points whose guarantee covers the whole search radius are
+            # exact by a pure FILTER — no join, no aggregate; only the
+            # remainder goes through the safety machinery below
+            radius_exact = got.where(F.col("__g") >= F.lit(max_distance_km))
+            got = got.where(F.col("__g") < F.lit(max_distance_km))
+            pts = pts.where(F.col("__g") < F.lit(max_distance_km))
+        else:
+            radius_exact = None
 
-    out = safe_rows.select(*keep).unionByName(fb_rows.select(*keep))
-    if radius_exact is not None:
-        out = out.unionByName(radius_exact.select(*keep))
-    return out
+        # a point is safe iff it found ≥k candidates AND its k-th distance
+        # is provably inside its own searched disk; points with ZERO
+        # candidates are absent from the aggregate → unsafe by construction
+        safe = (
+            got.groupBy(point_id)
+            .agg(
+                F.count("*").alias("__nmatch"),
+                F.max("dist_km").alias("__kth"),
+                F.first("__g").alias("__gp"),
+            )
+            .where((F.col("__nmatch") >= k) & (F.col("__kth") < F.col("__gp")))
+            .select(point_id)
+        )
+        exact = got.join(safe, point_id, "left_semi").select(*keep)
+        if radius_exact is not None:
+            exact = exact.unionByName(radius_exact.select(*keep))
+        unsafe = pts.join(safe, point_id, "left_anti").drop("__g")
+        return exact, unsafe
+
+    out, remaining = disk_pass(base_pts, k_ring)
+    if stats is not None:
+        stats["points"] = base_pts.count()
+        stats[f"unsafe_after_pass_{k_ring}"] = remaining.count()
+        stats["unsafe_fraction"] = round(
+            stats[f"unsafe_after_pass_{k_ring}"] / max(1, stats["points"]), 6)
+    for mult in ring_growth:
+        exact, remaining = disk_pass(remaining, k_ring * mult)
+        out = out.unionByName(exact)
+        if stats is not None:
+            stats[f"unsafe_after_pass_{k_ring * mult}"] = remaining.count()
+
+    # ---- final pass: exact brute force for the residual (broadcast) ------
+    fb = remaining.crossJoin(F.broadcast(tgt)).withColumn("dist_km", dist)
+    return out.unionByName(ranked(fb).select(*keep))
 
 
 def knn_join_broadcast(

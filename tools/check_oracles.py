@@ -81,6 +81,7 @@ def main():
     qs, os_ = E.queries(), E.oracle_sql()
     names = args.only.split(",") if args.only else list(qs)
     fails = []
+    walls: dict[str, float] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -89,6 +90,7 @@ def main():
             print(f"FAIL  {name}: spark error {type(ex).__name__}: {ex}")
             fails.append(name)
             continue
+        walls[name] = round(time.time() - t0, 2)
         if name not in os_:
             print(f"rows  {name}: {len(spdf)} rows (rows-only check, no oracle) [{time.time()-t0:.1f}s]")
             continue
@@ -126,6 +128,18 @@ def main():
         else:
             print(f"OK    {name}: {len(spdf)} rows, hash {hs} [{time.time()-t0:.1f}s]")
     print(f"\n{len(names) - len(fails)}/{len(names)} passed")
+    if not args.only:
+        # record per-query Spark wall times so oracle-gate cost regressions
+        # are visible round-over-round without a full bench (r3 verdict
+        # item 8; the driver's PROGRESS file is driver-owned, so this
+        # lives in the repo next to the other bench evidence)
+        import json
+
+        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "BENCH", "ORACLE_TIMES.json")
+        with open(out, "w") as fh:
+            json.dump({"sf": args.sf, "spark_wall_sec": walls}, fh, indent=1)
+        print(f"wall times -> {out}")
     sys.exit(1 if fails else 0)
 
 
