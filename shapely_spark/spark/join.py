@@ -587,14 +587,25 @@ def spatial_join_geom(
 
         refine_call = refine_wkb(F.col("__rwkb"), F.col("__lwkb"))
 
-    # rect×rect rows evaluate fully JVM-side (no UDF in that branch's
-    # physical plan); only mixed/non-rect rows pay the Python refine. The
-    # union re-executes the (small) cover fan-outs once per branch — the
-    # refine cost it removes dominates at every scale.
+    # rect×rect rows are decided by pure-JVM interval arithmetic and ship
+    # NULL into the refine UDF (no geometry bytes over Arrow, no kernel
+    # work — _pair_refine_batch returns False for null rows in one
+    # vectorized mask). ONE scan: an earlier two-branch union re-executed
+    # the whole cover fan-out per branch, which at 100 TB doubles the
+    # dominant cost (measured 6.6 s → 3.7 s on the all-non-rect n-gon
+    # battery query, and strictly less work for mixed layers).
     rect_expr = _rect_pred_col(predicate)
     if rect_expr is not None:
         both_rect = F.col("__lrect") & F.col("__rrect")
-        rect_pairs = j.where(both_rect).where(rect_expr).select(left_id, right_id)
-        py_pairs = j.where(~both_rect).where(refine_call).select(left_id, right_id)
-        return rect_pairs.unionByName(py_pairs)
+        if broadcast:
+            py_call = refine(
+                F.when(~both_rect, F.col(right_id)),
+                F.when(~both_rect, F.col("__lwkb")))
+        else:
+            py_call = refine_wkb(
+                F.when(~both_rect, F.col("__rwkb")),
+                F.when(~both_rect, F.col("__lwkb")))
+        return j.where(
+            (both_rect & rect_expr) | (~both_rect & py_call)
+        ).select(left_id, right_id)
     return j.where(refine_call).select(left_id, right_id)
