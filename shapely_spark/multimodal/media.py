@@ -3,11 +3,12 @@
 Media ride as opaque `binary` columns with a typed metadata struct; every
 transform is an Arrow-batched mapInPandas whose schema, partitioning and
 batch shape are real and tested. Decoding is REAL — baseline JPEG, PNG,
-GIF, binary PPM/PGM, 24/32-bit BMP images; WAV audio in PCM, IEEE-float,
-G.711 A-law/mu-law and IMA ADPCM flavors — via pure stdlib+numpy codecs
-(jpeg.py, codecs.py; `decode_image`, `decode_audio`, with encode_*
-roundtrip fixtures). Only formats whose entropy coding genuinely
-requires an external library (WebP/AVIF, mp3/aac/opus) raise
+GIF, lossless WebP (VP8L), binary PPM/PGM, 24/32-bit BMP images; WAV
+audio in PCM, IEEE-float, G.711 A-law/mu-law and IMA ADPCM flavors, plus
+FLAC — via pure stdlib+numpy codecs (jpeg.py, codecs.py, webp.py,
+flac.py; `decode_image`, `decode_audio`, with encode_* roundtrip
+fixtures). Only formats whose entropy coding genuinely
+requires an external library (AVIF, lossy-VP8 WebP, mp3/aac/opus) raise
 NotImplementedError in the same dispatcher, so swapping in PIL/ffmpeg
 changes one function body, not the pipeline. The deterministic MM01
 fake payloads used by the synthetic tables route to stub decoders.
@@ -60,12 +61,13 @@ def decode_image(payload: bytes) -> np.ndarray:
     """REAL image decode, pure stdlib+numpy: binary PPM (P6) / PGM (P5),
     uncompressed 24/32-bit BMP, and — via codecs.py / jpeg.py — PNG
     (zlib inflate + all five scanline filters, every color type), GIF
-    (variable-width LZW, interlace), and baseline JPEG (canonical
-    Huffman + IDCT, 4:4:4/4:2:2/4:2:0). The synthetic MM01 fake-header
-    payloads route to the deterministic stub. Formats whose entropy
-    coding genuinely needs a codec library (WebP/AVIF) raise
-    NotImplementedError — swapping in PIL changes this dispatcher only,
-    not the pipeline."""
+    (variable-width LZW, interlace), baseline JPEG (canonical
+    Huffman + IDCT, 4:4:4/4:2:2/4:2:0), and lossless WebP (VP8L:
+    prefix codes + LZ77 + color cache + all four transforms, webp.py).
+    The synthetic MM01 fake-header payloads route to the deterministic
+    stub. Formats whose entropy coding genuinely needs a codec library
+    (AVIF/HEIC, lossy-VP8 WebP) raise NotImplementedError — swapping in
+    PIL changes this dispatcher only, not the pipeline."""
     b = bytes(payload)
     if b[:5] == b"MM01:":
         return decode_image_stub(b)
@@ -85,9 +87,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_jpeg(b)
     if b[:2] == b"BM":
         return _decode_bmp(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp(b)
     raise NotImplementedError(
-        "WebP/AVIF/HEIC need codec libraries not present in this "
-        "container; supported here: JPEG(baseline)/PNG/GIF/PPM/PGM/BMP"
+        "AVIF/HEIC (and lossy-VP8 WebP) need codec libraries not present "
+        "in this container; supported here: JPEG(baseline)/PNG/GIF/"
+        "WebP(lossless VP8L)/PPM/PGM/BMP"
     )
 
 

@@ -3271,6 +3271,57 @@ def image_decode_jpeg_px_sum(spark, sf_dir):
 
 
 @q(
+    "image_decode_webp_px_sum",
+    """
+    WITH g AS (SELECT p_partkey AS gid,
+                      8 + p_partkey % 5 AS w, 6 + p_partkey % 4 AS h
+               FROM part),
+    px AS (
+      SELECT g.gid,
+             sum((x.x*7 + y.y*11 + c.c*13 + g.gid*17) % 256) AS px_sum
+      FROM g, range(0, 12) x(x), range(0, 9) y(y), range(0, 3) c(c)
+      WHERE x.x < g.w AND y.y < g.h
+      GROUP BY g.gid
+    )
+    SELECT gid, px_sum::BIGINT AS px_sum FROM px ORDER BY gid
+    """,
+)
+def image_decode_webp_px_sum(spark, sf_dir):
+    """Contract oracle for the lossless WebP codec (multimodal/webp.py,
+    new in r4): the PNG query's closed-form pixel field, serialized as
+    VP8L. gid cycles the encoder mode — plain literals+run-LZ77,
+    SUBTRACT_GREEN transform, literal-only, and color-cache — so the
+    battery exercises prefix-code reading (simple AND code-length-coded),
+    both LZ77 distance encodings, the transform inverse, and the cache
+    hash, all against one mode-independent sum."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (8 + k % 5).cast("int").alias("w"),
+        (6 + k % 4).cast("int").alias("h"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal.media import decode_image
+        from .multimodal.webp import encode_webp_lossless
+
+        modes = ({}, {"subtract_green": True}, {"use_lz77": False},
+                 {"cache_bits": 5})
+        for pdf in batches:
+            sums = []
+            for gid, w, h in zip(pdf.gid, pdf.w, pdf.h):
+                y, x, c = np.mgrid[0:h, 0:w, 0:3]
+                img = ((7 * x + 11 * y + 13 * c + 17 * int(gid)) % 256).astype(np.uint8)
+                dec = decode_image(encode_webp_lossless(img, **modes[int(gid) % 4]))
+                assert dec.shape == (h, w, 3), (dec.shape, (h, w))
+                sums.append(int(dec.astype(np.int64).sum()))
+            yield pd.DataFrame({"gid": pdf.gid, "px_sum": sums})
+
+    return params.mapInPandas(gen, "gid long, px_sum long").repartition(1).sortWithinPartitions("gid")
+
+
+@q(
     "audio_decode_flac_abs_sum",
     """
     WITH g AS (SELECT p_partkey AS gid, 300 + (p_partkey % 10) * 30 AS n
@@ -3608,7 +3659,7 @@ _DRIVER_WINDOW = [
     "split_segment_pieces", "substring_frac_length",
     "geojson_roundtrip_area", "mbc_radius_ngon", "touches_overlaps_boxes",
     "inscribed_circle_box", "coverage_valid_grid", "skew_area_box",
-    "image_decode_px_sum", "audio_decode_abs_sum", "offset_curve_lengths",
+    "image_decode_webp_px_sum", "audio_decode_abs_sum", "offset_curve_lengths",
     "image_decode_png_px_sum", "image_decode_gif_px_sum",
     "audio_decode_ulaw_abs_sum", "image_decode_jpeg_px_sum",
     "audio_decode_flac_abs_sum", "duplicate_spans_counts",

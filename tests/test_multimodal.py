@@ -131,7 +131,7 @@ class TestRealCodecs:
         import pytest
         from shapely_spark.multimodal.media import decode_audio, decode_image
         with pytest.raises(NotImplementedError):
-            decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ...")
+            decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd")
         with pytest.raises(NotImplementedError):
             decode_audio(b"ID3\x04...mp3 frames")
 
@@ -686,3 +686,142 @@ class TestFlacCodec:
         out += frame
         y = decode_flac(bytes(out))
         assert (np.rint(y * 32768).astype(int) == 150).all() and len(y) == 4
+
+
+class TestWebpCodec:
+    """Lossless WebP (VP8L), webp.py — RFC 9649 §3-5."""
+
+    def test_distance_map_matches_spec_prefix(self):
+        """The generated 120-entry neighbor map reproduces the spec's
+        published table (first 40 entries transcribed from RFC 9649
+        §4.2.2) and the d²=74 cutoff yields exactly 120 offsets."""
+        from shapely_spark.multimodal.webp import _DIST_MAP
+
+        spec_prefix = [
+            (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+            (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+            (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+            (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+            (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+        ]
+        got = [tuple(map(int, r)) for r in _DIST_MAP[:40]]
+        assert got == spec_prefix
+        assert len(_DIST_MAP) == 120
+        d2 = _DIST_MAP[:, 0] ** 2 + _DIST_MAP[:, 1] ** 2
+        assert (np.diff(d2) >= 0).all() and int(d2[-1]) == 74
+
+    def test_roundtrip_matrix(self):
+        """Exact roundtrip across entropy/transform modes and shapes,
+        including 1-px dimensions, packed palettes, RGBA, and both LZ77
+        distance encodings (2D-map code and plain distance)."""
+        from shapely_spark.multimodal.webp import (
+            decode_webp, encode_webp_lossless)
+
+        rng = np.random.default_rng(42)
+        img = np.full((7, 5, 3), 200, np.uint8)
+        assert (decode_webp(encode_webp_lossless(img)) == img).all()
+        for i in range(24):
+            h, w = int(rng.integers(1, 18)), int(rng.integers(1, 18))
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            kw = [{}, {"subtract_green": True}, {"use_lz77": False},
+                  {"cache_bits": int(rng.integers(1, 8))}][i % 4]
+            assert (decode_webp(encode_webp_lossless(img, **kw)) == img).all()
+            pimg = np.repeat(rng.integers(
+                0, int(rng.integers(2, 17)), (h, w, 1)).astype(np.uint8) * 15,
+                3, axis=2)
+            assert (decode_webp(encode_webp_lossless(
+                pimg, palette=True)) == pimg).all()
+        runs = np.repeat(rng.integers(0, 256, (4, 3, 3), dtype=np.uint8), 9, axis=1)
+        for pref in (True, False):
+            assert (decode_webp(encode_webp_lossless(
+                runs, prefer_map_distance=pref)) == runs).all()
+        img4 = rng.integers(0, 256, (6, 6, 4), dtype=np.uint8)
+        assert (decode_webp(encode_webp_lossless(img4)) == img4[:, :, :3]).all()
+
+    def test_palette_256_colors_unpacked(self):
+        from shapely_spark.multimodal.webp import (
+            decode_webp, encode_webp_lossless)
+
+        rng = np.random.default_rng(3)
+        vals = rng.integers(0, 256, (200, 3), dtype=np.uint8)
+        img = vals[rng.integers(0, 200, (12, 11))]
+        assert (decode_webp(encode_webp_lossless(img, palette=True)) == img).all()
+
+    def test_subtract_green_inverse_handcomputed(self):
+        from shapely_spark.multimodal.webp import _inv_subtract_green
+
+        # [a, r, g, b]: r/b add green mod 256
+        img = np.array([[[255, 250, 10, 7]]], dtype=np.uint8)
+        out = _inv_subtract_green(img)
+        assert out.tolist() == [[[255, (250 + 10) % 256, 10, 17]]]
+
+    def test_color_transform_inverse_handcomputed(self):
+        """delta(t, c) = (int8(t) * int8(c)) >> 5 arithmetic shift;
+        green_to_red rides the BLUE channel, green_to_blue GREEN,
+        red_to_blue RED (spec ColorTransformElement layout)."""
+        from shapely_spark.multimodal.webp import _inv_color_transform
+
+        # cte pixel [a, r, g, b] = [_, red_to_blue, green_to_blue, green_to_red]
+        cte = np.array([[[0, 200, 32, 16]]], dtype=np.uint8)
+        img = np.array([[[255, 10, 100, 20]]], dtype=np.uint8)
+        out = _inv_color_transform(img, 1, cte)
+        # red: 10 + (16*100 >> 5) = 10 + 50 = 60
+        assert int(out[0, 0, 1]) == 60
+        # blue: 20 + (32*100 >> 5) + (int8(200)=-56 * 60 >> 5 = -105) = 15
+        assert int(out[0, 0, 3]) == (20 + 100 - 105) % 256
+
+    def test_predictor_modes_handcomputed(self):
+        from shapely_spark.multimodal.webp import _predict
+
+        L = np.array([10, 20, 30, 40], dtype=np.int32)
+        T = np.array([50, 60, 70, 80], dtype=np.int32)
+        TL = np.array([0, 0, 100, 100], dtype=np.int32)
+        TR = np.array([90, 90, 90, 90], dtype=np.int32)
+        assert _predict(0, L, T, TL, TR).tolist() == [255, 0, 0, 0]
+        assert _predict(1, L, T, TL, TR).tolist() == L.tolist()
+        assert _predict(7, L, T, TL, TR).tolist() == [30, 40, 50, 60]
+        assert _predict(5, L, T, TL, TR).tolist() == [
+            ((10 + 90) // 2 + 50) // 2, ((20 + 90) // 2 + 60) // 2,
+            ((30 + 90) // 2 + 70) // 2, ((40 + 90) // 2 + 80) // 2]
+        # 12: clamp(L + T - TL)
+        assert _predict(12, L, T, TL, TR).tolist() == [60, 80, 0, 20]
+        # 11 Select: |T-TL| sums vs |L-TL|; here T wins ties toward top
+        sel = _predict(11, L, L, L, TR)
+        assert sel.tolist() == L.tolist()
+        # 13: ave = (L+T)>>1; + trunc((ave-TL)/2), clamped
+        ave = (L + T) >> 1
+        d = ave - TL
+        half = np.where(d >= 0, d >> 1, -((-d) >> 1))
+        assert _predict(13, L, T, TL, TR).tolist() == np.clip(
+            ave + half, 0, 255).tolist()
+
+    def test_predictor_end_to_end_left_mode(self):
+        """Hand-build residuals for an all-mode-1 (predict-left) image and
+        invert: row pixels are cumulative sums of residuals mod 256."""
+        from shapely_spark.multimodal.webp import _inv_predictor
+
+        res = np.zeros((2, 4, 4), dtype=np.uint8)
+        # alpha residuals all 0: (0,0)'s mode-0 base supplies a=255, the
+        # L/T chains carry it across the image
+        res[0, :, 2] = [5, 10, 10, 10]                   # greens cumsum
+        res[1, :, 2] = [0, 1, 1, 1]
+        modes = np.zeros((1, 1, 4), dtype=np.uint8)
+        modes[0, 0, 2] = 1                               # green channel = mode
+        out = _inv_predictor(res, 3, modes)
+        assert out[0, :, 2].tolist() == [5, 15, 25, 35]
+        # row 1 leftmost is T-predicted from (0,0); rest are mode-1 L-chains
+        assert out[1, :, 2].tolist() == [5, 6, 7, 8]
+        assert (out[:, :, 0] == 255).all()
+
+    def test_lossy_vp8_raises(self):
+        from shapely_spark.multimodal.webp import decode_webp
+
+        with pytest.raises(NotImplementedError):
+            decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8 \x00\x00\x00\x00....")
+
+    def test_dispatcher_routes_webp(self):
+        from shapely_spark.multimodal.media import decode_image
+        from shapely_spark.multimodal.webp import encode_webp_lossless
+
+        img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        assert (decode_image(encode_webp_lossless(img)) == img).all()
