@@ -258,12 +258,15 @@ def main():
     # battery dict overflows that window and head-truncates the JSON
     # (BENCH_r03.json parsed=null). Persist the complete payload to the
     # repo, and print a line guaranteed to fit: full headline dict +
-    # slowest battery entries + battery rollup.
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH", "BENCH_FULL_LATEST.json")
-    os.makedirs(os.path.dirname(full_path), exist_ok=True)
-    with open(full_path, "w") as fh:
-        json.dump(payload, fh, indent=1)
+    # slowest battery entries + battery rollup. Headline-only runs
+    # (--skip-battery, e.g. tools/bench_scaling.py legs) must not clobber
+    # the last full-battery record.
+    if not args.skip_battery:
+        full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH", "BENCH_FULL_LATEST.json")
+        os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        with open(full_path, "w") as fh:
+            json.dump(payload, fh, indent=1)
     line = json.dumps(payload)
     if len(line) > 1900:
         headline = {k: times[k] for k in (

@@ -10,8 +10,8 @@ decode step is REAL, not a stub:
 - PNG  (`decode_png` / `encode_png`): chunk walk with CRC verification,
   zlib inflate, all five scanline filters (None/Sub/Up/Average/Paeth),
   color types 0/2/3/4/6, bit depths 1/2/4/8/16 (16-bit takes the high
-  byte, the standard 8-bit viewing reduction), palette expansion.
-  Adam7 interlace is rejected explicitly (rare for stored corpora).
+  byte, the standard 8-bit viewing reduction), palette expansion, and
+  Adam7 interlace (seven independently-filtered passes, r4).
 - GIF  (`decode_gif` / `encode_gif`): logical-screen + image-descriptor
   parse, global/local color tables, variable-width LZW with the
   standard code-growth rule (width+1 when the table reaches 2^width,
@@ -47,7 +47,7 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 def decode_png(b: bytes) -> np.ndarray:
     """PNG bytes -> H×W×3 uint8 (alpha dropped, gray replicated,
-    palette expanded). Non-interlaced only; CRCs verified."""
+    palette expanded). Adam7 interlace supported (r4); CRCs verified."""
     if b[:8] != PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
@@ -75,31 +75,36 @@ def decode_png(b: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("PNG unknown compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} invalid")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"PNG color type {color} invalid")
     ch = _PNG_CHANNELS[color]
     if depth not in (1, 2, 4, 8, 16) or (depth < 8 and color not in (0, 3)):
         raise ValueError(f"PNG bit depth {depth} invalid for color type {color}")
-    raw = zlib.decompress(b"".join(idat))
-    stride = (w * ch * depth + 7) // 8
-    bpp = max(1, (ch * depth) // 8)
-    mat = _png_unfilter(np.frombuffer(raw, dtype=np.uint8), h, stride, bpp)
-    if depth < 8:
-        # unpack sub-byte samples, row-wise big-endian within each byte
-        shifts = np.arange(8 - depth, -1, -depth, dtype=np.uint8)
-        expanded = (mat[:, :, None] >> shifts[None, None, :]) & ((1 << depth) - 1)
-        mat = expanded.reshape(h, -1)[:, :w]
-        if color == 0:
-            mat = (mat * (255 // ((1 << depth) - 1))).astype(np.uint8)
-    elif depth == 16:
-        mat = mat.reshape(h, w * ch, 2)[:, :, 0]  # high byte
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if interlace == 0:
+        mat, _ = _png_pass_samples(raw, 0, w, h, ch, depth)
+        mat = mat.reshape(h, w, ch)
+    else:
+        # Adam7: seven independently-filtered sub-images scattered on the
+        # 8×8 pass grid; each pass restarts its filter recurrence
+        mat = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, pos = _png_pass_samples(raw, pos, pw, ph, ch, depth)
+            mat[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+    if depth < 8 and color == 0:
+        mat = (mat * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if color == 3:
         if plte is None:
             raise ValueError("paletted PNG missing PLTE")
         return plte[mat.reshape(h, w)].copy()
-    px = mat.reshape(h, w, ch)
+    px = mat
     if color == 0:
         g = px[..., 0]
         return np.stack([g, g, g], axis=-1)
@@ -107,6 +112,29 @@ def decode_png(b: bytes) -> np.ndarray:
         g = px[..., 0]
         return np.stack([g, g, g], axis=-1).copy()
     return px[..., :3].copy()  # 2 (RGB) and 6 (RGBA, alpha dropped)
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_pass_samples(raw: np.ndarray, pos: int, pw: int, ph: int,
+                      ch: int, depth: int) -> tuple[np.ndarray, int]:
+    """Unfilter one (sub-)image at byte offset `pos` and expand its
+    samples to uint8: (ph, pw*ch) matrix + the next offset."""
+    stride = (pw * ch * depth + 7) // 8
+    bpp = max(1, (ch * depth) // 8)
+    mat = _png_unfilter(raw[pos:pos + ph * (stride + 1)], ph, stride, bpp)
+    pos += ph * (stride + 1)
+    if depth < 8:
+        # unpack sub-byte samples, row-wise big-endian within each byte
+        shifts = np.arange(8 - depth, -1, -depth, dtype=np.uint8)
+        expanded = (mat[:, :, None] >> shifts[None, None, :]) & ((1 << depth) - 1)
+        mat = expanded.reshape(ph, -1)[:, :pw * ch].astype(np.uint8)
+    elif depth == 16:
+        mat = mat.reshape(ph, pw * ch, 2)[:, :, 0]  # high byte
+    return mat, pos
 
 
 def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
@@ -152,28 +180,20 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
-def encode_png(img: np.ndarray, cycle_filters: bool = True) -> bytes:
-    """H×W×3 uint8 (or H×W gray) -> PNG bytes. With cycle_filters, row r
-    uses filter r % 5 so a decode exercises every unfilter path — the
-    roundtrip fixture doubles as filter coverage."""
-    img = np.ascontiguousarray(img, dtype=np.uint8)
-    gray = img.ndim == 2
-    h, w = img.shape[:2]
-    ch = 1 if gray else img.shape[2]
-    if ch not in (1, 3):
-        raise ValueError("encode_png supports gray or RGB")
-    color = 0 if ch == 1 else 2
-    bpp = ch
-    flat = img.reshape(h, w * ch).astype(np.int32)
+def _png_filter_rows(flat: np.ndarray, bpp: int, cycle_filters: bool) -> bytearray:
+    """Filter a (rows, width*ch) sample matrix; row r uses filter r % 5
+    when cycling (the filter recurrence is local to this matrix — one
+    Adam7 pass or the whole image)."""
     lines = bytearray()
-    prev = np.zeros(w * ch, dtype=np.int32)
-    for r in range(h):
+    nb = flat.shape[1]
+    prev = np.zeros(nb, dtype=np.int32)
+    for r in range(flat.shape[0]):
         cur = flat[r]
         ft = (r % 5) if cycle_filters else 0
-        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]]) if w * ch > bpp \
-            else np.zeros(w * ch, np.int32)
-        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]]) if w * ch > bpp \
-            else np.zeros(w * ch, np.int32)
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]]) if nb > bpp \
+            else np.zeros(nb, np.int32)
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]]) if nb > bpp \
+            else np.zeros(nb, np.int32)
         if ft == 0:
             enc = cur
         elif ft == 1:
@@ -190,12 +210,39 @@ def encode_png(img: np.ndarray, cycle_filters: bool = True) -> bytes:
         lines.append(ft)
         lines += (enc & 255).astype(np.uint8).tobytes()
         prev = cur
+    return lines
+
+
+def encode_png(img: np.ndarray, cycle_filters: bool = True,
+               interlace: bool = False) -> bytes:
+    """H×W×3 uint8 (or H×W gray) -> PNG bytes. With cycle_filters, row r
+    uses filter r % 5 so a decode exercises every unfilter path — the
+    roundtrip fixture doubles as filter coverage. With interlace, the
+    seven Adam7 passes are extracted and filtered independently."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ch = 1 if gray else img.shape[2]
+    if ch not in (1, 3):
+        raise ValueError("encode_png supports gray or RGB")
+    color = 0 if ch == 1 else 2
+    px = img.reshape(h, w, ch).astype(np.int32)
+    if interlace:
+        lines = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            lines += _png_filter_rows(
+                sub.reshape(sub.shape[0], -1), ch, cycle_filters)
+    else:
+        lines = _png_filter_rows(px.reshape(h, w * ch), ch, cycle_filters)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
     return (PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
             + chunk(b"IEND", b""))

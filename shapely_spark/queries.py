@@ -428,9 +428,13 @@ def knn_nearest_center(spark, sf_dir):
     """,
 )
 def dwithin_pairs(spark, sf_dir):
-    """dwithin as a distance-capped candidate join (predicates.py:1269
-    semantics at engine scale: cell-disk prune + exact refine)."""
-    from .spark.knn import knn_join
+    """dwithin as a fixed-radius join (predicates.py:1269 /
+    strtree.query(dwithin) semantics at engine scale): knn.dwithin_join —
+    per-target adaptive cell rings, one broadcast equi-join, one exact
+    haversine filter. No window, no certification aggregate (a radius
+    join needs no k-th-distance proof — that machinery made this the
+    slowest battery query when it rode knn_join, r4)."""
+    from .spark.knn import dwithin_join
 
     pts = _pts(spark, sf_dir)
     boxes = _nation_boxes_pdf(spark, sf_dir)
@@ -438,14 +442,8 @@ def dwithin_pairs(spark, sf_dir):
         [(int(r.region_id), float(r.ymin + 4.5), float(r.xmin + 6.0)) for r in boxes.itertuples()],
         "target_id long, t_lat double, t_lon double",
     )
-    # k_ring=3 makes the searched disk's guarantee (2 cells ≈ 311 km)
-    # cover the 300 km cap, so pass 1 is provably exact and knn_join skips
-    # the safety aggregate + brute-force fallback (was the slowest battery
-    # query: two windows + anti-join + cross-join for nearly every point)
-    out = knn_join(
-        pts, centers, k=25, res=RES, k_ring=3, max_distance_km=300.0, ties="break",
-        point_id="pid", target_id="target_id",
-    )
+    out = dwithin_join(pts, centers, 300.0, res=RES,
+                       point_id="pid", target_id="target_id")
     return out.select("pid", "target_id", F.round("dist_km", 4).alias("dist_km")).repartition(1).sortWithinPartitions("pid", "target_id")
 
 # ---- geometry kernel queries (closed-form oracles) --------------------------

@@ -186,6 +186,89 @@ def knn_join(
     return out.unionByName(ranked(fb).select(*keep))
 
 
+def dwithin_join(
+    points: DataFrame,
+    targets: DataFrame,
+    radius_km: float,
+    res: int = DEFAULT_RES,
+    point_id: str = "url",
+    target_id: str = "target_id",
+    point_cols: tuple[str, str] = ("lat", "lon"),
+    target_cols: tuple[str, str] = ("t_lat", "t_lon"),
+    broadcast: bool = True,
+) -> DataFrame:
+    """All (point, target) pairs within `radius_km` (haversine) —
+    STRtree.query(dwithin) semantics (shapely/strtree.py:366) at engine
+    scale, WITHOUT the kNN certification machinery: a fixed-radius join
+    needs no per-point k-th-distance proof, so it has no window, no
+    safety aggregate, and no fallback pass.
+
+    Plan: each target explodes to exactly the grid cells its radius disk
+    can touch (pure Catalyst arithmetic), points join on their own cell,
+    then one exact distance filter. Exact by construction on the sphere:
+
+    - latitude: great-circle distance ≥ R·|Δφ|, so a qualifying pair has
+      |Δlat| ≤ radius/KM_PER_DEG_LAT degrees (110.574 is the minimum
+      km/degree of latitude) → a constant cell ring `ry`;
+    - longitude: haversine gives dist ≥ 2R·cos(φmax)·sin(|Δλ|/2), so
+      |Δλ| ≤ 2·asin(min(1, radius/(2R·cos(φmax)))) where φmax is the
+      pair band's extreme latitude (|t_lat| + Δlat_max) — a PER-TARGET
+      ring `rx` that widens toward the poles and saturates to the full
+      circle when the disk crosses a pole (dropDuplicates guards the
+      wrap).
+
+    At 100 TB: the exploded target-cell table is |targets| × O(disk)
+    rows; broadcast it for dimension-sized layers, or set
+    broadcast=False for a shuffle equi-join on cell — the points side
+    never explodes either way."""
+    from .columns import EARTH_RADIUS_KM
+
+    plat, plon = point_cols
+    tlat, tlon = target_cols
+    n = grid_n(res)
+    cell_h = 180.0 / n       # cell height, degrees of latitude
+    cell_w = 360.0 / n       # cell width, degrees of longitude
+
+    dphi = radius_km / KM_PER_DEG_LAT              # max |Δlat| in degrees
+    ry = int(dphi / cell_h) + 1
+    band = F.least(F.lit(89.9999), F.abs(F.col(tlat)) + F.lit(dphi))
+    arg = F.lit(radius_km / (2.0 * EARTH_RADIUS_KM)) / F.cos(F.radians(band))
+    dlon_deg = F.when(arg >= 1.0, F.lit(180.0)).otherwise(
+        F.degrees(F.asin(arg)) * 2.0)
+    rx = F.least(F.lit(n // 2),
+                 (dlon_deg / F.lit(cell_w)).cast("int") + F.lit(1))
+
+    tgt = (targets
+           .withColumn("__tcell", cell_col(F.col(tlat), F.col(tlon), res))
+           .where(F.col("__tcell") >= 0))
+    tgt_cells = (
+        tgt.withColumn("__ty", (F.col("__tcell") / n).cast("bigint"))
+        .withColumn("__tx", F.pmod(F.col("__tcell"), F.lit(n)))
+        .withColumn("__dy", F.explode(F.sequence(F.lit(-ry), F.lit(ry))))
+        .withColumn("__ny", F.col("__ty") + F.col("__dy"))
+        .where((F.col("__ny") >= 0) & (F.col("__ny") < n))
+        .withColumn("__dx", F.explode(F.sequence(-rx, rx)))
+        .withColumn("__nx", F.pmod(F.col("__tx") + F.col("__dx"), F.lit(n)))
+        .withColumn("__jcell", (F.col("__ny") * n + F.col("__nx")).cast("bigint"))
+        .select(target_id, tlat, tlon, "__jcell")
+        .dropDuplicates([target_id, "__jcell"])
+    )
+    if broadcast:
+        tgt_cells = F.broadcast(tgt_cells)
+
+    pts = (
+        points.where(F.col(plat).isNotNull() & F.col(plon).isNotNull())
+        .withColumn("__pcell", cell_col(F.col(plat), F.col(plon), res))
+    )
+    dist = haversine_col(F.col(plat), F.col(plon), F.col(tlat), F.col(tlon))
+    return (
+        pts.join(tgt_cells, F.col("__pcell") == F.col("__jcell"), "inner")
+        .withColumn("dist_km", dist)
+        .where(F.col("dist_km") <= radius_km)
+        .drop("__pcell", "__jcell")
+    )
+
+
 def knn_join_broadcast(
     points: DataFrame,
     targets: DataFrame,

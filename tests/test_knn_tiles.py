@@ -196,3 +196,37 @@ def test_knn_broadcast_exclusive_duplicate_targets(spark):
     ).collect()
     got = sorted((r.knn_rank, r.tid) for r in out)
     assert got == [(1, 200), (2, 201)], got
+
+
+def test_dwithin_join_matches_bruteforce(spark):
+    """dwithin_join (r4): per-target adaptive cell rings must reproduce
+    the exact haversine-radius pair set, including polar targets (ring
+    saturates to the full circle) and antimeridian wrap."""
+    import numpy as np
+    import pandas as pd
+    from shapely_spark.geo.kernels import haversine_km
+    from shapely_spark.spark.knn import dwithin_join
+
+    rng = np.random.default_rng(5)
+    npts = 2500
+    plat = rng.uniform(-89.9, 89.9, npts)
+    plon = rng.uniform(-180, 180, npts)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"url": np.arange(npts), "lat": plat, "lon": plon}),
+        "url long, lat double, lon double")
+    trows = [(0, 89.5, 10.0), (1, -88.0, -170.0), (2, 0.0, 179.9),
+             (3, 62.0, -179.95), (4, 45.0, 0.0), (5, -45.0, 90.0)]
+    tg = spark.createDataFrame(
+        pd.DataFrame(trows, columns=["target_id", "t_lat", "t_lon"]),
+        "target_id long, t_lat double, t_lon double")
+    for radius in (150.0, 700.0, 3000.0):
+        for bc in (True, False):
+            got = {(r.url, r.target_id) for r in
+                   dwithin_join(pts, tg, radius, point_id="url",
+                                broadcast=bc).collect()}
+            want = set()
+            for tid, tla, tlo in trows:
+                d = haversine_km(plat, plon, np.full(npts, tla),
+                                 np.full(npts, tlo))
+                want |= {(int(i), tid) for i in np.nonzero(d <= radius)[0]}
+            assert got == want, (radius, bc, len(got), len(want))
