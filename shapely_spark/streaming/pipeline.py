@@ -102,3 +102,18 @@ def foreach_batch_knn_join(targets: DataFrame, k: int = 1, res: int = DEFAULT_RE
                         **knn_kwargs)
 
     return fn
+
+
+def foreach_batch_dwithin_join(targets: DataFrame, radius_km: float,
+                               res: int = DEFAULT_RES, **kwargs):
+    """foreachBatch callback running the fixed-radius join
+    (spark/knn.dwithin_join, r4) per micro-batch: per-target adaptive
+    cell rings, one broadcast equi-join, exact haversine filter. Pairs
+    are independent across micro-batches (no state), so streaming output
+    is exactly the batch pair set partitioned by arrival."""
+    from ..spark.knn import dwithin_join
+
+    def fn(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return dwithin_join(batch_df, targets, radius_km, res=res, **kwargs)
+
+    return fn

@@ -287,3 +287,41 @@ def test_stateful_dedup_stream(spark, tmp_path):
     # invariant is one emission per content (doc_id % 10 identifies it)
     assert sorted(r.doc_id % 10 for r in got) == list(range(10))
     assert len({r.fp for r in got}) == 10
+
+
+def test_streaming_foreach_batch_dwithin_join(spark, tmp_path):
+    """Streaming twin of the fixed-radius join (r4): readStream →
+    with_geo → foreachBatch(dwithin_join) yields the same pair set as
+    the batch plan over the same files — stateless, so micro-batching
+    only partitions the pairs by arrival."""
+    from shapely_spark.spark.pages import HOTSPOTS
+    from shapely_spark.streaming.pipeline import (
+        foreach_batch_dwithin_join,
+        read_pages_stream,
+        stream_with_geo,
+    )
+
+    src = str(tmp_path / "landing_dwithin")
+    synth_pages(spark, 1000).write.mode("overwrite").parquet(src)
+    trows = [(i, float(lat), float(lon)) for i, (lat, lon) in enumerate(HOTSPOTS)]
+    targets = spark.createDataFrame(trows, "target_id long, t_lat double, t_lon double")
+    fn = foreach_batch_dwithin_join(targets, 500.0)
+
+    results = set()
+
+    def sink(batch_df, batch_id):
+        out = fn(batch_df, batch_id)
+        results.update((r.url, r.target_id)
+                       for r in out.select("url", "target_id").collect())
+
+    stream = stream_with_geo(read_pages_stream(spark, src, max_files=1))
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    from shapely_spark.spark.knn import dwithin_join
+
+    want = {(r.url, r.target_id)
+            for r in dwithin_join(with_geo(spark.read.parquet(src)),
+                                  targets, 500.0)
+            .select("url", "target_id").collect()}
+    assert results == want and len(want) > 0
