@@ -118,6 +118,13 @@ def _build() -> dict:
             for g, h in zip(_geoms(a), _geoms(b))
         ])
 
+    @F.pandas_udf("boolean")
+    def st_dwithin(a: pd.Series, b: pd.Series, dist: pd.Series) -> pd.Series:
+        """reference: shapely/predicates.py:1269 dwithin."""
+        return pd.Series(
+            [K.dwithin(g, h, float(d))
+             for g, h, d in zip(_geoms(a), _geoms(b), dist)], dtype="bool")
+
     st_intersects = _binary_pred(K.intersects)
     st_contains = _binary_pred(K.contains)
     st_within = _binary_pred(K.within)
@@ -248,6 +255,9 @@ def _build() -> dict:
     st_symdifference = _binary_geom(O.symmetric_difference)
     st_pointonsurface = _unary_geom(C.point_on_surface)
     st_reverse = _unary_geom(C.reverse)
+    # reference: shapely/constructive.py:92 boundary (mod-2 endpoints,
+    # polygon rings as (multi)linestring)
+    st_boundary = _unary_geom(C.boundary)
     # reference: shapely/validation.py:30 make_valid; constructive.py:654
     # build_area; :884 polygonize (per-row over a (multi)linestring)
     st_makevalid = _unary_geom(O.make_valid)
@@ -423,6 +433,8 @@ def _build() -> dict:
         "st_distance": st_distance,
         "st_relate": st_relate,
         "st_intersects": st_intersects,
+        "st_dwithin": st_dwithin,
+        "st_boundary": st_boundary,
         "st_contains": st_contains,
         "st_within": st_within,
         "st_covers": st_covers,

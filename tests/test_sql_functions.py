@@ -111,3 +111,17 @@ def test_dataframe_api_usage(spark, shapes):
         .collect()
     )
     assert [r.a for r in out] == [4.0, 0.0, 0.0, 96.0]
+
+
+def test_st_boundary_and_dwithin(register, spark):
+    rows = spark.sql("""
+        SELECT st_astext(st_boundary(st_geomfromtext(
+                   'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'))) AS b_poly,
+               st_astext(st_boundary(st_geomfromtext(
+                   'LINESTRING (0 0, 1 0, 2 0)'))) AS b_line,
+               st_dwithin(st_point(0.0, 0.0), st_point(3.0, 4.0), 5.001) AS near,
+               st_dwithin(st_point(0.0, 0.0), st_point(3.0, 4.0), 4.999) AS far
+    """).first()
+    assert rows.b_poly.startswith("LINESTRING")
+    assert "MULTIPOINT" in rows.b_line
+    assert rows.near is True and rows.far is False
