@@ -1,14 +1,23 @@
-"""Baseline JPEG (ITU-T T.81 sequential DCT, 8-bit) codec, pure numpy.
+"""JPEG (ITU-T T.81, 8-bit Huffman) codec, pure numpy.
 
 Closes the last image-format gap from the round-2 verdict: JPEG needs
 no external library either — the entropy layer is canonical Huffman
 over run-length-coded zigzag DCT coefficients, all implementable with
-numpy (IDCT as an 8x8 orthonormal matrix sandwich). Supported: SOF0
-baseline, interleaved and single-component scans, arbitrary chroma
-subsampling declared in SOF (4:4:4 / 4:2:2 / 4:2:0 decoded; nearest
-upsampling), restart markers, 8/16-bit DQT, JFIF YCbCr (BT.601
-full-range). Progressive (SOF2), arithmetic coding, and 12-bit inputs
-raise NotImplementedError.
+numpy (IDCT as an 8x8 orthonormal matrix sandwich). Supported: SOF0/1
+sequential baseline (interleaved and single-component scans, arbitrary
+chroma subsampling declared in SOF — 4:4:4 / 4:2:2 / 4:2:0 decoded,
+nearest upsampling), **SOF2 progressive** (r4: spectral selection +
+successive approximation per Annex G — DC first/refine, AC first/refine
+with EOB run batching, coefficients accumulated across scans and
+IDCT'd once), restart markers in both modes, 8/16-bit DQT, JFIF YCbCr
+(BT.601 full-range). Arithmetic coding, lossless/hierarchical modes,
+and 12-bit inputs raise NotImplementedError.
+
+The progressive fixture encoder (`encode_jpeg_progressive`) emits the
+SAME quantized coefficients as `encode_jpeg` restructured into a
+6+2·nc-scan script, so tests can pin an exact contract: the progressive
+decode must be pixel-identical to the baseline decode of the same
+image (progressive is a reordering, not a different approximation).
 
 The fixture encoder emits 4:4:4 or 4:2:0 with IJG-quality-scaled
 Annex-K quantization tables and deliberately *flat* (fixed-length)
@@ -218,8 +227,18 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("progressive/arithmetic JPEG not supported")
+        elif m == 0xC2:  # SOF2 progressive DCT, Huffman
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps, "progressive": True}
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "lossless/arithmetic/hierarchical JPEG not supported")
         elif m == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", seg, 0)
         elif m == 0xDA:  # SOS
@@ -230,19 +249,30 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             for si in range(ns):
                 cid, tt = seg[1 + 2 * si:3 + 2 * si]
                 comp = next(c for c in frame["comps"] if c["id"] == cid)
-                scan.append((comp, huff[(0, tt >> 4)], huff[(1, tt & 15)]))
+                # progressive AC scans carry no DC table (and vice versa);
+                # missing ids resolve lazily inside the scan decoders
+                scan.append((comp, huff.get((0, tt >> 4)), huff.get((1, tt & 15))))
+            ss, se, a = seg[1 + 2 * ns:4 + 2 * ns]
             # entropy-coded data runs to the next non-RST/stuffed marker
             end = pos
             while end + 1 < len(b):
                 if b[end] == 0xFF and b[end + 1] not in (0x00,) and not (0xD0 <= b[end + 1] <= 0xD7):
                     break
                 end += 1
-            planes = _decode_scan(b[pos:end], frame, scan, qt, restart)
+            if frame.get("progressive"):
+                _decode_scan_progressive(
+                    b[pos:end], frame, scan, restart, ss, se, a >> 4, a & 15)
+                out = frame
+            else:
+                planes = _decode_scan(b[pos:end], frame, scan, qt, restart)
+                out = planes
             pos = end
-            out = planes
         # APPn/COM/others: skipped via generic length
     if out is None:
         raise ValueError("JPEG contains no scan")
+    if frame.get("progressive"):
+        _idct_coefs(frame, qt)
+        out = {c["id"]: c for c in frame["comps"]}
     return _to_rgb(out, frame)
 
 
@@ -308,6 +338,192 @@ def _decode_scan(data: bytes, frame, scan, qt, restart) -> dict:
     return {c["id"]: c for c in frame["comps"]}
 
 
+def _alloc_coefs(frame) -> None:
+    """Progressive frames accumulate zigzag COEFFICIENTS per component
+    across scans (T.81 Annex G); samples appear only at the final IDCT.
+    Block grids are MCU-padded (interleaved DC scans touch every padded
+    block; non-interleaved AC scans cover the component's own grid)."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    for c in frame["comps"]:
+        if "coef" in c:
+            continue
+        c["cw"] = -(-w * c["h"] // hmax)
+        c["ch"] = -(-h * c["v"] // vmax)
+        bw_ = -(-w // (8 * hmax)) * c["h"]
+        bh = -(-h // (8 * vmax)) * c["v"]
+        c["coef"] = np.zeros((bh, bw_, 64), np.int32)
+
+
+def _split_restarts(data: bytes) -> list[bytes]:
+    segments = []
+    seg_start = 0
+    i = 0
+    while i + 1 < len(data):
+        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+            segments.append(data[seg_start:i])
+            seg_start = i + 2
+            i += 2
+        else:
+            i += 1
+    segments.append(data[seg_start:])
+    return segments
+
+
+def _decode_scan_progressive(data, frame, scan, restart, ss, se, ah, al):
+    """One progressive scan (T.81 G.2): DC first/refine (interleaved OK),
+    AC first/refine (single component, EOBRUN coding)."""
+    _alloc_coefs(frame)
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+
+    if ss == 0:  # DC scan (se must be 0)
+        interleaved = len(scan) > 1
+        if interleaved:
+            mcus_x = -(-w // (8 * hmax))
+            n_mcus = mcus_x * (-(-h // (8 * vmax)))
+        else:
+            comp = scan[0][0]
+            mcus_x = -(-comp["cw"] // 8)
+            n_mcus = mcus_x * (-(-comp["ch"] // 8))
+        mcu = 0
+        for seg in _split_restarts(data):
+            rd = _BitReader(seg.replace(b"\xff\x00", b"\xff"))
+            pred = {id(c): 0 for c, _, _ in scan}
+            limit = mcu + restart if restart else n_mcus
+            while mcu < min(limit, n_mcus):
+                my, mx = divmod(mcu, mcus_x)
+                for comp, dct, _ in scan:
+                    reps = comp["h"] * comp["v"] if interleaved else 1
+                    for bi in range(reps):
+                        if interleaved:
+                            by = my * comp["v"] + bi // comp["h"]
+                            bx = mx * comp["h"] + bi % comp["h"]
+                        else:
+                            by, bx = my, mx
+                        cz = comp["coef"][by, bx]
+                        if ah == 0:  # first pass: diff-coded, scaled by Al
+                            t = rd.decode_huff(dct)
+                            diff = _extend(rd.read(t), t) if t else 0
+                            pred[id(comp)] += diff
+                            cz[0] = pred[id(comp)] << al
+                        else:        # refinement: one bit per block
+                            if rd.read(1):
+                                cz[0] |= 1 << al
+                mcu += 1
+        return
+
+    # AC scan: exactly one component (T.81 G.1.1.1.1)
+    comp, _, act = scan[0]
+    bxs = -(-comp["cw"] // 8)
+    bys = -(-comp["ch"] // 8)
+    n_blocks = bxs * bys
+    blk = 0
+    for seg in _split_restarts(data):
+        rd = _BitReader(seg.replace(b"\xff\x00", b"\xff"))
+        eobrun = 0
+        limit = blk + restart if restart else n_blocks
+        while blk < min(limit, n_blocks):
+            by, bx = divmod(blk, bxs)
+            cz = comp["coef"][by, bx]
+            if ah == 0:
+                _ac_first(rd, act, cz, ss, se, al, eobrun_box := [eobrun])
+                eobrun = eobrun_box[0]
+            else:
+                _ac_refine(rd, act, cz, ss, se, al, eobrun_box := [eobrun])
+                eobrun = eobrun_box[0]
+            blk += 1
+
+
+def _ac_first(rd, act, cz, ss, se, al, eobrun_box):
+    """T.81 G.2.2: first AC pass of a band — coefficients at scale 1<<al,
+    EOB run-lengths batched across blocks."""
+    if eobrun_box[0] > 0:
+        eobrun_box[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = rd.decode_huff(act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun_box[0] = (1 << r) - 1
+            if r:
+                eobrun_box[0] += rd.read(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC run past band end")
+        cz[k] = _extend(rd.read(s), s) << al
+        k += 1
+
+
+def _ac_refine(rd, act, cz, ss, se, al, eobrun_box):
+    """T.81 G.1.2.3 successive-approximation AC refinement: new ±1<<al
+    coefficients positioned by runs over ZERO-history slots; every
+    nonzero-history coefficient passed on the way (and after EOB) absorbs
+    one correction bit."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun_box[0] == 0:
+        while k <= se:
+            rs = rd.decode_huff(act)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r < 15:
+                    # EOB run INCLUDES the current block (libjpeg
+                    # convention): its tail corrections are consumed below
+                    eobrun_box[0] = (1 << r)
+                    if r:
+                        eobrun_box[0] += rd.read(r)
+                    break
+                # r == 15: pass 16 zero-history slots
+            else:
+                if s != 1:
+                    raise ValueError("JPEG refinement size must be 1")
+                val = p1 if rd.read(1) else m1
+            while k <= se:
+                if cz[k] != 0:
+                    if rd.read(1) and (cz[k] & p1) == 0:
+                        cz[k] += p1 if cz[k] > 0 else m1
+                else:
+                    if r == 0:
+                        if val:
+                            cz[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun_box[0] > 0:
+        while k <= se:
+            if cz[k] != 0 and rd.read(1) and (cz[k] & p1) == 0:
+                cz[k] += p1 if cz[k] > 0 else m1
+            k += 1
+        eobrun_box[0] -= 1
+
+
+def _idct_coefs(frame, qt) -> None:
+    """Final pass of a progressive decode: dequantize + IDCT every block
+    into the component sample planes (one vectorized einsum per comp)."""
+    for c in frame["comps"]:
+        if "coef" not in c:
+            raise ValueError("JPEG progressive frame missing scans")
+        bh, bw_, _ = c["coef"].shape
+        q = qt[c["tq"]]
+        coef = np.zeros((bh, bw_, 8, 8), np.float64)
+        coef[:, :, _ZZ_ROWS, _ZZ_COLS] = c["coef"] * q[_ZZ_ROWS, _ZZ_COLS]
+        # same matmul chain as the baseline _decode_block — a different
+        # summation order (einsum) shifts ulps across rint's .5 boundary
+        blocks = (_A.T @ coef @ _A) + 128.0
+        c["plane"] = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+
+
 def _decode_block(rd, dct, act, q, pred, comp) -> np.ndarray:
     zz = np.zeros(64, np.int32)
     t = rd.decode_huff(dct)
@@ -353,6 +569,208 @@ def _to_rgb(planes: dict, frame) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     bl = y + 1.772 * cb
     return np.clip(np.rint(np.stack([r, g, bl], -1)), 0, 255).astype(np.uint8)
+
+
+# ---- progressive encoder helpers (fixture) ----------------------------------
+
+def _quantized_blocks(padded: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H, W) padded plane -> (by, bx, 64) quantized zigzag coefficients."""
+    bh, bw_ = padded.shape[0] // 8, padded.shape[1] // 8
+    blocks = padded.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3)
+    # same matmul chain as _encode_block: a different summation order
+    # (einsum) shifts ulps across rint's .5 quantization boundary
+    co = _A @ (np.ascontiguousarray(blocks) - 128.0) @ _A.T
+    return np.rint(co[:, :, _ZZ_ROWS, _ZZ_COLS]
+                   / q[_ZZ_ROWS, _ZZ_COLS]).astype(np.int32)
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al toward zero (T.81 G.1.2.1)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _emit_ac_first_block(bw, ac_tab, v, ss, se, al):
+    """First AC pass of one block at scale Al (no cross-block EOB runs —
+    per-block EOB0 is legal and keeps the fixture simple)."""
+    vals = [_pt(int(v[k]), al) for k in range(ss, se + 1)]
+    nz = [i for i, x in enumerate(vals) if x]
+    run = 0
+    for i, x in enumerate(vals):
+        if x == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_tab[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _category(x)
+        ln, code = ac_tab[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(x if x >= 0 else x + (1 << s) - 1, s)
+        run = 0
+        if i == nz[-1]:
+            break
+    if not nz or nz[-1] < se - ss:  # EOB0 unless the band ends on a value
+        ln, code = ac_tab[0x00]
+        bw.write(code, ln)
+
+
+def _emit_ac_refine_block(bw, ac_tab, v, ss, se, al):
+    """AC refinement of one block (T.81 G.1.2.3 encoder): newly
+    significant ±1·2^Al positioned by zero-HISTORY runs; correction bits
+    for nonzero-history slots buffered and flushed after each symbol
+    (and after the per-block EOB0)."""
+    absv = [abs(int(v[k])) for k in range(ss, se + 1)]
+    new_idx = [i for i, a in enumerate(absv)
+               if (a >> al) and not (a >> (al + 1))]
+    last_new = new_idx[-1] if new_idx else -1
+    corr: list[int] = []
+    run = 0
+    for i, a in enumerate(absv):
+        hist = a >> (al + 1)
+        now = a >> al
+        if now == 0:                  # zero history AND still insignificant
+            run += 1
+            continue
+        # a ZRL splits the walk the moment the zero-history run exceeds 15
+        # at ANY nonzero slot — its correction bits belong to the walk
+        # they positionally fall in (T.81 G.1.2.3 / libjpeg BE buffering).
+        # Suppressed when the run folds into the trailing EOB instead.
+        while run > 15 and i <= last_new:
+            ln, code = ac_tab[0xF0]
+            bw.write(code, ln)
+            run -= 16
+            for bit in corr:
+                bw.write(bit, 1)
+            corr = []
+        if hist:                      # nonzero history: one correction bit
+            corr.append(now & 1)
+            continue
+        ln, code = ac_tab[(run << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if v[ss + i] > 0 else 0, 1)
+        for bit in corr:
+            bw.write(bit, 1)
+        corr = []
+        run = 0
+    if last_new < len(absv) - 1:      # decoder still inside the band: EOB0
+        ln, code = ac_tab[0x00]
+        bw.write(code, ln)
+        for bit in corr:
+            bw.write(bit, 1)
+    else:
+        assert not corr
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+    """H×W×3 uint8 (or H×W gray) -> progressive (SOF2) JFIF bytes.
+
+    Scan script (covers every Annex-G decode shape): interleaved DC
+    first at Al=1 → DC refinement (1 bit/block) → per component AC
+    first for bands 1..5 and 6..63 at Al=1 → per component AC
+    refinement 1..63 to Al=0. Coefficients are identical to
+    encode_jpeg's at the same quality, so a progressive decode must be
+    pixel-identical to the baseline decode of the same image — the
+    contract the tests pin."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql, qc = _quality_tables(quality)
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = (-0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1]
+              + 0.5 * rgb[..., 2] + 128.0)
+        cr = (0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1]
+              - 0.081312 * rgb[..., 2] + 128.0)
+        planes = [y, cb, cr]
+        samp = [(1, 1), (1, 1), (1, 1)]
+        qids = [0, 1, 1]
+    nc = len(planes)
+    mcus_x, mcus_y = -(-w // 8), -(-h // 8)
+    coefs = [
+        _quantized_blocks(_pad_to(p, mcus_y * 8, mcus_x * 8),
+                          ql if qids[ci] == 0 else qc)
+        for ci, p in enumerate(planes)
+    ]
+
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, t in ((0, ql), (1, qc))[: 1 if gray else 2]:
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
+            int(t[r, c]) for r, c in _ZIGZAG)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]])
+    for tc, th, bits, vals in ((0, 0, _DC_BITS, _DC_VALS),
+                               (1, 0, _AC_BITS, _AC_SYMBOLS)):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + sum(bits), (tc << 4) | th)
+        out += bytes(bits) + bytes(vals)
+    dc_tab = _build_encode_table(_DC_BITS, _DC_VALS)
+    ac_tab = _build_encode_table(_AC_BITS, _AC_SYMBOLS)
+
+    def sos(comp_ids, ss, se, ah, al):
+        hdr = bytearray(b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids),
+                                                  len(comp_ids)))
+        for cid in comp_ids:
+            hdr += bytes([cid, 0x00])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return hdr
+
+    # scan 1: DC first, interleaved, Al=1 (point transform: arithmetic >>)
+    out += sos(list(range(1, nc + 1)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nc):
+                dc = int(coefs[ci][my, mx, 0]) >> 1
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                t = _category(diff)
+                ln, code = dc_tab[t]
+                bw.write(code, ln)
+                if t:
+                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    bw.flush()
+    out += bw.out
+
+    # scan 2: DC refinement to Al=0 — one raw bit per block
+    out += sos(list(range(1, nc + 1)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nc):
+                bw.write(int(coefs[ci][my, mx, 0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # AC scans: per component, two bands first at Al=1, then refinement
+    for ci in range(nc):
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos([ci + 1], ss, se, 0, 1)
+            bw = _BitWriter()
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    _emit_ac_first_block(bw, ac_tab, coefs[ci][my, mx], ss, se, 1)
+            bw.flush()
+            out += bw.out
+    for ci in range(nc):
+        out += sos([ci + 1], 1, 63, 1, 0)
+        bw = _BitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                _emit_ac_refine_block(bw, ac_tab, coefs[ci][my, mx], 1, 63, 0)
+        bw.flush()
+        out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # ---- encoder (fixture; 4:4:4 or 4:2:0) -------------------------------------

@@ -493,14 +493,15 @@ class TestJpegCodec:
         out = decode_image(b)
         assert (out == 77).all()
 
-    def test_progressive_rejected(self):
+    def test_progressive_header_without_scans_rejected(self):
+        """SOF2 is DECODED since r4 (TestProgressiveJpeg); a progressive
+        header with no scan data is still an invalid stream."""
         import pytest
         from shapely_spark.multimodal.jpeg import decode_jpeg
-        # SOI + minimal SOF2 header -> explicit NotImplementedError
         b = (b"\xff\xd8\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x08\x00\x08\x01"
              + b"\x01\x11\x00")
-        with pytest.raises(NotImplementedError):
-            decode_jpeg(b)
+        with pytest.raises(ValueError):
+            decode_jpeg(b + b"\xff\xd9")
 
     def test_restart_markers(self):
         """Encoder does not emit DRI, so hand-splice: re-encode each
@@ -872,3 +873,66 @@ class TestAdam7:
 
         img = np.arange(60, dtype=np.uint8).reshape(5, 4, 3)
         assert (decode_image(encode_png(img, interlace=True)) == img).all()
+
+
+class TestProgressiveJpeg:
+    """SOF2 progressive decode (r4): spectral selection + successive
+    approximation (T.81 Annex G). The fixture encoder reorders the SAME
+    quantized coefficients as the baseline encoder, so progressive and
+    baseline decodes must be pixel-IDENTICAL — an exact contract on a
+    lossy codec."""
+
+    def test_pixel_identical_to_baseline(self):
+        from shapely_spark.multimodal.jpeg import (
+            decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+        rng = np.random.default_rng(17)
+        for shape in [(8, 8), (16, 24), (17, 13), (7, 5), (40, 33)]:
+            for gray in (False, True):
+                img = rng.integers(0, 256, shape if gray else (*shape, 3),
+                                   dtype=np.uint8)
+                base = decode_jpeg(encode_jpeg(img, quality=87))
+                prog = decode_jpeg(encode_jpeg_progressive(img, quality=87))
+                assert (base == prog).all(), (shape, gray)
+
+    def test_refinement_zrl_interleave(self):
+        """Sparse high-frequency content forces long zero-history runs in
+        the AC refinement scan — the ZRL/correction-bit interleave is the
+        subtlest part of G.1.2.3 (bits belong to the walk they
+        positionally fall in)."""
+        from shapely_spark.multimodal.jpeg import (
+            decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+        img = np.zeros((16, 16, 3), np.uint8)
+        img[::8, ::8] = 255
+        img[3, 7] = 200
+        for q in (75, 95):
+            assert (decode_jpeg(encode_jpeg_progressive(img, quality=q))
+                    == decode_jpeg(encode_jpeg(img, quality=q))).all()
+
+    def test_dc_point_transform_negative(self):
+        """DC first pass uses arithmetic >> Al and the refinement ORs the
+        low bit — exact for negative DCs too (floor semantics + two's
+        complement OR). A dark uniform image pins the negative-DC path."""
+        from shapely_spark.multimodal.jpeg import (
+            decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+        img = np.full((8, 16, 3), 3, np.uint8)  # DC well below 128
+        assert (decode_jpeg(encode_jpeg_progressive(img, quality=87))
+                == decode_jpeg(encode_jpeg(img, quality=87))).all()
+
+    def test_dispatcher_decodes_progressive(self):
+        from shapely_spark.multimodal.jpeg import encode_jpeg_progressive
+        from shapely_spark.multimodal.media import decode_image
+
+        img = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+        base = decode_image(encode_jpeg_progressive(img))
+        assert base.shape == (8, 8, 3)
+
+    def test_lossless_arithmetic_still_raise(self):
+        from shapely_spark.multimodal.jpeg import decode_jpeg
+
+        # SOF3 (lossless) header
+        b = (b"\xff\xd8\xff\xc3" + bytes([0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(b + b"\xff\xd9")
