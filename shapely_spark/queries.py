@@ -3269,6 +3269,53 @@ def image_decode_jpeg_px_sum(spark, sf_dir):
 
 
 @q(
+    "image_decode_jpeg_prog_px_sum",
+    """
+    WITH g AS (SELECT p_partkey AS gid,
+                      16 + p_partkey % 5 AS w, 8 + p_partkey % 3 AS h,
+                      (17 * p_partkey + 23) % 256 AS v1,
+                      (29 * p_partkey + 101) % 256 AS v2
+               FROM part)
+    SELECT gid,
+           CAST(3 * h * (8 * v1 + (w - 8) * v2) AS BIGINT) AS px_sum
+    FROM g ORDER BY gid
+    """,
+)
+def image_decode_jpeg_prog_px_sum(spark, sf_dir):
+    """Contract oracle for the PROGRESSIVE JPEG decode path (r4,
+    multimodal/jpeg.py Annex G): same two-level bit-exact-DC
+    construction as image_decode_jpeg_px_sum, serialized as an SOF2
+    scan script (DC first+refine, banded AC first, AC refinement). The
+    progressive reordering of identical coefficients must reproduce the
+    identical closed-form sum."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (16 + k % 5).cast("int").alias("w"),
+        (8 + k % 3).cast("int").alias("h"),
+        ((17 * k + 23) % 256).cast("int").alias("v1"),
+        ((29 * k + 101) % 256).cast("int").alias("v2"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal.jpeg import encode_jpeg_progressive
+        from .multimodal.media import decode_image
+
+        for pdf in batches:
+            sums = []
+            for gid, w, h, v1, v2 in zip(pdf.gid, pdf.w, pdf.h, pdf.v1, pdf.v2):
+                img = np.full((int(h), int(w)), int(v1), np.uint8)
+                img[:, 8:] = int(v2)
+                dec = decode_image(encode_jpeg_progressive(img, quality=87))
+                assert dec.shape == (h, w, 3), (dec.shape, (h, w))
+                sums.append(int(dec.astype(np.int64).sum()))
+            yield pd.DataFrame({"gid": pdf.gid, "px_sum": sums})
+
+    return params.mapInPandas(gen, "gid long, px_sum long").repartition(1).sortWithinPartitions("gid")
+
+
+@q(
     "image_decode_webp_px_sum",
     """
     WITH g AS (SELECT p_partkey AS gid,
@@ -3647,7 +3694,7 @@ _DRIVER_WINDOW = [
     "tpch_q1", "spatial_join_boxes", "knn_nearest_center",
     "tile_agg_regions", "cell_assign",
     # never driver-sampled before r4 (r2/r3 additions)
-    "voronoi_two_cell_areas", "minimum_clearance_box", "shortest_line_gap",
+    "voronoi_two_cell_areas", "image_decode_jpeg_prog_px_sum", "shortest_line_gap",
     "buffer_line_capsule_area", "spatial_join_geom_boxes",
     "ann_cosine_ivf_top1", "embedding_neardup_pairs",
     "ann_cosine_ivf_dist_top1", "ann_cosine_ivf_probe2", "tpch_q5",
