@@ -227,10 +227,17 @@ def main():
             return out
 
         # steady-state methodology (see BENCH/BASELINE.md): warm each plan
-        # shape once on the tiny sf0.001 tables so first-run JIT of the
-        # generated code is not attributed to the sf0.1 timing
-        warm_dir = os.path.join(os.path.dirname(args.sf_dir.rstrip("/")), "sf0.001")
-        if os.path.isdir(warm_dir) and warm_dir != args.sf_dir:
+        # shape once at sf0.01 — sf0.001 proved too small to push the big
+        # generated methods through C2 tiered compilation (minhash's
+        # banded-signature codegen measured 22 s on its first sf0.1 run
+        # and 7 s steady-state), so the warmup needs real loop counts,
+        # not just the plan shape
+        base = os.path.dirname(args.sf_dir.rstrip("/"))
+        warm_dir = next(
+            (d for d in (os.path.join(base, "sf0.01"),
+                         os.path.join(base, "sf0.001"))
+             if os.path.isdir(d) and d != args.sf_dir), None)
+        if warm_dir:
             for name, fn in QUERIES.items():
                 try:
                     fn(spark, warm_dir).count()

@@ -936,3 +936,86 @@ class TestProgressiveJpeg:
         b = (b"\xff\xd8\xff\xc3" + bytes([0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
         with pytest.raises(NotImplementedError):
             decode_jpeg(b + b"\xff\xd9")
+
+
+class TestHandPackedProgressive:
+    """Progressive stream hand-assembled byte-by-byte (no encoder in the
+    loop) — guards the decoder against a mirrored encoder/decoder
+    misunderstanding of Annex G."""
+
+    def test_uniform_block_all_scan_kinds(self):
+        """8×8 gray, v=136, q00=4 ⇒ DC coef 16 exactly. Scans: DC first
+        (Al=1, diff 8 = cat4 '0100'+'1000'), DC refine (bit 0), two AC
+        first bands (EOB0 = 8 zero bits each), AC refine (EOB0).
+        Expected decode: uniform 136."""
+        import struct
+        from shapely_spark.multimodal.jpeg import (
+            _AC_BITS, _AC_SYMBOLS, _DC_BITS, _DC_VALS, _ZIGZAG,
+            _quality_tables, decode_jpeg)
+
+        ql, _ = _quality_tables(87)
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
+            int(ql[r, c]) for r, c in _ZIGZAG)
+        out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        out += bytes([1, 0x11, 0])
+        for tc, bits, vals in ((0, _DC_BITS, _DC_VALS), (1, _AC_BITS, _AC_SYMBOLS)):
+            out += b"\xff\xc4" + struct.pack(">HB", 19 + sum(bits), tc << 4)
+            out += bytes(bits) + bytes(vals)
+
+        def sos(ss, se, ah, al, payload):
+            return (b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+                    + bytes([ss, se, (ah << 4) | al]) + payload)
+
+        out += sos(0, 0, 0, 1, b"\x48")        # DC first: 0100 1000
+        out += sos(0, 0, 1, 0, b"\x7f")        # DC refine: 0 + 1-pad
+        out += sos(1, 5, 0, 1, b"\x00")        # AC first band 1: EOB0
+        out += sos(6, 63, 0, 1, b"\x00")       # AC first band 2: EOB0
+        out += sos(1, 63, 1, 0, b"\x00")       # AC refine: EOB0
+        out += b"\xff\xd9"
+        dec = decode_jpeg(bytes(out))
+        assert dec.shape == (8, 8, 3) and (dec == 136).all()
+
+
+class TestHandPackedVP8L:
+    """VP8L stream hand-assembled with a local LSB-first writer (no
+    webp.py encoder in the loop): constant 3×2 image via five
+    single-symbol simple codes — zero bits per pixel."""
+
+    def test_constant_color_simple_codes(self):
+        import struct
+        from shapely_spark.multimodal.webp import decode_webp
+
+        bits = []
+
+        def w(v, n):
+            for i in range(n):
+                bits.append((v >> i) & 1)
+
+        w(2, 14)   # width - 1
+        w(1, 14)   # height - 1
+        w(0, 1)    # alpha hint
+        w(0, 3)    # version
+        w(0, 1)    # no transforms
+        w(0, 1)    # no color cache
+        w(0, 1)    # no meta-huffman
+        for sym, wide in ((200, True), (7, True), (30, True), (255, True),
+                          (0, False)):   # green, red, blue, alpha, distance
+            w(1, 1)               # simple code
+            w(0, 1)               # one symbol
+            w(1 if wide else 0, 1)
+            w(sym, 8 if wide else 1)
+        # no pixel bits: every alphabet is a zero-bit single-symbol code
+        payload = bytearray(b"\x2f")
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for j, b in enumerate(bits[i:i + 8]):
+                byte |= b << j
+            payload.append(byte)
+        riff = b"WEBPVP8L" + struct.pack("<I", len(payload)) + bytes(payload)
+        if len(payload) & 1:
+            riff += b"\x00"
+        stream = b"RIFF" + struct.pack("<I", len(riff)) + riff
+        img = decode_webp(stream)
+        assert img.shape == (2, 3, 3)
+        assert (img == np.array([7, 200, 30], np.uint8)).all()
