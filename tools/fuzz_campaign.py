@@ -64,7 +64,51 @@ def main() -> int:
         except Exception as ex:  # falsifying example printed by hypothesis
             failures += 1
             print(f"FAIL  {name}: {ex}")
+    failures += _codec_campaign(max(200, args.examples // 10), rnd)
     return 1 if failures else 0
+
+
+def _codec_campaign(n: int, rnd: int) -> int:
+    """Random-shape exact roundtrips across every lossless codec path,
+    plus the progressive-JPEG == baseline contract (exact despite lossy
+    coding: identical coefficients, reordered scans)."""
+    import numpy as np
+
+    from shapely_spark.multimodal.codecs import decode_gif, decode_png, encode_gif, encode_png
+    from shapely_spark.multimodal.flac import decode_flac, encode_flac
+    from shapely_spark.multimodal.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+    from shapely_spark.multimodal.webp import decode_webp, encode_webp_lossless
+
+    rng = np.random.default_rng(rnd)
+    t0 = time.time()
+    failures = 0
+    for i in range(n):
+        h, w = int(rng.integers(1, 24)), int(rng.integers(1, 24))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        try:
+            assert (decode_png(encode_png(img, interlace=bool(i & 1))) == img).all()
+            kw = [{}, {"subtract_green": True}, {"use_lz77": False},
+                  {"cache_bits": int(rng.integers(1, 9))}][i % 4]
+            assert (decode_webp(encode_webp_lossless(img, **kw)) == img).all()
+            pal = np.repeat(rng.integers(0, 13, (h, w, 1)).astype(np.uint8) * 19,
+                            3, axis=2)
+            assert (decode_webp(encode_webp_lossless(pal, palette=True)) == pal).all()
+            assert (decode_gif(encode_gif(pal)) == pal).all()
+            q = int(rng.choice([75, 87, 95]))
+            assert (decode_jpeg(encode_jpeg_progressive(img, quality=q))
+                    == decode_jpeg(encode_jpeg(img, quality=q))).all()
+            x = rng.integers(-2000, 2001, int(rng.integers(16, 600)))
+            y = decode_flac(encode_flac(x))  # int16 in, float out
+            assert (np.rint(y * 32768).astype(np.int64) == x).all(), "flac"
+        except Exception as ex:
+            failures += 1
+            print(f"FAIL  codec roundtrips at case {i} (h={h}, w={w}): {ex!r}")
+            break
+    if not failures:
+        print(f"OK    codec roundtrips: {n} cases × 6 codecs "
+              f"[{time.time() - t0:.1f}s, seed={rnd}]")
+    return failures
 
 
 if __name__ == "__main__":
