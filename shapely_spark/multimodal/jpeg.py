@@ -662,8 +662,11 @@ def _emit_ac_refine_block(bw, ac_tab, v, ss, se, al):
         assert not corr
 
 
-def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
+                            subsample: bool = False) -> bytes:
     """H×W×3 uint8 (or H×W gray) -> progressive (SOF2) JFIF bytes.
+    subsample=True emits 4:2:0 (2×2 box-averaged chroma, same as
+    encode_jpeg) — the interleaved DC scans then carry multi-block MCUs.
 
     Scan script (covers every Annex-G decode shape): interleaved DC
     first at Al=1 → DC refinement (1 bit/block) → per component AC
@@ -687,13 +690,23 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
               + 0.5 * rgb[..., 2] + 128.0)
         cr = (0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1]
               - 0.081312 * rgb[..., 2] + 128.0)
+        if subsample:
+            ph = -(-h // 2) * 2
+            pw = -(-w // 2) * 2
+            cb = _pad_to(cb, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean((1, 3))
+            cr = _pad_to(cr, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean((1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
         planes = [y, cb, cr]
-        samp = [(1, 1), (1, 1), (1, 1)]
         qids = [0, 1, 1]
     nc = len(planes)
-    mcus_x, mcus_y = -(-w // 8), -(-h // 8)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     coefs = [
-        _quantized_blocks(_pad_to(p, mcus_y * 8, mcus_x * 8),
+        _quantized_blocks(_pad_to(p, mcus_y * samp[ci][1] * 8,
+                                  mcus_x * samp[ci][0] * 8),
                           ql if qids[ci] == 0 else qc)
         for ci, p in enumerate(planes)
     ]
@@ -722,50 +735,65 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
         hdr += bytes([ss, se, (ah << 4) | al])
         return hdr
 
+    def mcu_blocks():
+        """(ci, by, bx) in interleaved MCU order (T.81 A.2.3)."""
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(nc):
+                    sh, sv = samp[ci]
+                    for bi in range(sh * sv):
+                        yield ci, my * sv + bi // sh, mx * sh + bi % sh
+
     # scan 1: DC first, interleaved, Al=1 (point transform: arithmetic >>)
     out += sos(list(range(1, nc + 1)), 0, 0, 0, 1)
     bw = _BitWriter()
     preds = [0] * nc
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci in range(nc):
-                dc = int(coefs[ci][my, mx, 0]) >> 1
-                diff = dc - preds[ci]
-                preds[ci] = dc
-                t = _category(diff)
-                ln, code = dc_tab[t]
-                bw.write(code, ln)
-                if t:
-                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    for ci, by, bx in mcu_blocks():
+        dc = int(coefs[ci][by, bx, 0]) >> 1
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        t = _category(diff)
+        ln, code = dc_tab[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
     bw.flush()
     out += bw.out
 
     # scan 2: DC refinement to Al=0 — one raw bit per block
     out += sos(list(range(1, nc + 1)), 0, 0, 1, 0)
     bw = _BitWriter()
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci in range(nc):
-                bw.write(int(coefs[ci][my, mx, 0]) & 1, 1)
+    for ci, by, bx in mcu_blocks():
+        bw.write(int(coefs[ci][by, bx, 0]) & 1, 1)
     bw.flush()
     out += bw.out
 
-    # AC scans: per component, two bands first at Al=1, then refinement
+    # AC scans: per component over its own NON-interleaved block grid
+    # (ceil(cw/8) × ceil(ch/8) — MCU-padding dummy blocks are DC-only,
+    # exactly the blocks the crop discards), two bands first at Al=1,
+    # then refinement
+    grids = []
     for ci in range(nc):
+        cw = -(-w * samp[ci][0] // hmax)
+        ch_ = -(-h * samp[ci][1] // vmax)
+        grids.append((-(-ch_ // 8), -(-cw // 8)))
+    for ci in range(nc):
+        bys, bxs = grids[ci]
         for ss, se in ((1, 5), (6, 63)):
             out += sos([ci + 1], ss, se, 0, 1)
             bw = _BitWriter()
-            for my in range(mcus_y):
-                for mx in range(mcus_x):
-                    _emit_ac_first_block(bw, ac_tab, coefs[ci][my, mx], ss, se, 1)
+            for by in range(bys):
+                for bx in range(bxs):
+                    _emit_ac_first_block(bw, ac_tab, coefs[ci][by, bx], ss, se, 1)
             bw.flush()
             out += bw.out
     for ci in range(nc):
+        bys, bxs = grids[ci]
         out += sos([ci + 1], 1, 63, 1, 0)
         bw = _BitWriter()
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                _emit_ac_refine_block(bw, ac_tab, coefs[ci][my, mx], 1, 63, 0)
+        for by in range(bys):
+            for bx in range(bxs):
+                _emit_ac_refine_block(bw, ac_tab, coefs[ci][by, bx], 1, 63, 0)
         bw.flush()
         out += bw.out
 

@@ -1019,3 +1019,19 @@ class TestHandPackedVP8L:
         img = decode_webp(stream)
         assert img.shape == (2, 3, 3)
         assert (img == np.array([7, 200, 30], np.uint8)).all()
+
+
+def test_progressive_420_subsampled_equals_baseline():
+    """Progressive with 4:2:0 chroma (multi-block interleaved DC MCUs,
+    per-component AC grids smaller than the MCU-padded coefficient
+    arrays) — same pixel-identical contract vs the 4:2:0 baseline."""
+    from shapely_spark.multimodal.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    rng = np.random.default_rng(6)
+    for shape in [(16, 16), (17, 13), (40, 33), (9, 23)]:
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=87, subsample=True))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=87,
+                                                   subsample=True))
+        assert (base == prog).all(), shape
