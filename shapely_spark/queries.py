@@ -1126,6 +1126,117 @@ def langid_heuristic_q(spark, sf_dir):
     return langid_heuristic(d).select("doc_id", "pred_lang", "pred_hits").repartition(1).sortWithinPartitions("doc_id")
 
 
+@q(
+    "pii_redact_counts",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 > 0
+                     THEN ' u' || doc_id || '.0@ex' || doc_id % 7 || '.org'
+                     ELSE '' END
+             || CASE WHEN doc_id % 3 > 1
+                     THEN ' u' || doc_id || '.1@ex' || doc_id % 7 || '.org'
+                     ELSE '' END
+             || CASE WHEN doc_id % 2 = 1
+                     THEN ' 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                     THEN ' 10.' || doc_id % 256 || '.0.' || (doc_id * 7) % 256
+                     ELSE '' END AS txt
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+           (doc_id % 2)::BIGINT AS n_phone,
+           (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ip,
+           md5(regexp_replace(regexp_replace(regexp_replace(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+               '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g')) AS redacted_md5
+    FROM t ORDER BY doc_id
+    """,
+)
+def pii_redact_counts(spark, sf_dir):
+    """PII scrubbing (text/quality.redact_pii, r4): emails, dashed phone
+    numbers, and IPv4s redacted to typed placeholders — the scrub stage
+    of a web-corpus pipeline, pure JVM regex. PII is synthesized
+    deterministically per doc_id (like the geometry queries build
+    shapes from params); the oracle re-applies the same lookaround-free
+    patterns in DuckDB and both sides hash the redacted text. The
+    n_email count comes from the engine (regexp_count) and is checked
+    against the closed-form injection counts."""
+    from .text.quality import redact_pii
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    k = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.when(k % 3 > 0, F.concat(F.lit(" u"), k.cast("string"), F.lit(".0@ex"),
+                                   (k % 7).cast("string"), F.lit(".org"))).otherwise(""),
+        F.when(k % 3 > 1, F.concat(F.lit(" u"), k.cast("string"), F.lit(".1@ex"),
+                                   (k % 7).cast("string"), F.lit(".org"))).otherwise(""),
+        F.when(k % 2 == 1, F.concat(F.lit(" 555-123-"),
+                                    F.lpad((k % 10000).cast("string"), 4, "0"))).otherwise(""),
+        F.when(k % 4 == 0, F.concat(F.lit(" 10."), (k % 256).cast("string"),
+                                    F.lit(".0."), ((k * 7) % 256).cast("string"))).otherwise(""),
+    )
+    out = redact_pii(d.select("doc_id", txt.alias("text")))
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ip",
+        F.md5(F.encode(F.col("redacted"), "UTF-8")).alias("redacted_md5"),
+    ).repartition(1).sortWithinPartitions("doc_id")
+
+
+@q(
+    "url_canonical_dedup",
+    """
+    WITH u AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'http' ELSE 'https' END
+             || '://example' || o_orderkey % 5 || '.com'
+             || CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 2 = 1 THEN ':80'
+                     WHEN o_orderkey % 3 = 1 AND o_orderkey % 2 = 0 THEN ':443'
+                     ELSE '' END
+             || '/P/' || o_orderkey % 50
+             || CASE WHEN o_orderkey % 2 = 0
+                     THEN '?a=' || o_orderkey % 10 || '&b=2' ELSE '' END AS canon
+      FROM orders
+    )
+    SELECT canon, count(*)::BIGINT AS n_dups
+    FROM u GROUP BY canon ORDER BY canon
+    """,
+)
+def url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization for dedup keys (text/quality.canonical_url_col,
+    r4): messy synthesized URLs — uppercase scheme/host, default ports,
+    trailing slashes, unsorted query params, fragments — must collapse to
+    the closed-form canonical the oracle constructs directly. The
+    canonical key then drives a dedup groupBy (one shuffle, scale-safe)."""
+    from .text.quality import canonical_url_col
+
+    o = _spread(_t(spark, sf_dir, "orders"))
+    k = F.col("o_orderkey")
+    url = F.concat(
+        F.when(k % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(k % 2 == 0, F.concat(F.lit("Example"), (k % 5).cast("string"),
+                                    F.lit(".COM")))
+         .otherwise(F.concat(F.lit("example"), (k % 5).cast("string"), F.lit(".com"))),
+        F.when(k % 3 == 0, F.lit(":80")).otherwise(
+            F.when(k % 3 == 1, F.lit(":443")).otherwise(F.lit(""))),
+        F.lit("/P/"), (k % 50).cast("string"),
+        F.when(k % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(k % 2 == 0, F.concat(F.lit("?b=2&a="), (k % 10).cast("string")))
+         .otherwise(F.lit("")),
+        F.when(k % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    canon = canonical_url_col(url)
+    return (o.select(canon.alias("canon"))
+            .groupBy("canon").agg(F.count("*").cast("long").alias("n_dups"))
+            .repartition(1).sortWithinPartitions("canon"))
+
+
 # ---- events: sessionization (window/state op) -------------------------------
 
 @q(
@@ -3694,13 +3805,13 @@ _DRIVER_WINDOW = [
     "tpch_q1", "spatial_join_boxes", "knn_nearest_center",
     "tile_agg_regions", "cell_assign",
     # never driver-sampled before r4 (r2/r3 additions)
-    "voronoi_two_cell_areas", "image_decode_jpeg_prog_px_sum", "shortest_line_gap",
+    "voronoi_two_cell_areas", "image_decode_jpeg_prog_px_sum", "pii_redact_counts",
     "buffer_line_capsule_area", "spatial_join_geom_boxes",
     "ann_cosine_ivf_top1", "embedding_neardup_pairs",
     "ann_cosine_ivf_dist_top1", "ann_cosine_ivf_probe2", "tpch_q5",
     "tpch_q10_variant", "crosses_segments", "hausdorff_boxes",
     "frechet_segments", "make_valid_bowtie_area", "oriented_envelope_area",
-    "segmentize_diag_npoints", "snap_point_tol", "line_merge_chain",
+    "segmentize_diag_npoints", "url_canonical_dedup", "line_merge_chain",
     "split_segment_pieces", "substring_frac_length",
     "geojson_roundtrip_area", "mbc_radius_ngon", "touches_overlaps_boxes",
     "inscribed_circle_box", "coverage_valid_grid", "skew_area_box",

@@ -94,3 +94,57 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn(
         "prefix_fp", F.md5(F.encode(F.concat_ws(" ", F.slice(tokens_col(F.col(text_col)), 1, 8)), "UTF-8"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + URL canonicalization (r4) — the scrubbing/normalization
+# stage of a web-corpus pipeline; pure JVM regex/string expressions, no
+# Python in the path.
+# ---------------------------------------------------------------------------
+
+# deliberately lookaround-free so the Java (Spark) and RE2-family (DuckDB
+# oracle) regex engines agree exactly
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, dashed phone numbers, and IPv4 addresses to typed
+    placeholder tokens; per-row match counts ride along for audit.
+    Order matters: emails first (an address can embed digits), then
+    phones, then IPs on the already-redacted text."""
+    t = F.col(text_col)
+    n_email = F.regexp_count(t, F.lit(PII_EMAIL_RE))
+    t1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_phone = F.regexp_count(t1, F.lit(PII_PHONE_RE))
+    t2 = F.regexp_replace(t1, PII_PHONE_RE, "<PHONE>")
+    n_ip = F.regexp_count(t2, F.lit(PII_IPV4_RE))
+    t3 = F.regexp_replace(t2, PII_IPV4_RE, "<IP>")
+    return (docs
+            .withColumn("n_email", n_email.cast("long"))
+            .withColumn("n_phone", n_phone.cast("long"))
+            .withColumn("n_ip", n_ip.cast("long"))
+            .withColumn("redacted", t3))
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Canonical form for dedup keys: lowercase scheme+host, default :80/
+    :443 port stripped, fragment stripped, query parameters sorted,
+    trailing slash on a bare path stripped. Pure string expressions —
+    the canonical key feeds a groupBy at any scale."""
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    # scheme://host[:port] is case-insensitive; path/query are not
+    head = F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.substring(no_frag, F.length(head) + 1, F.lit(1 << 30))
+    head = F.lower(head)
+    head = F.regexp_replace(head, r"^(http://[^/?#:]*):80$", r"$1")
+    head = F.regexp_replace(head, r"^(https://[^/?#:]*):443$", r"$1")
+    query = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
+    # normalize: bare "" path -> "/", strip one trailing slash (not root)
+    p = F.regexp_extract(rest, r"^([^?]*)", 1)
+    p = F.when(p == "", F.lit("/")).otherwise(p)
+    p = F.regexp_replace(p, r"(.)/$", r"$1")
+    q = F.when(query == "", query).otherwise(
+        F.array_join(F.array_sort(F.split(query, "&")), "&"))
+    return F.concat(head, p, F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)))

@@ -389,3 +389,41 @@ def test_bucket_pairs_hard_ceiling_with_none_cap(spark):
         assert got == [(100, 101), (100, 102), (101, 102)]
     finally:
         D.HARD_MAX_BUCKET = orig
+
+
+def test_redact_pii_and_canonical_url(spark):
+    """r4 scrub/normalize stage: typed placeholder redaction with audit
+    counts, and canonical URL keys (case, default ports, fragments,
+    param order, trailing slash)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from shapely_spark.text.quality import canonical_url_col, redact_pii
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "mail bob.smith+x@sub.example.co and 555-123-4567 from 10.1.2.3",
+            "no pii here at all",
+            "two mails a@b.io c.d@e-f.org one phone +123-456-7890",
+        ]}), "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert (out[0].n_email, out[0].n_phone, out[0].n_ip) == (1, 1, 1)
+    assert out[0].redacted == "mail <EMAIL> and <PHONE> from <IP>"
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ip) == (0, 0, 0)
+    assert out[1].redacted == "no pii here at all"
+    assert (out[2].n_email, out[2].n_phone) == (2, 1)
+    assert out[2].redacted == "two mails <EMAIL> <EMAIL> one phone <PHONE>"
+
+    urls = spark.createDataFrame(pd.DataFrame({"u": [
+        "HTTP://Example.COM:80/Path/?b=2&a=1#frag",
+        "http://example.com/Path?a=1&b=2",
+        "https://Example.com:443/",
+        "https://example.com",
+        "http://example.com:8080/x",      # non-default port kept
+        "https://example.com:80/x",       # mismatched default port kept
+    ]}), "u string")
+    got = [r.c for r in urls.select(canonical_url_col(F.col("u")).alias("c")).collect()]
+    assert got[0] == got[1] == "http://example.com/Path?a=1&b=2"
+    assert got[2] == got[3] == "https://example.com/"
+    assert got[4] == "http://example.com:8080/x"
+    assert got[5] == "https://example.com:80/x"
