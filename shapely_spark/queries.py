@@ -1127,6 +1127,103 @@ def langid_heuristic_q(spark, sf_dir):
 
 
 @q(
+    "c4_clean_lines_counts",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    built AS (
+      SELECT doc_id,
+             [array_to_string(w[1:8], ' ') || '.',
+              'short line.',
+              'please accept cookie policy now ok.',
+              array_to_string(w[9:14], ' ')] AS lines
+      FROM d
+    ),
+    f AS (
+      SELECT doc_id, lines,
+             list_filter(lines, x ->
+               regexp_matches(x, '[.!?"'']$')
+               AND len(string_split_regex(trim(x), ' +')) >= 5
+               AND NOT contains(lower(x), 'cookie')
+               AND NOT contains(lower(x), 'javascript')
+               AND NOT contains(lower(x), 'terms of use')) AS kept
+      FROM built
+    )
+    SELECT doc_id, len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept,
+           md5(array_to_string(kept, chr(10))) AS cleaned_md5
+    FROM f ORDER BY doc_id
+    """,
+)
+def c4_clean_lines_counts(spark, sf_dir):
+    """C4-style line cleaning (text/quality.clean_lines, r4): docs are
+    recomposed into four lines — a punctuated 8-word sentence (kept), a
+    too-short line (dropped), a boilerplate 'cookie' line (dropped), and
+    an unpunctuated fragment (dropped) — and the keep-filter runs as one
+    JVM higher-order-function chain. The DuckDB twin applies the same
+    three rules with list_filter and both sides hash the cleaned text."""
+    from .text.quality import clean_lines
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    w = F.split(F.col("text"), " ")
+    text2 = F.concat_ws(
+        "\n",
+        F.concat(F.array_join(F.slice(w, 1, 8), " "), F.lit(".")),
+        F.lit("short line."),
+        F.lit("please accept cookie policy now ok."),
+        F.array_join(F.slice(w, 9, 6), " "),
+    )
+    out = clean_lines(d.select("doc_id", text2.alias("text")))
+    return out.select(
+        "doc_id", "n_lines", "n_kept",
+        F.md5(F.encode(F.col("cleaned"), "UTF-8")).alias("cleaned_md5"),
+    ).repartition(1).sortWithinPartitions("doc_id")
+
+
+@q(
+    "gopher_flags_counts",
+    """
+    WITH d AS (SELECT doc_id, text, string_split_regex(text, ' +') AS w
+               FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) AS mean_len,
+             length(regexp_replace(text, '[^#…]', '', 'g'))::DOUBLE
+               / greatest(len(w), 1) AS sym_ratio,
+             len(list_distinct(list_filter(w, x -> list_contains(
+               ['the','a','of','and','to','in','is','on','for','with'], x)))) AS stop_hits,
+             len(list_filter(w, x -> NOT regexp_matches(x, '^[A-Za-z]')))::DOUBLE
+               / greatest(len(w), 1) AS nonalpha
+      FROM d
+    )
+    SELECT doc_id,
+           (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+           (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_mean_word_len,
+           (sym_ratio < 0.1) AS ok_symbol_ratio,
+           (stop_hits >= 2) AS ok_stopwords,
+           (nonalpha < 0.3) AS ok_alpha_start,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_len >= 3.0 AND mean_len <= 10.0)
+            AND sym_ratio < 0.1 AND stop_hits >= 2
+            AND nonalpha < 0.3) AS gopher_pass
+    FROM m ORDER BY doc_id
+    """,
+)
+def gopher_flags_counts(spark, sf_dir):
+    """Gopher-style quality gates (text/quality.gopher_quality_flags, r4)
+    over the raw documents table: five boolean rule columns + the
+    aggregate pass flag, all pure column math; the DuckDB twin computes
+    the identical rules with list functions."""
+    from .text.quality import gopher_quality_flags
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    out = gopher_quality_flags(d)
+    return out.select(
+        "doc_id", "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_stopwords", "ok_alpha_start", "gopher_pass",
+    ).repartition(1).sortWithinPartitions("doc_id")
+
+
+@q(
     "pii_redact_counts",
     """
     WITH t AS (

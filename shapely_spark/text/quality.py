@@ -148,3 +148,65 @@ def canonical_url_col(url: Column) -> Column:
     q = F.when(query == "", query).otherwise(
         F.array_join(F.array_sort(F.split(query, "&")), "&"))
     return F.concat(head, p, F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)))
+
+
+def clean_lines(docs: DataFrame, text_col: str = "text",
+                min_words: int = 5,
+                drop_markers: tuple[str, ...] = ("cookie", "javascript",
+                                                 "terms of use")) -> DataFrame:
+    """C4-style line-level cleaning: split on newlines, keep lines that
+    (a) end in terminal punctuation, (b) have ≥ min_words words, and
+    (c) contain no boilerplate marker; rejoin the survivors. Adds
+    n_lines / n_kept audit counts. One JVM higher-order-function chain —
+    no shuffle, no Python."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def keep(line):
+        lw = F.lower(line)
+        ok_punct = line.rlike("[.!?\"']$")
+        ok_words = F.size(F.split(F.trim(line), " +")) >= min_words
+        no_marker = ~F.array_contains(
+            F.array(*[lw.contains(m) for m in drop_markers]), F.lit(True))
+        return ok_punct & ok_words & no_marker
+
+    kept = F.filter(lines, keep)
+    return (docs
+            .withColumn("n_lines", F.size(lines).cast("long"))
+            .withColumn("n_kept", F.size(kept).cast("long"))
+            .withColumn("cleaned", F.array_join(kept, "\n")))
+
+
+def gopher_quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality gates as boolean columns plus the
+    aggregate pass flag: word count in [50, 100000], mean word length in
+    [3, 10], symbol-to-word ratio (# or …) < 0.1, ≥ 2 distinct stopword
+    hits, and < 30% of words starting with a non-alphabetic character.
+    Pure column math; `gopher_pass` feeds a pushdown-able filter."""
+    t = F.col(text_col)
+    w = F.split(t, " +")
+    n_words = F.size(w).cast("double")
+    mean_len = (F.aggregate(w, F.lit(0).cast("double"),
+                            lambda acc, x: acc + F.length(x)) / n_words)
+    sym_ratio = (F.length(F.regexp_replace(t, "[^#…]", "")).cast("double")
+                 / F.greatest(n_words, F.lit(1.0)))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_hits = F.size(F.array_distinct(
+        F.filter(w, lambda x: F.array_contains(stop_arr, x))))
+    nonalpha_start = (F.size(F.filter(w, lambda x: ~x.rlike("^[A-Za-z]")))
+                      .cast("double") / F.greatest(n_words, F.lit(1.0)))
+    flags = {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "ok_mean_word_len": (mean_len >= 3.0) & (mean_len <= 10.0),
+        "ok_symbol_ratio": sym_ratio < 0.1,
+        "ok_stopwords": stop_hits >= 2,
+        "ok_alpha_start": nonalpha_start < 0.3,
+    }
+    out = docs
+    for name, col in flags.items():
+        out = out.withColumn(name, col)
+    return out.withColumn(
+        "gopher_pass",
+        flags["ok_word_count"] & flags["ok_mean_word_len"]
+        & flags["ok_symbol_ratio"] & flags["ok_stopwords"]
+        & flags["ok_alpha_start"])

@@ -427,3 +427,34 @@ def test_redact_pii_and_canonical_url(spark):
     assert got[2] == got[3] == "https://example.com/"
     assert got[4] == "http://example.com:8080/x"
     assert got[5] == "https://example.com:80/x"
+
+
+def test_clean_lines_and_gopher_flags(spark):
+    """r4 quality stage: C4-style line filter (punctuation / min-words /
+    boilerplate markers) and Gopher-style document gates."""
+    import pandas as pd
+    from shapely_spark.text.quality import clean_lines, gopher_quality_flags
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [
+            "this line has enough words to keep.\nshort.\n"
+            "accept our Cookie policy please now.\nno terminal punctuation here",
+            "one two three four five six seven!\nJavaScript required to view this page.",
+        ]}), "doc_id long, text string")
+    out = {r.doc_id: r for r in clean_lines(df).collect()}
+    assert (out[0].n_lines, out[0].n_kept) == (4, 1)
+    assert out[0].cleaned == "this line has enough words to keep."
+    assert (out[1].n_lines, out[1].n_kept) == (2, 1)
+
+    good = " ".join(["the quick brown fox jumps over lazy dogs and cats"] * 6)
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [good,
+                 "tiny doc only four words",           # word count gate
+                 " ".join(["####"] * 60)],              # symbol + stopword gates
+    }), "doc_id long, text string")
+    g = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+    assert g[0].gopher_pass is True
+    assert g[1].gopher_pass is False and g[1].ok_word_count is False
+    assert g[2].gopher_pass is False and g[2].ok_stopwords is False
