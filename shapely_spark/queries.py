@@ -1127,6 +1127,40 @@ def langid_heuristic_q(spark, sf_dir):
 
 
 @q(
+    "bpe_token_count",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             text || ' v' || doc_id % 10 || '.0, price: $19.99! (50% off)' AS txt
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(txt, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe,
+           len(string_split(txt, ' '))::BIGINT AS n_ws
+    FROM t ORDER BY doc_id
+    """,
+)
+def bpe_token_count(spark, sf_dir):
+    """BPE-ish pre-tokenizer count (text/quality.bpe_token_count_col, r4 —
+    the SURVEY's 'whitespace + BPE-ish regex' token-budget pair): letter
+    runs, digit runs, and single marks each count once. Docs get a
+    deterministic mixed tail (version number, price, punctuation) so the
+    two counters genuinely diverge; the DuckDB twin applies the same
+    lookaround-free pattern."""
+    from .text.quality import bpe_token_count_col, token_count_col
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    k = F.col("doc_id")
+    txt = F.concat(F.col("text"), F.lit(" v"), (k % 10).cast("string"),
+                   F.lit(".0, price: $19.99! (50% off)"))
+    return d.select(
+        "doc_id",
+        bpe_token_count_col(txt).alias("n_bpe"),
+        token_count_col(txt).alias("n_ws"),
+    ).repartition(1).sortWithinPartitions("doc_id")
+
+
+@q(
     "c4_clean_lines_counts",
     """
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

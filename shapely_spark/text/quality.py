@@ -31,6 +31,19 @@ def token_count_col(text: Column) -> Column:
     return F.size(tokens_col(text)).cast("long")
 
 
+# BPE-ish pre-tokenizer (GPT-2-style splits, lookaround-free): letter
+# runs, digit runs, and single non-alphanumeric marks each count as one
+# token — the standard fast proxy for subword token budgets
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """Approximate subword token count via the BPE-ish pre-tokenizer
+    regex (true BPE merges only ever SPLIT these runs further, so this
+    lower-bounds the real token count at ~word granularity)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE)).cast("long")
+
+
 def quality_columns(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds n_tokens, stopword_ratio, avg_token_len, upper_ratio,
     digit_ratio, quality_score (a simple composite in [0,1])."""
