@@ -1258,6 +1258,98 @@ def gopher_flags_counts(spark, sf_dir):
 
 
 @q(
+    "gopher_repetition_flags",
+    """
+    WITH d AS (SELECT doc_id, regexp_replace(text, 'table', chr(10), 'g') AS t
+               FROM documents),
+    l AS (SELECT doc_id, t,
+                 list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS lines
+          FROM d),
+    m AS (SELECT doc_id, t,
+                 len(lines) AS nl,
+                 len(list_distinct(lines)) AS nd,
+                 coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS lc,
+                 coalesce(list_sum(list_transform(list_distinct(lines),
+                                                  x -> length(x))), 0) AS dc
+          FROM l),
+    w AS (SELECT doc_id, length(t) AS chars,
+                 list_filter(string_split_regex(lower(t), '\\s+'), x -> x <> '') AS ws
+          FROM d),
+    g AS (SELECT doc_id, chars, ws[i + 1] || ' ' || ws[i + 2] AS gram
+          FROM w, unnest(range(0, greatest(len(ws) - 1, 0))) t2(i)),
+    c AS (SELECT doc_id, chars, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+    top AS (SELECT doc_id, (c * length(gram)) / greatest(chars::DOUBLE, 1.0) AS frac,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, gram DESC) AS rn
+            FROM c)
+    SELECT m.doc_id,
+           CASE WHEN nl > 0 THEN (nl - nd)::DOUBLE / nl ELSE 0.0 END AS dup_line_frac,
+           CASE WHEN lc > 0 THEN (lc - dc)::DOUBLE / lc ELSE 0.0 END AS dup_line_char_frac,
+           coalesce(top.frac, 0.0) AS top2gram_char_frac,
+           (CASE WHEN nl > 0 THEN (nl - nd)::DOUBLE / nl ELSE 0.0 END <= 0.30
+            AND CASE WHEN lc > 0 THEN (lc - dc)::DOUBLE / lc ELSE 0.0 END <= 0.20
+            AND coalesce(top.frac, 0.0) <= 0.20) AS rep_pass
+    FROM m LEFT JOIN top ON m.doc_id = top.doc_id AND top.rn = 1
+    ORDER BY m.doc_id
+    """,
+)
+def gopher_repetition_flags(spark, sf_dir):
+    """Gopher repetition-removal gates (text/quality.repetition_flags,
+    r4): duplicate-line fraction, duplicate-line CHAR fraction, and the
+    most-frequent word-2-gram's character coverage, with the combined
+    rep_pass flag. Line structure is synthesized deterministically by
+    turning every 'table' token into a newline (identical regexp_replace
+    on both engines; the synthetic corpus is single-line). Every per-doc
+    value is one integer-ratio division or (count×len)/chars with the
+    SAME operation order on both sides — bit-identical, no rounding
+    needed. The top-gram tie breaks to the lexicographically greatest
+    gram on both engines (max(struct) vs ORDER BY c DESC, gram DESC)."""
+    from .text.quality import repetition_flags
+
+    d = _spread(_t(spark, sf_dir, "documents")).withColumn(
+        "t2", F.regexp_replace("text", "table", "\n"))
+    out = repetition_flags(d, text_col="t2", id_col="doc_id")
+    return out.select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac",
+        "top2gram_char_frac", "rep_pass",
+    ).repartition(1).sortWithinPartitions("doc_id")
+
+
+@q(
+    "stratified_sample_langs",
+    """
+    WITH r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    SELECT lang, COUNT(*)::BIGINT AS n, SUM(doc_id)::BIGINT AS sum_ids,
+           MIN(doc_id)::BIGINT AS min_id, MAX(doc_id)::BIGINT AS max_id
+    FROM r WHERE rk <= 40 GROUP BY lang ORDER BY lang
+    """,
+)
+def stratified_sample_langs(spark, sf_dir):
+    """Deterministic per-language quota sampling
+    (text/quality.stratified_sample, r4): the 40 docs per lang with the
+    smallest md5(doc_id) — md5 of the decimal string is identical in
+    Spark and DuckDB, so the oracle reproduces the exact sample with a
+    plain window. The Spark side runs the skew-safe two-phase variant
+    (rank within (lang, salt) first, then over the ≤ salts×quota
+    survivors) and must select the SAME rows."""
+    from .text.quality import stratified_sample
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    s = stratified_sample(d, strata_col="lang", quota=40,
+                          order_col="doc_id", salts=8)
+    return (s.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"))
+        .repartition(1).sortWithinPartitions("lang"))
+
+
+@q(
     "pii_redact_counts",
     """
     WITH t AS (

@@ -223,3 +223,116 @@ def gopher_quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
         flags["ok_word_count"] & flags["ok_mean_word_len"]
         & flags["ok_symbol_ratio"] & flags["ok_stopwords"]
         & flags["ok_alpha_start"])
+
+
+def repetition_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top2gram_char_frac: float = 0.20,
+) -> DataFrame:
+    """Gopher-style repetition gates (Rae et al. 2021 §A1.3) — the
+    *repetition-removal* half that complements gopher_quality_flags:
+
+    - ``dup_line_frac``: fraction of non-blank lines that are repeats of
+      an earlier line, (n_lines − n_distinct)/n_lines.
+    - ``dup_line_char_frac``: fraction of line characters carried by
+      occurrences after the first, (Σlen − Σlen(distinct))/Σlen.
+    - ``top2gram_char_frac``: characters covered by the most frequent
+      word 2-gram (overlapping occurrences × gram length, gram joined
+      with one space, words lowercased and split on whitespace) divided
+      by length(text). Ties break toward the lexicographically greatest
+      gram — deterministic on both engines.
+    - ``rep_pass``: all three under their thresholds.
+
+    Scale shape: line metrics are pure higher-order-function column math
+    (no shuffle); the top-2-gram needs a per-(doc, gram) count — one
+    explode + groupBy with map-side partial aggregation, a doc-level
+    max(struct), and an equi-join back on the id. Nothing collects and
+    the widest shuffle key is (doc, gram).
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    nd_lines = F.size(F.array_distinct(lines))
+    zero = F.lit(0).cast("long")
+    line_chars = F.aggregate(lines, zero, lambda a, x: a + F.length(x))
+    dist_chars = F.aggregate(F.array_distinct(lines), zero,
+                             lambda a, x: a + F.length(x))
+    dup_line_frac = F.when(
+        n_lines > 0, (n_lines - nd_lines).cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    dup_char_frac = F.when(
+        line_chars > 0, (line_chars - dist_chars).cast("double") / line_chars
+    ).otherwise(F.lit(0.0))
+
+    words = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
+    nw = F.size(words)
+
+    def gram_at(w, i):  # i is the 0-based index F.transform hands a
+        # 2-arg lambda (the element-vs-index trap, CLAUDE.md): pair word
+        # i with 1-based element_at(i + 2) = the following word
+        return F.concat_ws(" ", w, F.element_at(words, i + 2))
+
+    grams = F.when(nw >= 2, F.transform(F.slice(words, 1, nw - 1), gram_at)
+                   ).otherwise(F.array().cast("array<string>"))
+
+    base = (docs
+            .withColumn("dup_line_frac", dup_line_frac)
+            .withColumn("dup_line_char_frac", dup_char_frac)
+            .withColumn("__chars", F.length(t).cast("double"))
+            .withColumn("__grams", grams))
+    top = (base.select(id_col, F.explode("__grams").alias("gram"))
+           .groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+           .groupBy(id_col)
+           .agg(F.max(F.struct(F.col("c"), F.col("gram"))).alias("m"))
+           .select(id_col, F.col("m.c").alias("__topc"),
+                   F.length("m.gram").cast("double").alias("__toplen")))
+    out = (base.join(top, on=id_col, how="left")
+           .withColumn(
+               "top2gram_char_frac",
+               F.coalesce(F.col("__topc") * F.col("__toplen")
+                          / F.greatest(F.col("__chars"), F.lit(1.0)),
+                          F.lit(0.0)))
+           .drop("__chars", "__grams", "__topc", "__toplen"))
+    return out.withColumn(
+        "rep_pass",
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+        & (F.col("top2gram_char_frac") <= max_top2gram_char_frac))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    quota: int = 50,
+    order_col: str = "doc_id",
+    salts: int = 32,
+) -> DataFrame:
+    """Deterministic per-stratum quota sample: the `quota` rows of each
+    stratum with the smallest md5(order_col) — a uniform, seedless,
+    engine-portable shuffle key (Date.now-free, identical in DuckDB).
+
+    Skew shape: a naive row_number over partitionBy(stratum) pins a
+    60%-hot stratum (e.g. `en` at web scale) onto ONE reducer. Phase 1
+    ranks within (stratum, salt) — bounded partitions — and keeps the
+    per-salt top `quota`; the global per-stratum top `quota` is a subset
+    of those ≤ salts×quota survivors, so phase 2's window is bounded
+    too. Exact, not approximate. Adds ``sample_rank`` (1-based within
+    stratum).
+    """
+    from ..spark.columns import salt_col
+    from pyspark.sql import Window
+
+    key = F.md5(F.col(order_col).cast("string"))
+    cand = docs.withColumn("__k", key).withColumn(
+        "__s", salt_col(F.col(order_col), salts))
+    w1 = Window.partitionBy(strata_col, "__s").orderBy("__k", order_col)
+    cand = (cand.withColumn("__r", F.row_number().over(w1))
+            .where(F.col("__r") <= quota))
+    w2 = Window.partitionBy(strata_col).orderBy("__k", order_col)
+    return (cand.withColumn("sample_rank", F.row_number().over(w2))
+            .where(F.col("sample_rank") <= quota)
+            .drop("__k", "__s", "__r"))

@@ -458,3 +458,92 @@ def test_clean_lines_and_gopher_flags(spark):
     assert g[0].gopher_pass is True
     assert g[1].gopher_pass is False and g[1].ok_word_count is False
     assert g[2].gopher_pass is False and g[2].ok_stopwords is False
+
+
+def test_repetition_flags_hand_values(spark):
+    """Hand-computed Gopher repetition metrics on a 3-doc corpus."""
+    import pandas as pd
+    from shapely_spark.text.quality import repetition_flags
+
+    clean = "alpha beta\ngamma delta\nepsilon zeta"
+    # 4 lines, 2 distinct ("dup dup" repeats); line chars 4*7=28, distinct 14
+    dupl = "dup dup\ndup dup\nother x\nother x"
+    # one line, dominant 2-gram "ab ab": words = ab x6 -> gram "ab ab" x5
+    gram = "ab ab ab ab ab ab"
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2], "text": [clean, dupl, gram]}),
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_flags(df).collect()}
+
+    assert out[0].dup_line_frac == 0.0
+    assert out[0].dup_line_char_frac == 0.0
+    # 6 words -> 5 distinct grams, each once; tie breaks to the lex-greatest
+    # gram "gamma delta" (11 chars over the 35-char doc — short docs flag)
+    assert abs(out[0].top2gram_char_frac - 11 / 35) < 1e-12
+
+    assert out[1].dup_line_frac == 0.5
+    assert out[1].dup_line_char_frac == 0.5
+    assert out[1].rep_pass is False
+
+    # "ab ab" occurs 5x (overlapping), len 5, text len 17
+    assert abs(out[2].top2gram_char_frac - 5 * 5 / 17) < 1e-12
+    assert out[2].rep_pass is False
+
+
+def test_repetition_flags_degenerate_docs(spark):
+    """Empty and one-word docs produce zeros, not nulls or errors."""
+    import pandas as pd
+    from shapely_spark.text.quality import repetition_flags
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2], "text": ["", "word", "  \n  \n"]}),
+        "doc_id long, text string")
+    for r in repetition_flags(df).collect():
+        assert r.dup_line_frac == 0.0
+        assert r.dup_line_char_frac == 0.0
+        assert r.top2gram_char_frac == 0.0
+        assert r.rep_pass is True
+
+
+def test_stratified_sample_matches_naive_window(spark):
+    """The skew-safe two-phase sampler selects EXACTLY the rows a naive
+    single window would (global per-stratum top-quota by md5 key), for
+    every salt count — the salting is a partitioning detail, not a
+    semantic one."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from shapely_spark.text.quality import stratified_sample
+
+    n = 400
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(n),
+        "lang": ["en" if i % 10 < 7 else ("de" if i % 2 == 0 else "fr")
+                 for i in range(n)],
+    }), "doc_id long, lang string")
+
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    naive = (df.withColumn("rk", F.row_number().over(w))
+             .where(F.col("rk") <= 25))
+    expect = {(r.lang, r.doc_id, r.rk) for r in naive.collect()}
+
+    for salts in (1, 4, 32):
+        got = stratified_sample(df, strata_col="lang", quota=25,
+                                order_col="doc_id", salts=salts)
+        rows = {(r.lang, r.doc_id, r.sample_rank) for r in got.collect()}
+        assert rows == expect, f"salts={salts}"
+
+
+def test_stratified_sample_small_stratum_kept_whole(spark):
+    """A stratum under quota survives in full with contiguous ranks."""
+    import pandas as pd
+    from shapely_spark.text.quality import stratified_sample
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(30),
+        "lang": ["en"] * 27 + ["tiny"] * 3,
+    }), "doc_id long, lang string")
+    out = stratified_sample(df, strata_col="lang", quota=10, order_col="doc_id")
+    tiny = [r for r in out.collect() if r.lang == "tiny"]
+    assert sorted(r.sample_rank for r in tiny) == [1, 2, 3]
+    assert len([r for r in out.collect() if r.lang == "en"]) == 10
