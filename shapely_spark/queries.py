@@ -1350,6 +1350,112 @@ def stratified_sample_langs(spark, sf_dir):
 
 
 @q(
+    "decontaminate_eval_overlap",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    ev AS (SELECT toks[1:40] AS toks FROM d WHERE doc_id % 7 = 3),
+    eg AS (SELECT DISTINCT array_to_string(toks[i+1 : i+7], ' ') AS ngram
+           FROM (SELECT toks, unnest(range(0, len(toks))) AS i FROM ev) u
+           WHERE i + 7 <= len(toks)),
+    dg AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1 : i+7], ' ') AS ngram
+           FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i
+                 FROM d WHERE doc_id % 7 <> 3) u
+           WHERE i + 7 <= len(toks))
+    SELECT doc_id, COUNT(*)::BIGINT AS n_hits
+    FROM dg JOIN eg USING (ngram)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def decontaminate_eval_overlap(spark, sf_dir):
+    """Benchmark decontamination (text/decontam.decontaminate, r4): the
+    GPT-3-appendix-C recipe — flag every training document sharing >= 1
+    word n-gram with a held-out eval set, reporting the DISTINCT matched
+    n-grams per doc. Eval set = first 40 tokens of every 7th document
+    (the synthetic corpus's duplicate groups make this non-trivial: 11
+    contaminated docs at sf0.01 with hit counts 17-34); n=7 here vs the
+    published n=13 because the synthetic vocabulary is tiny. Scale
+    shape: eval n-grams are broadcast (benchmarks are small), the
+    training side is one JVM explode + broadcast join + one partial-agg
+    shuffle — the corpus never shuffles on n-grams."""
+    from .text.decontam import decontaminate, eval_ngrams
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    ev = eval_ngrams(d.where(F.col("doc_id") % 7 == 3), n=7, max_tokens=40)
+    train = d.where(F.col("doc_id") % 7 != 3)
+    out = decontaminate(train, ev, n=7)
+    return (out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+            .repartition(1).sortWithinPartitions("doc_id"))
+
+
+@q(
+    "sequence_pack_chunks",
+    """
+    WITH t AS (SELECT doc_id,
+                      len(string_split(text, ' '))::BIGINT AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0)::BIGINT AS start_tok
+          FROM t)
+    SELECT doc_id, n_tokens, start_tok,
+           (start_tok // 512)::BIGINT AS first_chunk,
+           ((start_tok + n_tokens - 1) // 512
+            - start_tok // 512 + 1)::BIGINT AS n_chunks
+    FROM c ORDER BY doc_id
+    """,
+)
+def sequence_pack_chunks(spark, sf_dir):
+    """LM training-sequence packing (text/packing.pack_sequences, r4):
+    concat-and-chop layout — each doc's start offset in the global token
+    stream and the seq_len=512 chunks it spans. The Spark side runs the
+    scalable two-level prefix sum (bucket totals -> tiny exclusive scan
+    -> broadcast prefixes -> within-bucket window, bucket=64 so sf0.01
+    exercises ~8 buckets); the oracle is the single-window cumsum the
+    scale path must reproduce exactly."""
+    from .text.packing import pack_sequences
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    out = pack_sequences(d, seq_len=512, bucket=64)
+    return out.repartition(1).sortWithinPartitions("doc_id")
+
+
+@q(
+    "pack_chunk_occupancy",
+    """
+    WITH t AS (SELECT doc_id,
+                      len(string_split(text, ' '))::BIGINT AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0)::BIGINT AS start_tok
+          FROM t),
+    p AS (SELECT n_tokens, start_tok // 512 AS fc,
+                 (start_tok + n_tokens - 1) // 512 AS lc FROM c)
+    SELECT i::BIGINT AS chunk_id, COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN lc > fc THEN 0 ELSE 1 END)::BIGINT AS n_whole_docs
+    FROM p, unnest(range(fc, lc + 1)) u(i)
+    GROUP BY i ORDER BY i
+    """,
+)
+def pack_chunk_occupancy(spark, sf_dir):
+    """Per training-chunk document occupancy (text/packing.
+    chunk_occupancy, r4): how many docs touch each 512-token chunk and
+    how many sit wholly inside it — the attention-mask accounting view
+    of the same packing. One JVM explode over the doc->chunk spans +
+    one partial-agg shuffle."""
+    from .text.packing import chunk_occupancy, pack_sequences
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    out = chunk_occupancy(pack_sequences(d, seq_len=512, bucket=64))
+    return (out.select(F.col("chunk_id").cast("long").alias("chunk_id"),
+                       F.col("n_docs").cast("long").alias("n_docs"),
+                       F.col("n_whole_docs").cast("long").alias("n_whole_docs"))
+            .repartition(1).sortWithinPartitions("chunk_id"))
+
+
+@q(
     "pii_redact_counts",
     """
     WITH t AS (
@@ -4043,11 +4149,13 @@ _DRIVER_WINDOW = [
     "audio_decode_ulaw_abs_sum", "image_decode_jpeg_px_sum",
     "audio_decode_flac_abs_sum", "duplicate_spans_counts",
     "buffer_polygon_ring_area",
-    # new in r4
+    # new in r4 (minhash_dedup_pairs / events_sessionize rotated out —
+    # both carry driver-green rows from r3 and stay in the local gate)
     "boundary_by_type", "xyzm_line_interpolate",
+    "decontaminate_eval_overlap", "sequence_pack_chunks",
     # named in the r3 verdict's done-criteria
     "dedup_components_chain", "overlay_gc_intersection",
-    "overlay_gc_difference", "minhash_dedup_pairs", "events_sessionize",
+    "overlay_gc_difference",
     "spatial_join_ngon_pairs",
 ]
 

@@ -547,3 +547,89 @@ def test_stratified_sample_small_stratum_kept_whole(spark):
     tiny = [r for r in out.collect() if r.lang == "tiny"]
     assert sorted(r.sample_rank for r in tiny) == [1, 2, 3]
     assert len([r for r in out.collect() if r.lang == "en"]) == 10
+
+
+# ---------------------------------------------------------------------------
+# decontamination + sequence packing (r4)
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_planted_overlap(docs):
+    """Docs 100..109 are one-word edits of 0..9; using 0..9 as the eval
+    set, every edited copy must be flagged (long shared runs survive a
+    single substitution) and unrelated docs must be absent."""
+    from shapely_spark.text.decontam import decontaminate
+
+    ev = docs.where(F.col("doc_id") < 10)
+    train = docs.where(F.col("doc_id") >= 100)
+    out = {r.doc_id: r.n_hits for r in decontaminate(train, ev, n=5).collect()}
+    # word 5 changed -> grams fully inside tokens 0..4 or 6..39 still match
+    assert set(out) == {100 + i for i in range(10)}
+    # 40 tokens, n=5 -> 36 grams; the edit kills the 5 grams covering
+    # position 5; duplicates inside a doc can only reduce the count
+    assert all(1 <= v <= 31 for v in out.values())
+
+
+def test_decontaminate_distinct_hits_and_short_docs(spark):
+    from shapely_spark.text.decontam import decontaminate, eval_ngrams
+
+    ev = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d a b c d"),  # the eval 3-grams, repeated
+            (2, "x y z"),            # no overlap
+            (3, "a b"),              # shorter than n -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_hits for r in decontaminate(train, ev, n=3).collect()}
+    # doc 1 matches 'a b c', 'b c d' (distinct!) plus wraparound grams
+    # 'c d a', 'd a b' which are NOT eval grams -> exactly 2
+    assert out == {1: 2}
+    # max_tokens truncation: only the first 3 tokens of the eval doc
+    evg = eval_ngrams(ev, n=3, max_tokens=3)
+    assert sorted(r.ngram for r in evg.collect()) == ["a b c"]
+
+
+def test_pack_sequences_matches_reference_cumsum(spark):
+    """The two-level prefix sum must equal the plain cumulative sum for
+    every bucket width, including sparse non-contiguous ids."""
+    import numpy as np
+
+    from shapely_spark.text.packing import pack_sequences
+
+    rng = np.random.RandomState(7)
+    ids = sorted(rng.choice(10_000, size=200, replace=False).tolist())
+    rows = [(int(i), " ".join("t" for _ in range(int(rng.randint(1, 90)))))
+            for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_tok = {i: len(t.split(" ")) for i, t in rows}
+    # reference: exclusive cumsum in id order
+    ref_start, acc = {}, 0
+    for i in ids:
+        ref_start[i] = acc
+        acc += n_tok[i]
+    for bucket in (1, 7, 64, 100_000):
+        got = {r.doc_id: (r.start_tok, r.first_chunk, r.n_chunks)
+               for r in pack_sequences(df, seq_len=128, bucket=bucket).collect()}
+        assert set(got) == set(ids)
+        for i in ids:
+            s = ref_start[i]
+            e = s + n_tok[i]
+            assert got[i] == (s, s // 128, (e - 1) // 128 - s // 128 + 1), (
+                bucket, i)
+
+
+def test_chunk_occupancy_conserves_doc_chunk_incidence(spark):
+    from shapely_spark.text.packing import chunk_occupancy, pack_sequences
+
+    rows = [(i, " ".join("w" for _ in range(37))) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = pack_sequences(df, seq_len=64, bucket=8)
+    occ = chunk_occupancy(packed, seq_len=64).collect()
+    n_incidence = sum(r.n_docs for r in occ)
+    assert n_incidence == sum(r.n_chunks for r in packed.collect())
+    # stream has 50*37 tokens -> ceil(1850/64) = 29 chunks, contiguous ids
+    assert sorted(r.chunk_id for r in occ) == list(range(29))
+    # a 37-token doc in 64-token chunks is whole iff it does not straddle
+    assert all(0 <= r.n_whole_docs <= r.n_docs for r in occ)
