@@ -325,3 +325,51 @@ def test_streaming_foreach_batch_dwithin_join(spark, tmp_path):
                                   targets, 500.0)
             .select("url", "target_id").collect()}
     assert results == want and len(want) > 0
+
+
+def test_streaming_foreach_batch_decontaminate(spark, tmp_path):
+    """Streaming twin of benchmark decontamination: readStream over doc
+    files -> foreachBatch(decontaminate vs a fixed eval n-gram set)
+    produces the same (doc_id, n_hits) set as the batch plan — hit
+    counts are per-doc, so micro-batch boundaries cannot change them."""
+    import numpy as np
+
+    from shapely_spark.streaming.pipeline import foreach_batch_decontaminate
+    from shapely_spark.text.decontam import decontaminate, eval_ngrams
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(150)]
+    rows = []
+    for i in range(120):
+        words = [vocab[j] for j in rng.randint(0, 150, 30)]
+        rows.append((i, " ".join(words)))
+    # plant eval overlaps: docs 200.. copy the tail of eval docs 0..4
+    for i in range(5):
+        rows.append((200 + i, rows[i][1] + " " + rows[i][1]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    src = str(tmp_path / "docs_landing")
+    docs.where(F.col("doc_id") >= 10).repartition(4).write.mode(
+        "overwrite").parquet(src)
+    ev = eval_ngrams(docs.where(F.col("doc_id") < 5), n=6).persist()
+    ev.count()
+
+    fn = foreach_batch_decontaminate(ev, n=6)
+    results = []
+
+    def sink(batch_df, batch_id):
+        results.extend(
+            (r.doc_id, r.n_hits)
+            for r in fn(batch_df, batch_id).collect())
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    want = {(r.doc_id, r.n_hits)
+            for r in decontaminate(
+                spark.read.parquet(src), ev, n=6).collect()}
+    assert set(results) == want
+    assert {d for d, _ in results} >= {200 + i for i in range(5)}
+    ev.unpersist()
