@@ -67,6 +67,40 @@ def cell_bounds(cell, res: int = DEFAULT_RES):
     return (-180.0 + ix * w, -90.0 + iy * h, -180.0 + (ix + 1) * w, -90.0 + (iy + 1) * h)
 
 
+def cell_parent(cell, res: int = DEFAULT_RES, parent_res: int | None = None):
+    """Containing cell at a coarser resolution (H3 cell_to_parent analog).
+    Exact on the nested binary grid: ``(lon+180)/360 * 2^r`` differs from
+    the parent-res value only by a power-of-two factor, which is exact in
+    IEEE-754, so floor-then-shift equals floor-at-parent-res — verified
+    against cell_of for clamped extremes in tests. -1 (NULL island)
+    stays -1. Vectorized; pure bit arithmetic mirrored by
+    spark/columns.cell_parent_col and the DuckDB oracle SQL."""
+    if parent_res is None:
+        parent_res = res - 1
+    if not 0 <= parent_res <= res:
+        raise ValueError(f"parent_res {parent_res} not in [0, {res}]")
+    d = res - parent_res
+    cell = np.asarray(cell, dtype=np.int64)
+    ix, iy = cell & (grid_n(res) - 1), cell >> res
+    parent = ((iy >> d) << parent_res) + (ix >> d)
+    return np.where(cell < 0, np.int64(-1), parent)
+
+
+def cell_children(cell: int, res: int = DEFAULT_RES, child_res: int | None = None) -> np.ndarray:
+    """All 4^Δ children at a finer resolution (H3 cell_to_children analog);
+    inverse of cell_parent (parent of every child is `cell`)."""
+    if child_res is None:
+        child_res = res + 1
+    if child_res < res:
+        raise ValueError(f"child_res {child_res} < res {res}")
+    s = 1 << (child_res - res)
+    n = grid_n(res)
+    ix, iy = int(cell % n), int(cell // n)
+    xs = np.arange(ix * s, (ix + 1) * s, dtype=np.int64)
+    ys = np.arange(iy * s, (iy + 1) * s, dtype=np.int64)
+    return (ys[:, None] * (n * s) + xs[None, :]).ravel()
+
+
 def disk(cell: int, k: int, res: int = DEFAULT_RES) -> np.ndarray:
     """All cells within Chebyshev distance k (the kNN candidate expansion
     neighborhood — analog of H3 kRing). Longitude wraps; latitude clamps."""

@@ -376,6 +376,43 @@ def tile_agg_regions(spark, sf_dir):
     )
 
 
+@q(
+    "tile_rollup_pyramid",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    cells AS (
+      SELECT {sql_cell_expr('lat', 'lon', RES)} AS cell_id, count(*) AS n_points
+      FROM pts GROUP BY cell_id
+    ),
+    -- parent key at res 4 (Δ=3): same bit arithmetic as cell_parent_col,
+    -- written as integer division (exact for non-negative cells)
+    rolled AS (
+      SELECT ((cell_id // {1 << RES}) // {1 << 3}) * {1 << (RES - 3)}
+             + (cell_id % {1 << RES}) // {1 << 3} AS pcell,
+             count(*) AS n_tiles, CAST(sum(n_points) AS BIGINT) AS n_points
+      FROM cells WHERE cell_id >= 0 GROUP BY pcell
+    )
+    SELECT pcell AS cell_id, n_tiles, n_points FROM rolled ORDER BY cell_id
+    """,
+)
+def tile_rollup_pyramid(spark, sf_dir):
+    """Multi-resolution tile-pyramid rollup: fine raster at RES → parent
+    cells at RES-3 via tiles.tile_rollup (pure bit-arithmetic re-key +
+    one groupBy over the already-reduced raster — the pages/pts table is
+    scanned once, at the base resolution only)."""
+    from .spark.tiles import tile_rollup
+
+    pts = _pts(spark, sf_dir).withColumn("cell_id", cell_col(F.col("lat"), F.col("lon"), RES))
+    counts = (
+        pts.where(F.col("cell_id") >= 0)
+        .groupBy("cell_id").agg(F.count("*").alias("n_points"))
+    )
+    return (
+        tile_rollup(counts, res=RES, parent_res=RES - 3)
+        .repartition(1).sortWithinPartitions("cell_id")
+    )
+
+
 # ---- kNN join ---------------------------------------------------------------
 
 _HAVERSINE_SQL = """
@@ -4268,7 +4305,11 @@ _DRIVER_WINDOW = [
     "dedup_components_chain", "overlay_gc_intersection",
     "overlay_gc_difference",
     "spatial_join_ngon_pairs",
+    # new in late r4 (touches_overlaps_boxes rotated out: driver-green in
+    # r2 via the local battery and long-stable)
+    "tile_rollup_pyramid",
 ]
+_DRIVER_WINDOW.remove("touches_overlaps_boxes")
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

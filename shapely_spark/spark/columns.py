@@ -32,6 +32,22 @@ def cell_col(lat: Column, lon: Column, res: int = DEFAULT_RES) -> Column:
     return F.when(bad, F.lit(-1).cast("bigint")).otherwise(cell)
 
 
+def cell_parent_col(cell: Column, res: int = DEFAULT_RES,
+                    parent_res: int | None = None) -> Column:
+    """Parent cell at a coarser resolution as pure bit arithmetic
+    (shiftright/AND — whole-stage codegen, ANSI-safe: values < 2^(2·res)).
+    Mirrors index.cells.cell_parent; -1 (NULL island) stays -1."""
+    if parent_res is None:
+        parent_res = res - 1
+    if not 0 <= parent_res <= res:
+        raise ValueError(f"parent_res {parent_res} not in [0, {res}]")
+    d = res - parent_res
+    ix = cell.bitwiseAND(F.lit(grid_n(res) - 1))
+    iy = F.shiftright(cell, res)
+    parent = F.shiftleft(F.shiftright(iy, d), parent_res) + F.shiftright(ix, d)
+    return F.when(cell < 0, F.lit(-1).cast("bigint")).otherwise(parent.cast("bigint"))
+
+
 def haversine_col(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
     """Great-circle distance (km) as built-in expressions — stays in
     whole-stage codegen; mirrors kernels.haversine_km."""

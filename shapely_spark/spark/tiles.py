@@ -104,3 +104,33 @@ def raster_vector_aggregate(
     if value_col is not None:
         aggs.append(F.sum("sum_value").alias("sum_value"))
     return j.groupBy("region_id").agg(*aggs)
+
+
+def tile_rollup(tiles: DataFrame, res: int = DEFAULT_RES,
+                parent_res: int | None = None,
+                cell_col_name: str = "cell_id") -> DataFrame:
+    """Tile-pyramid rollup (hypertable continuous-aggregate analog): re-key
+    a per-cell raster to a coarser zoom and re-aggregate. Input is the
+    OUTPUT of tile_counts (or any additive per-cell frame) — every non-key
+    column is summed, and n_tiles counts the contributing base-resolution
+    cells (summed, not recounted, when chaining levels, so it always means
+    "base cells under this parent").
+
+    100-TB shape: the pages table is never touched. tile_counts already
+    reduced 10^12 rows to ≤4^res cells with map-side combine; each pyramid
+    level is one groupBy over a frame that SHRINKS 4^Δ-fold, keyed by pure
+    bit arithmetic (cell_parent_col — whole-stage codegen, no UDF). A full
+    zoom pyramid is a loop of these, each cheaper than the last.
+    """
+    from .columns import cell_parent_col
+
+    if parent_res is None:
+        parent_res = res - 1
+    parent = cell_parent_col(F.col(cell_col_name), res, parent_res)
+    metric_cols = [c for c in tiles.columns
+                   if c not in (cell_col_name, "n_tiles")]
+    n_tiles = (F.sum("n_tiles") if "n_tiles" in tiles.columns
+               else F.count("*")).alias("n_tiles")
+    sums = [F.sum(c).alias(c) for c in metric_cols]
+    return (tiles.groupBy(parent.alias(cell_col_name))
+            .agg(n_tiles, *sums))

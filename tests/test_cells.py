@@ -105,3 +105,41 @@ def test_hilbert_key_locality():
     k2 = cells.hilbert_key(10.001, 10.001)
     k3 = cells.hilbert_key(-60.0, 150.0)
     assert abs(int(k1) - int(k2)) < abs(int(k1) - int(k3))
+
+
+def test_cell_parent_matches_direct_assignment():
+    # floor-at-res then bit-shift must equal floor-at-parent-res exactly
+    # (power-of-two scaling is exact in IEEE-754), including the clamped
+    # poles/antimeridian and the NaN -> -1 convention
+    rng = np.random.RandomState(7)
+    lat = np.concatenate([rng.uniform(-90, 90, 5000),
+                          [90.0, -90.0, 89.9999999, np.nan]])
+    lon = np.concatenate([rng.uniform(-180, 180, 5000),
+                          [180.0, -180.0, 179.9999999, 3.0]])
+    for res, pres in [(9, 7), (9, 9), (12, 0), (7, 4)]:
+        got = cells.cell_parent(cells.cell_of(lat, lon, res), res, pres)
+        want = cells.cell_of(lat, lon, pres)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_cell_children_roundtrip():
+    kids = cells.cell_children(37, 4, 6)
+    assert len(kids) == 16
+    assert len(set(kids.tolist())) == 16
+    np.testing.assert_array_equal(cells.cell_parent(kids, 6, 4), np.full(16, 37))
+    # default: one level down, quad split
+    assert len(cells.cell_children(0, 4)) == 4
+    # children tile the parent's bounds
+    pxmin, pymin, pxmax, pymax = cells.cell_bounds(37, 4)
+    for c in kids.tolist():
+        xmin, ymin, xmax, ymax = cells.cell_bounds(c, 6)
+        assert pxmin - 1e-9 <= xmin and xmax <= pxmax + 1e-9
+        assert pymin - 1e-9 <= ymin and ymax <= pymax + 1e-9
+
+
+def test_cell_parent_validation():
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cells.cell_parent(np.array([5]), 4, 5)
+    with _pytest.raises(ValueError):
+        cells.cell_children(5, 4, 3)

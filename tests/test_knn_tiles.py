@@ -230,3 +230,36 @@ def test_dwithin_join_matches_bruteforce(spark):
                                  np.full(npts, tlo))
                 want |= {(int(i), tid) for i in np.nonzero(d <= radius)[0]}
             assert got == want, (radius, bc, len(got), len(want))
+
+
+def test_tile_rollup_equals_direct_coarse_counts(spark, pages):
+    # pyramid rollup of the fine raster == rasterizing directly at the
+    # parent resolution (the grid nests exactly; see cells.cell_parent)
+    from shapely_spark.spark.columns import cell_col
+    from shapely_spark.spark.tiles import tile_rollup
+
+    fine = tile_counts(pages, res=RES)
+    rolled = tile_rollup(fine, res=RES, parent_res=RES - 2)
+    direct = (
+        pages.where(F.col("cell_id") >= 0)
+        .withColumn("pcell", cell_col(F.col("lat"), F.col("lon"), RES - 2))
+        .groupBy("pcell").agg(F.count("*").alias("n_pages"))
+    )
+    got = {r.cell_id: r.n_pages for r in rolled.collect()}
+    want = {r.pcell: r.n_pages for r in direct.collect()}
+    assert got == want
+    # n_tiles counts base cells under each parent
+    n_fine = fine.count()
+    assert sum(r.n_tiles for r in rolled.collect()) == n_fine
+
+
+def test_tile_rollup_chaining_preserves_base_tile_count(spark, pages):
+    from shapely_spark.spark.tiles import tile_rollup
+
+    fine = tile_counts(pages, res=RES)
+    one = tile_rollup(fine, res=RES, parent_res=RES - 1)
+    two_step = tile_rollup(one, res=RES - 1, parent_res=RES - 3)
+    one_shot = tile_rollup(fine, res=RES, parent_res=RES - 3)
+    a = {(r.cell_id, r.n_tiles, r.n_pages) for r in two_step.collect()}
+    b = {(r.cell_id, r.n_tiles, r.n_pages) for r in one_shot.collect()}
+    assert a == b
