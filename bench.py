@@ -188,8 +188,12 @@ def main():
     ap.add_argument("--pages", type=int, default=None, help="override pages row count")
     ap.add_argument("--regions", type=int, default=1000,
                     help="region-layer size (100k exercises the big-broadcast regime)")
-    ap.add_argument("--repeat", type=int, default=3,
-                    help="min-of-N timing for headline paths")
+    ap.add_argument("--repeat", type=int, default=5,
+                    help="min-of-N timing for headline paths (0.6-3.5 s "
+                         "jobs: a preempted host slice inflates any one "
+                         "sample 3x and with N=3 all three occasionally "
+                         "land in one; two extra repeats cost ~13 s of a "
+                         "~170 s bench)")
     ap.add_argument("--scaling", action="store_true",
                     help="run headline at local[8] and local[32]; emit extra lines")
     args = ap.parse_args()
