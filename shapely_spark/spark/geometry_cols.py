@@ -118,6 +118,29 @@ def _build() -> dict:
             for g, h in zip(_geoms(a), _geoms(b))
         ])
 
+    @F.pandas_udf("long")
+    def st_cell(lat: pd.Series, lon: pd.Series, res: pd.Series) -> pd.Series:
+        """Grid cell id at resolution `res` (engine-owned index; mirrors
+        index.cells.cell_of / columns.cell_col bit-exactly — prefer the
+        Catalyst builder in DataFrame code, this is the SQL-surface twin)."""
+        from ..index.cells import cell_of
+
+        return pd.Series(
+            cell_of(lat.to_numpy(dtype="float64"), lon.to_numpy(dtype="float64"),
+                    int(res.iloc[0])),
+            dtype="int64")
+
+    @F.pandas_udf("long")
+    def st_cell_parent(cell: pd.Series, res: pd.Series, parent_res: pd.Series) -> pd.Series:
+        """Containing cell at a coarser resolution (H3 cell_to_parent analog;
+        mirrors index.cells.cell_parent / columns.cell_parent_col)."""
+        from ..index.cells import cell_parent
+
+        return pd.Series(
+            cell_parent(cell.to_numpy(dtype="int64"), int(res.iloc[0]),
+                        int(parent_res.iloc[0])),
+            dtype="int64")
+
     @F.pandas_udf("boolean")
     def st_dwithin(a: pd.Series, b: pd.Series, dist: pd.Series) -> pd.Series:
         """reference: shapely/predicates.py:1269 dwithin."""
@@ -434,6 +457,8 @@ def _build() -> dict:
         "st_relate": st_relate,
         "st_intersects": st_intersects,
         "st_dwithin": st_dwithin,
+        "st_cell": st_cell,
+        "st_cell_parent": st_cell_parent,
         "st_boundary": st_boundary,
         "st_contains": st_contains,
         "st_within": st_within,

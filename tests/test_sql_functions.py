@@ -125,3 +125,19 @@ def test_st_boundary_and_dwithin(register, spark):
     assert rows.b_poly.startswith("LINESTRING")
     assert "MULTIPOINT" in rows.b_line
     assert rows.near is True and rows.far is False
+
+
+def test_st_cell_and_parent(register, spark):
+    import numpy as np
+
+    from shapely_spark.index.cells import cell_of, cell_parent
+
+    row = spark.sql("""
+        SELECT st_cell(48.85D, 2.35D, 9) AS c9,
+               st_cell_parent(st_cell(48.85D, 2.35D, 9), 9, 7) AS p7,
+               st_cell(CAST('nan' AS DOUBLE), 2.35D, 9) AS bad
+    """).first()
+    assert row.c9 == int(cell_of(48.85, 2.35, 9))
+    assert row.p7 == int(cell_of(48.85, 2.35, 7))
+    assert row.p7 == int(cell_parent(np.int64(row.c9), 9, 7))
+    assert row.bad == -1
