@@ -4031,6 +4031,59 @@ def duplicate_spans_counts(spark, sf_dir):
 
 
 @q(
+    "remove_duplicate_spans_clean",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    u AS (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM d),
+    w AS (
+      SELECT doc_id, i AS s, array_to_string(toks[i+1 : i+8], ' ') AS span
+      FROM u WHERE i % 4 = 0 AND i + 8 <= len(toks)
+    ),
+    bad AS (SELECT span FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT DISTINCT w.doc_id, unnest(range(s, s + 8)) AS idx
+      FROM w JOIN bad USING (span)
+    ),
+    kept AS (
+      SELECT u.doc_id, u.i, toks[u.i + 1] AS t
+      FROM u
+      WHERE NOT EXISTS (SELECT 1 FROM cov
+                        WHERE cov.doc_id = u.doc_id AND cov.idx = u.i)
+    ),
+    clean AS (
+      SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS clean_text FROM kept
+      GROUP BY doc_id
+    ),
+    nrem AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM cov GROUP BY doc_id)
+    SELECT d.doc_id,
+           md5(COALESCE(clean.clean_text, '')) AS clean_md5,
+           COALESCE(nrem.n_removed, 0)::BIGINT AS n_removed
+    FROM d LEFT JOIN clean USING (doc_id) LEFT JOIN nrem USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def remove_duplicate_spans_clean(spark, sf_dir):
+    """Duplicate-span EXCISION over the documents table (text/dedup.py
+    remove_duplicate_spans): every token position covered by an 8-token
+    window (stride 4) that occurs in >=2 distinct documents is dropped;
+    gate compares the md5 of the cleaned text plus the removed-position
+    count per doc. DuckDB rebuilds the same coverage with range-unnest
+    window enumeration and an anti-EXISTS token filter."""
+    from .text.dedup import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(docs, window=8, stride=4, min_docs=2)
+    return (
+        out.select(
+            "doc_id",
+            F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+            "n_removed",
+        )
+        .repartition(1).sortWithinPartitions("doc_id")
+    )
+
+
+@q(
     "buffer_polygon_ring_area",
     """
     WITH g AS (
@@ -4305,11 +4358,13 @@ _DRIVER_WINDOW = [
     "dedup_components_chain", "overlay_gc_intersection",
     "overlay_gc_difference",
     "spatial_join_ngon_pairs",
-    # new in late r4 (touches_overlaps_boxes rotated out: driver-green in
-    # r2 via the local battery and long-stable)
-    "tile_rollup_pyramid",
+    # new in late r4 (touches_overlaps_boxes / skew_area_box rotated out:
+    # stable low-risk kernels, r3-local-green, fully covered by pytest
+    # goldens and the local oracle gate)
+    "tile_rollup_pyramid", "remove_duplicate_spans_clean",
 ]
 _DRIVER_WINDOW.remove("touches_overlaps_boxes")
+_DRIVER_WINDOW.remove("skew_area_box")
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

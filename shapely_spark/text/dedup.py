@@ -437,3 +437,69 @@ def duplicate_spans(
         .agg(F.countDistinct(id_col).alias("n_docs"), F.count("*").alias("n_occ"))
         .where(F.col("n_occ") >= min_count)
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    window: int = 8, stride: int = 4, min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate-span REMOVAL — the excision stage of
+    substring dedup ("Deduplicating Training Data Makes Language Models
+    Better", Lee et al.: ExactSubstr cuts every occurrence of any
+    sufficiently-long duplicated substring). The suffix array is
+    approximated by `window`-token shingles at `stride`; a span counts
+    as duplicated when it appears in >= `min_docs` DISTINCT documents —
+    the boilerplate/license-header semantic (within-doc repetition is
+    the Gopher repetition gate's job, text/quality.py).
+
+    Output: (id, clean_text, n_removed): clean_text drops every token
+    position covered by a duplicated window; n_removed counts dropped
+    positions. Docs with no duplicated span round-trip byte-identically.
+
+    Scale shape: the corpus shuffles keyed by span (partial-agg count,
+    then the occurrence join-back) and once keyed by doc to assemble the
+    per-doc mask; the excision itself is JVM higher-order array math —
+    no Python anywhere. Coverage of the un-shingled tail mirrors the
+    counting op (duplicate_spans). At 100-TB widths, key the span
+    shuffles by xxhash64(span) to cut wire bytes (identical result
+    short of a 64-bit collision)."""
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    starts = F.when(
+        F.size("__toks") >= window,
+        F.sequence(F.lit(0), F.size("__toks") - window, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    occ = base.select(
+        F.col(id_col),
+        F.explode(F.transform(starts, lambda i: F.struct(
+            i.alias("s"),
+            F.concat_ws(" ", F.slice("__toks", i + 1, window)).alias("span"),
+        ))).alias("o"),
+    ).select(id_col, F.col("o.s").alias("s"), F.col("o.span").alias("span"))
+    bad = (
+        occ.groupBy("span")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("span")
+    )
+    bad_starts = (
+        occ.join(bad, "span")
+        .groupBy(id_col).agg(F.collect_list("s").alias("__bad"))
+    )
+    covered = F.array_distinct(F.flatten(F.transform(
+        F.coalesce(F.col("__bad"), F.array().cast("array<int>")),
+        lambda s: F.sequence(s, s + window - 1),
+    )))
+    kept = F.filter(
+        F.transform("__toks", lambda t, i: F.struct(i.alias("i"), t.alias("t"))),
+        lambda x: ~F.array_contains(F.col("__cov"), x["i"]),
+    )
+    return (
+        base.join(bad_starts, id_col, "left")
+        .withColumn("__cov", covered)
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", F.transform(kept, lambda x: x["t"])).alias("clean_text"),
+            F.size("__cov").cast("long").alias("n_removed"),
+        )
+    )

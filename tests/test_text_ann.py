@@ -633,3 +633,51 @@ def test_chunk_occupancy_conserves_doc_chunk_incidence(spark):
     assert sorted(r.chunk_id for r in occ) == list(range(29))
     # a 37-token doc in 64-token chunks is whole iff it does not straddle
     assert all(0 <= r.n_whole_docs <= r.n_docs for r in occ)
+
+
+def test_remove_duplicate_spans_excises_planted_boilerplate(spark):
+    from shapely_spark.text.dedup import remove_duplicate_spans
+
+    boiler = " ".join(f"B{i}" for i in range(8))  # exactly one window
+    rows = [
+        (0, f"{boiler} alpha beta gamma delta epsilon zeta eta theta"),
+        (1, f"iota kappa lam mu nu xi omicron pi {boiler}"),
+        (2, "solo words only here nothing repeated across documents at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           remove_duplicate_spans(df, window=8, stride=4, min_docs=2).collect()}
+    # boilerplate window occurs in 2 docs -> excised from both
+    assert "B0" not in out[0].clean_text and "B0" not in out[1].clean_text
+    assert out[0].clean_text == "alpha beta gamma delta epsilon zeta eta theta"
+    # doc 1: boiler starts at token 8 (stride-aligned), fully covered
+    assert out[1].clean_text == "iota kappa lam mu nu xi omicron pi"
+    assert out[0].n_removed == 8 and out[1].n_removed == 8
+    # untouched doc round-trips byte-identically with zero removals
+    assert out[2].clean_text == rows[2][1] and out[2].n_removed == 0
+
+
+def test_remove_duplicate_spans_overlapping_windows_merge(spark):
+    from shapely_spark.text.dedup import remove_duplicate_spans
+
+    # 12 shared tokens -> windows at starts 0 and 4 both duplicated;
+    # covered set is their union (12 distinct positions, not 16)
+    shared = " ".join(f"S{i}" for i in range(12))
+    rows = [(0, f"{shared} tail0 tail1 tail2 tail3"),
+            (1, f"{shared} other0 other1 other2 other3")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           remove_duplicate_spans(df, window=8, stride=4, min_docs=2).collect()}
+    assert out[0].n_removed == 12
+    assert out[0].clean_text == "tail0 tail1 tail2 tail3"
+    assert out[1].clean_text == "other0 other1 other2 other3"
+
+
+def test_remove_duplicate_spans_short_docs_untouched(spark):
+    from shapely_spark.text.dedup import remove_duplicate_spans
+
+    rows = [(0, "tiny doc"), (1, "tiny doc")]  # < window tokens, even if equal
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_duplicate_spans(df, window=8, stride=4, min_docs=2).collect()
+    assert all(r.n_removed == 0 for r in out)
+    assert {r.clean_text for r in out} == {"tiny doc"}
