@@ -1783,6 +1783,122 @@ def events_hourly_rollup(spark, sf_dir):
     )
 
 
+@q(
+    "asof_join_purchases",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type <> 'purchase'),
+    r AS (SELECT user_id, ts, max(value) AS purchase_value FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT l.event_id, l.user_id, r.ts AS purchase_ts, r.purchase_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    """,
+)
+def asof_join_purchases(spark, sf_dir):
+    """AS-OF join (spark/temporal.py asof_join): every non-purchase
+    event picks up the user's most recent purchase at-or-before its
+    timestamp — the "latest snapshot per url as of T" primitive on the
+    Common-Crawl pages table, verified against DuckDB's native ASOF
+    LEFT JOIN. One sort shuffle: union-marker + last(ignorenulls)
+    running window, no inequality join anywhere in the plan."""
+    from .spark.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.where(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(left, right, on="user_id", left_ts="ts")
+    return (
+        out.select(
+            "event_id", "user_id",
+            F.col("__asof_ts").alias("purchase_ts"), "purchase_value",
+        )
+        .repartition(1).sortWithinPartitions("event_id")
+    )
+
+
+@q(
+    "range_join_error_windows",
+    """
+    WITH p AS (SELECT user_id, epoch_us(ts) AS pts, value FROM events
+               WHERE event_type = 'click'),
+    i AS (SELECT event_id, user_id, epoch_us(ts) AS s,
+                 epoch_us(ts) + 86400000000 AS e FROM events
+          WHERE event_type = 'error')
+    SELECT i.event_id, count(*) AS n_clicks,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM i JOIN p ON p.user_id = i.user_id AND p.pts >= i.s AND p.pts < i.e
+    GROUP BY i.event_id ORDER BY i.event_id
+    """,
+)
+def range_join_error_windows(spark, sf_dir):
+    """Bucketed RANGE join (spark/temporal.py range_join): clicks
+    landing in the 24-hour window after each error event of the same
+    user, counted per window. The plan is the scale shape — intervals
+    explode to 10-min buckets, points live in ONE bucket, equi-join +
+    exact JVM predicate — while DuckDB verifies with a plain
+    inequality join."""
+    from .spark.temporal import range_join
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    points = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("us").alias("pts"), "value"
+    )
+    ivs = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("us").alias("s"),
+        (F.col("us") + F.lit(86_400_000_000)).alias("e"),
+    )
+    j = range_join(points, ivs, point_ts="pts", start="s", end="e",
+                   on="user_id", bucket=21_600_000_000)
+    return (
+        j.groupBy("event_id")
+        .agg(F.count("*").alias("n_clicks"), _dec_sum("value"))
+        .repartition(1).sortWithinPartitions("event_id")
+    )
+
+
+@q(
+    "kmv_distinct_users",
+    """
+    WITH h AS (SELECT DISTINCT event_type,
+           CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+           FROM events WHERE user_id IS NOT NULL),
+    r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM h)
+    SELECT event_type, count(*) AS n_kept, max(h) AS kth_min,
+           CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                ELSE round(63.0 * 1152921504606846976.0 / max(h), 4)
+           END AS est_distinct
+    FROM r WHERE rn <= 64
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def kmv_distinct_users(spark, sf_dir):
+    """KMV distinct-count sketch (spark/sketch.py kmv_distinct):
+    per-event-type distinct-user estimate from the k=64 smallest 60-bit
+    md5 hashes. Unlike HLL, the sketch is engine-reproducible — DuckDB
+    rebuilds the identical k-minimum set and the identical estimator
+    double, so this gate hash-matches an APPROXIMATE algorithm
+    exactly."""
+    from .spark.sketch import kmv_distinct
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        kmv_distinct(e, key="user_id", group_by="event_type", k=64)
+        .repartition(1).sortWithinPartitions("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # set operations / overlay (reference: shapely/set_operations.py §2.5) —
 # box pairs derived from part keys so DuckDB can verify every area in
@@ -4358,13 +4474,20 @@ _DRIVER_WINDOW = [
     "dedup_components_chain", "overlay_gc_intersection",
     "overlay_gc_difference",
     "spatial_join_ngon_pairs",
-    # new in late r4 (touches_overlaps_boxes / skew_area_box rotated out:
-    # stable low-risk kernels, r3-local-green, fully covered by pytest
-    # goldens and the local oracle gate)
+    # new in late r4 (touches_overlaps_boxes / skew_area_box /
+    # segmentize_diag_npoints / substring_frac_length /
+    # audio_decode_ulaw_abs_sum rotated out: stable low-risk kernels
+    # with direct pytest goldens, still in the local gate, and each
+    # family keeps a sibling in the window — split_segment_pieces,
+    # offset_curve_lengths, the wav/flac decodes)
     "tile_rollup_pyramid", "remove_duplicate_spans_clean",
+    "asof_join_purchases", "range_join_error_windows", "kmv_distinct_users",
 ]
 _DRIVER_WINDOW.remove("touches_overlaps_boxes")
 _DRIVER_WINDOW.remove("skew_area_box")
+_DRIVER_WINDOW.remove("segmentize_diag_npoints")
+_DRIVER_WINDOW.remove("substring_frac_length")
+_DRIVER_WINDOW.remove("audio_decode_ulaw_abs_sum")
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))
