@@ -240,7 +240,10 @@ def image_features(media: DataFrame, out_dim: int = 16) -> DataFrame:
 
 def resize_plan(media: DataFrame, max_side: int = 224) -> DataFrame:
     """Resize *planning* is pure column math (JVM): target dims preserving
-    aspect ratio; the pixel resample itself is the stubbed decode step."""
+    aspect ratio. The REAL pixel resample lives in transform.resize_images
+    (bilinear over the decoded pixels; transform.target_dims is the exact
+    JVM twin of its integer dimension rule — this rounding variant is kept
+    for the metadata-only estimate path)."""
     w = F.col("meta.width").cast("double")
     h = F.col("meta.height").cast("double")
     scale = F.least(F.lit(float(max_side)) / w, F.lit(float(max_side)) / h, F.lit(1.0))
@@ -251,8 +254,9 @@ def resize_plan(media: DataFrame, max_side: int = 224) -> DataFrame:
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plan: explode one row per sampled timestamp
-    (JVM sequence/explode — the fan-out shape is what matters at scale; the
-    actual frame grab is the stubbed decode)."""
+    (JVM sequence/explode — the fan-out shape is what matters at scale).
+    The REAL frame grab is transform.sample_frames, which seeks the MJPG
+    frame table and decodes only the kept frames."""
     v = media.where(F.col("kind") == "video")
     ts = F.sequence(F.lit(0), F.col("meta.duration_ms").cast("long"), F.lit(int(every_ms)))
     return v.select("url", F.explode(ts).alias("frame_ms"))

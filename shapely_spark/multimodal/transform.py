@@ -1,0 +1,187 @@
+"""Real pixel transforms over the pure-numpy codec layer: bilinear
+resize and MJPEG-container frame sampling. Round 3 shipped real
+decoders (PNG/GIF/baseline+progressive JPEG/BMP/PPM/WebP-lossless), so
+the resize / frame-sample stages no longer need the stub the brief
+allows — the pixels are real end to end.
+
+resize_images: decode → aspect-preserving bilinear resample → PPM
+re-encode, Arrow-batched mapInPandas (one Python stage; the resample is
+vectorized gather + fused multiply, O(out_pixels)).
+
+sample_frames: a video cell is an MJPG fixture container (magic +
+frame table + independent baseline-JPEG frames — the Motion-JPEG
+layout, each frame self-contained exactly so that samplers can seek
+without decoding the stream). Sampling explodes one output row per
+kept frame; only KEPT frames are decoded — the skip is a table seek,
+not a decode, which is the property that matters when 1 frame in 300
+of 100 TB of video survives."""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "resize_bilinear", "resize_image", "resize_images",
+    "encode_mjpeg", "mjpeg_frames", "sample_frames", "target_dims",
+]
+
+
+# --------------------------------------------------------------------------
+# bilinear resample (pixel-center convention, align_corners=False)
+# --------------------------------------------------------------------------
+
+def _axis_weights(n_src: int, n_dst: int):
+    """Source gather indices + lerp weights for one axis: the standard
+    half-pixel mapping src = (dst + 0.5) * n_src/n_dst - 0.5, edge-clamped.
+    At an exact 2× downscale this degenerates to 2-tap averaging (the
+    pytest pin); upscales interpolate with 1/4-offset phase."""
+    src = (np.arange(n_dst, dtype=np.float64) + 0.5) * (n_src / n_dst) - 0.5
+    lo = np.floor(src)
+    w = src - lo
+    i0 = np.clip(lo, 0, n_src - 1).astype(np.int64)
+    i1 = np.clip(lo + 1, 0, n_src - 1).astype(np.int64)
+    return i0, i1, w
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resample of an (H, W[, C]) uint8 image to (out_h, out_w),
+    separable: one horizontal gather-lerp then one vertical, float64
+    accumulation, one final rint→uint8 (a single rounding site keeps the
+    batch and scalar paths bit-identical — the einsum/matmul ulp lesson)."""
+    a = np.asarray(img, dtype=np.float64)
+    squeeze = a.ndim == 2
+    if squeeze:
+        a = a[..., None]
+    h, w = a.shape[:2]
+    x0, x1, wx = _axis_weights(w, out_w)
+    y0, y1, wy = _axis_weights(h, out_h)
+    row = a[:, x0, :] * (1.0 - wx)[None, :, None] + a[:, x1, :] * wx[None, :, None]
+    out = row[y0, :, :] * (1.0 - wy)[:, None, None] + row[y1, :, :] * wy[:, None, None]
+    out = np.rint(out).astype(np.uint8)
+    return out[..., 0] if squeeze else out
+
+
+def resize_image(img: np.ndarray, max_side: int) -> np.ndarray:
+    """Aspect-preserving cap: images whose longest side exceeds max_side
+    shrink so that side == max_side (integer floor dims, min 1); smaller
+    images pass through untouched."""
+    h, w = img.shape[:2]
+    m = max(h, w)
+    if m <= max_side:
+        return np.asarray(img, dtype=np.uint8)
+    return resize_bilinear(
+        img, max(1, (h * max_side) // m), max(1, (w * max_side) // m)
+    )
+
+
+def target_dims(w: Column, h: Column, max_side: int) -> tuple[Column, Column]:
+    """JVM twin of resize_image's dimension rule (integer arithmetic —
+    usable for pre-filtering / cost estimation without decoding)."""
+    m = F.greatest(w, h)
+    tw = F.when(m <= max_side, w).otherwise(
+        F.greatest(F.lit(1), (w * max_side - (w * max_side) % m) / m)
+    ).cast("int")
+    th = F.when(m <= max_side, h).otherwise(
+        F.greatest(F.lit(1), (h * max_side - (h * max_side) % m) / m)
+    ).cast("int")
+    return tw, th
+
+
+def resize_images(media: DataFrame, max_side: int = 224,
+                  payload_col: str = "payload", url_col: str = "url") -> DataFrame:
+    """Decode every image payload, bilinear-cap it to max_side, and
+    re-encode as PPM. Output: (url, ppm binary, width, height) with the
+    RESIZED dims. One Arrow-batched Python stage; upstream filters/
+    projections stay JVM-side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media import decode_image, encode_ppm
+
+        for pdf in batches:
+            urls, blobs, ws, hs = [], [], [], []
+            for url, payload in zip(pdf[url_col], pdf[payload_col]):
+                img = resize_image(decode_image(payload), max_side)
+                if img.ndim == 2:
+                    img = np.stack([img] * 3, axis=-1)
+                urls.append(url)
+                blobs.append(encode_ppm(img))
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+            yield pd.DataFrame({
+                "url": urls, "ppm": blobs,
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+            })
+
+    return media.select(url_col, payload_col).mapInPandas(
+        gen, f"{url_col} string, ppm binary, width int, height int"
+    )
+
+
+# --------------------------------------------------------------------------
+# MJPG fixture container: magic + frame table + independent JPEG frames
+# --------------------------------------------------------------------------
+
+_MAGIC = b"MJPG"
+
+
+def encode_mjpeg(frames: list[bytes]) -> bytes:
+    """Container layout: 'MJPG' | u32 n | u32 len×n | frame bytes.
+    Every frame is an independent baseline/progressive JPEG."""
+    head = _MAGIC + struct.pack("<I", len(frames))
+    head += b"".join(struct.pack("<I", len(f)) for f in frames)
+    return head + b"".join(frames)
+
+
+def mjpeg_frames(payload: bytes, indices=None) -> list[bytes]:
+    """Frame payloads by seek — decodes NOTHING. `indices` restricts to a
+    subset (the sampler's skip path)."""
+    b = bytes(payload)
+    if b[:4] != _MAGIC:
+        raise ValueError("not an MJPG container")
+    n = struct.unpack_from("<I", b, 4)[0]
+    lens = struct.unpack_from(f"<{n}I", b, 8)
+    offs = 8 + 4 * n + np.concatenate([[0], np.cumsum(lens[:-1], dtype=np.int64)])
+    idx = range(n) if indices is None else [i for i in indices if 0 <= i < n]
+    return [b[int(offs[i]):int(offs[i]) + lens[i]] for i in idx]
+
+
+def sample_frames(media: DataFrame, every: int = 2,
+                  payload_col: str = "payload", url_col: str = "url") -> DataFrame:
+    """Decode every `every`-th frame of each MJPG payload. Output one row
+    per sampled frame: (url, frame_idx, width, height, px_sum) — px_sum
+    is the decoded-pixel checksum the oracle pins. Skipped frames are
+    never decoded (container seek only)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media import decode_image
+
+        for pdf in batches:
+            urls, idxs, ws, hs, sums = [], [], [], [], []
+            for url, payload in zip(pdf[url_col], pdf[payload_col]):
+                b = bytes(payload)
+                n = struct.unpack_from("<I", b, 4)[0]
+                keep = list(range(0, n, every))
+                for i, fb in zip(keep, mjpeg_frames(b, keep)):
+                    img = decode_image(fb)
+                    urls.append(url)
+                    idxs.append(i)
+                    hs.append(img.shape[0])
+                    ws.append(img.shape[1])
+                    sums.append(int(img.astype(np.int64).sum()))
+            yield pd.DataFrame({
+                "url": urls, "frame_idx": pd.Series(idxs, dtype="int32"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "px_sum": pd.Series(sums, dtype="int64"),
+            })
+
+    return media.select(url_col, payload_col).mapInPandas(
+        gen, f"{url_col} string, frame_idx int, width int, height int, px_sum long"
+    )

@@ -3971,6 +3971,127 @@ def image_decode_jpeg_px_sum(spark, sf_dir):
 
 
 @q(
+    "image_resize_px_sum",
+    """
+    WITH g AS (SELECT p_partkey AS gid,
+                      8 + p_partkey % 29 AS w, 9 + p_partkey % 23 AS h,
+                      (13 * p_partkey + 7) % 256 AS v FROM part),
+    d AS (SELECT gid, v, w, h, greatest(w, h) AS m FROM g)
+    SELECT gid,
+           CAST(CASE WHEN m <= 16 THEN w ELSE greatest(1, (w*16) // m) END
+                AS INT) AS width,
+           CAST(CASE WHEN m <= 16 THEN h ELSE greatest(1, (h*16) // m) END
+                AS INT) AS height,
+           CAST(3 * v
+                * (CASE WHEN m <= 16 THEN w ELSE greatest(1, (w*16) // m) END)
+                * (CASE WHEN m <= 16 THEN h ELSE greatest(1, (h*16) // m) END)
+                AS BIGINT) AS px_sum
+    FROM d ORDER BY gid
+    """,
+)
+def image_resize_px_sum(spark, sf_dir):
+    """Contract oracle for the REAL bilinear resize
+    (multimodal/transform.py resize_image — no stub left in the resize
+    path): solid-color PPMs are decoded through the production
+    dispatcher and aspect-capped to max_side=16; bilinear weights sum
+    to 1 so a constant image resamples to exactly itself and the
+    decoded sum is 3·v·rw·rh with the integer-floor dimension rule the
+    SQL twin replays. w spans 8..36 so both the shrink branch and the
+    pass-through (m<=16) branch are exercised."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (8 + k % 29).cast("int").alias("w"),
+        (9 + k % 23).cast("int").alias("h"),
+        ((13 * k + 7) % 256).cast("int").alias("v"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal.media import decode_image, encode_ppm
+        from .multimodal.transform import resize_image
+
+        for pdf in batches:
+            ws, hs, sums = [], [], []
+            for w, h, v in zip(pdf.w, pdf.h, pdf.v):
+                img = np.full((int(h), int(w), 3), int(v), np.uint8)
+                out = resize_image(decode_image(encode_ppm(img)), 16)
+                hs.append(out.shape[0])
+                ws.append(out.shape[1])
+                sums.append(int(out.astype(np.int64).sum()))
+            yield pd.DataFrame({
+                "gid": pdf.gid,
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "px_sum": pd.Series(sums, dtype="int64"),
+            })
+
+    return params.mapInPandas(
+        gen, "gid long, width int, height int, px_sum long"
+    ).repartition(1).sortWithinPartitions("gid")
+
+
+@q(
+    "video_frame_sample_px_sum",
+    """
+    WITH g AS (SELECT p_partkey AS gid, 16 + p_partkey % 5 AS w,
+                      8 + p_partkey % 3 AS h, 4 + p_partkey % 5 AS n
+               FROM part),
+    f AS (SELECT gid, w, h, unnest(range(0, n)) AS fi FROM g)
+    SELECT gid, CAST(fi AS INT) AS frame_idx,
+           CAST(3 * h * (8 * ((17*gid + 23 + 31*fi) % 256)
+                         + (w - 8) * ((29*gid + 101 + 57*fi) % 256))
+                AS BIGINT) AS px_sum
+    FROM f WHERE fi % 2 = 0 ORDER BY gid, frame_idx
+    """,
+)
+def video_frame_sample_px_sum(spark, sf_dir):
+    """Contract oracle for REAL video frame sampling
+    (multimodal/transform.py sample_frames over the MJPG container):
+    each gid's payload holds 4..8 independent baseline JPEGs (the
+    bit-exact-DC two-level construction of image_decode_jpeg_px_sum,
+    per-frame values rotated by the frame index); the production
+    sampler seeks to every 2nd frame, decodes only those, and the
+    per-frame pixel sums must equal the closed form. A frame-table
+    seek bug, an off-by-one in the stride, or any decode drift breaks
+    the hash."""
+    from .multimodal.transform import sample_frames
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (16 + k % 5).cast("int").alias("w"),
+        (8 + k % 3).cast("int").alias("h"),
+        (4 + k % 5).cast("int").alias("n"),
+    ))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal.jpeg import encode_jpeg
+        from .multimodal.transform import encode_mjpeg
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for gid, w, h, n in zip(pdf.gid, pdf.w, pdf.h, pdf.n):
+                frames = []
+                for fi in range(int(n)):
+                    img = np.full((int(h), int(w)),
+                                  (17 * int(gid) + 23 + 31 * fi) % 256, np.uint8)
+                    img[:, 8:] = (29 * int(gid) + 101 + 57 * fi) % 256
+                    frames.append(encode_jpeg(img, quality=87))
+                urls.append(str(int(gid)))
+                blobs.append(encode_mjpeg(frames))
+            yield pd.DataFrame({"url": urls, "payload": blobs})
+
+    videos = params.mapInPandas(build, "url string, payload binary")
+    out = sample_frames(videos, every=2)
+    return (
+        out.select(F.col("url").cast("long").alias("gid"), "frame_idx", "px_sum")
+        .repartition(1).sortWithinPartitions("gid", "frame_idx")
+    )
+
+
+@q(
     "image_decode_jpeg_prog_px_sum",
     """
     WITH g AS (SELECT p_partkey AS gid,
@@ -4482,12 +4603,17 @@ _DRIVER_WINDOW = [
     # offset_curve_lengths, the wav/flac decodes)
     "tile_rollup_pyramid", "remove_duplicate_spans_clean",
     "asof_join_purchases", "range_join_error_windows", "kmv_distinct_users",
+    # real resize / frame-sample (mbc_radius_ngon / geojson_roundtrip_area
+    # rotated out: pytest-roundtrip-covered, local-gate green since r2/r3)
+    "image_resize_px_sum", "video_frame_sample_px_sum",
 ]
 _DRIVER_WINDOW.remove("touches_overlaps_boxes")
 _DRIVER_WINDOW.remove("skew_area_box")
 _DRIVER_WINDOW.remove("segmentize_diag_npoints")
 _DRIVER_WINDOW.remove("substring_frac_length")
 _DRIVER_WINDOW.remove("audio_decode_ulaw_abs_sum")
+_DRIVER_WINDOW.remove("mbc_radius_ngon")
+_DRIVER_WINDOW.remove("geojson_roundtrip_area")
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))
