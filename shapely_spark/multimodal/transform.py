@@ -125,6 +125,62 @@ def resize_images(media: DataFrame, max_side: int = 224,
 
 
 # --------------------------------------------------------------------------
+# audio resample (linear, phase-0 sample mapping)
+# --------------------------------------------------------------------------
+
+def resample_audio(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Linear sample-rate conversion: output sample j reads source
+    position j·sr_in/sr_out (phase-aligned at t=0, edge-clamped),
+    n_out = floor(n·sr_out/sr_in). Power-of-two ratios are EXACT (the
+    oracle's lever: 2× up inserts true midpoints, 2× down decimates) —
+    float64 lerp, float32 out, one rounding site. A band-limiting
+    pre-filter is deliberately out of scope (this is the indexing/
+    throughput stage; swap a windowed-sinc kernel into the lerp for
+    production fidelity)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    n_out = int(n * sr_out) // int(sr_in)
+    if n == 0 or n_out == 0:
+        return np.zeros(0, dtype=np.float32)
+    src = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
+    lo = np.floor(src)
+    w = src - lo
+    i0 = np.clip(lo, 0, n - 1).astype(np.int64)
+    i1 = np.clip(lo + 1, 0, n - 1).astype(np.int64)
+    return (x[i0] * (1.0 - w) + x[i1] * w).astype(np.float32)
+
+
+def resample_audios(media: DataFrame, target_rate: int,
+                    payload_col: str = "payload", url_col: str = "url") -> DataFrame:
+    """Decode each audio payload (container rate from the WAV/FLAC
+    header via decode_audio's codec layer is the caller's contract —
+    pass source rate in a `sample_rate` column), resample to
+    target_rate, re-encode PCM16 WAV. Output: (url, wav binary,
+    n_samples)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media import decode_audio, encode_wav
+
+        for pdf in batches:
+            urls, blobs, ns = [], [], []
+            for url, payload, sr in zip(
+                pdf[url_col], pdf[payload_col], pdf["sample_rate"]
+            ):
+                y = resample_audio(decode_audio(payload), int(sr), target_rate)
+                urls.append(url)
+                blobs.append(encode_wav(y, target_rate))
+                ns.append(len(y))
+            yield pd.DataFrame({
+                "url": urls, "wav": blobs,
+                "n_samples": pd.Series(ns, dtype="int64"),
+            })
+
+    return media.select(url_col, payload_col, "sample_rate").mapInPandas(
+        gen, f"{url_col} string, wav binary, n_samples long"
+    )
+
+
+# --------------------------------------------------------------------------
 # MJPG fixture container: magic + frame table + independent JPEG frames
 # --------------------------------------------------------------------------
 

@@ -4032,6 +4032,63 @@ def image_resize_px_sum(spark, sf_dir):
 
 
 @q(
+    "audio_resample_abs_sum",
+    """
+    WITH g AS (SELECT p_partkey AS gid, 120 + (p_partkey % 7) * 30 AS n
+               FROM part),
+    c AS (SELECT gid, n, i.i AS i,
+                 ((i.i * 37 + gid * 53) % 400 - 200) * 64 AS c
+          FROM g, range(0, 300) i(i) WHERE i.i < n),
+    cc AS (SELECT gid, n, i, c,
+                  lead(c) OVER (PARTITION BY gid ORDER BY i) AS cn
+           FROM c)
+    SELECT gid,
+           CAST(sum(CASE WHEN i % 2 = 0 THEN abs(c) ELSE 0 END) AS BIGINT)
+               AS abs_dn,
+           CAST(sum(abs(c) + CASE WHEN i < n - 1 THEN abs((c + cn) // 2)
+                                  ELSE abs(c) END) AS BIGINT) AS abs_up
+    FROM cc GROUP BY gid ORDER BY gid
+    """,
+)
+def audio_resample_abs_sum(spark, sf_dir):
+    """Contract oracle for the REAL linear resampler
+    (multimodal/transform.py resample_audio): even integer PCM16 codes
+    survive the WAV roundtrip bit-exactly, 2× decimation keeps exactly
+    the even samples, and 2× upsampling inserts exactly the integer
+    midpoints plus the edge clamp — so both legs have closed forms
+    DuckDB replays with a lead() window. A phase-offset, length-rule,
+    or clamp bug shifts either sum."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        (120 + (k % 7) * 30).cast("int").alias("n"),
+    ))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal.media import decode_audio, encode_wav
+        from .multimodal.transform import resample_audio
+
+        for pdf in batches:
+            dns, ups = [], []
+            for gid, n in zip(pdf.gid, pdf.n):
+                i = np.arange(int(n), dtype=np.int64)
+                c = ((i * 37 + int(gid) * 53) % 400 - 200) * 64
+                x = decode_audio(encode_wav(c / 32768.0, 16000))
+                dn = resample_audio(x, 16000, 8000)
+                up = resample_audio(x, 16000, 32000)
+                dns.append(int(np.abs(np.rint(dn.astype(np.float64) * 32768.0)).sum()))
+                ups.append(int(np.abs(np.rint(up.astype(np.float64) * 32768.0)).sum()))
+            yield pd.DataFrame({"gid": pdf.gid,
+                                "abs_dn": pd.Series(dns, dtype="int64"),
+                                "abs_up": pd.Series(ups, dtype="int64")})
+
+    return params.mapInPandas(
+        gen, "gid long, abs_dn long, abs_up long"
+    ).repartition(1).sortWithinPartitions("gid")
+
+
+@q(
     "video_frame_sample_px_sum",
     """
     WITH g AS (SELECT p_partkey AS gid, 16 + p_partkey % 5 AS w,
@@ -4606,6 +4663,9 @@ _DRIVER_WINDOW = [
     # real resize / frame-sample (mbc_radius_ngon / geojson_roundtrip_area
     # rotated out: pytest-roundtrip-covered, local-gate green since r2/r3)
     "image_resize_px_sum", "video_frame_sample_px_sum",
+    # audio resample (line_merge_chain rotated out: r3 kernel with
+    # pytest goldens, local-green since r3)
+    "audio_resample_abs_sum",
 ]
 _DRIVER_WINDOW.remove("touches_overlaps_boxes")
 _DRIVER_WINDOW.remove("skew_area_box")
@@ -4614,6 +4674,7 @@ _DRIVER_WINDOW.remove("substring_frac_length")
 _DRIVER_WINDOW.remove("audio_decode_ulaw_abs_sum")
 _DRIVER_WINDOW.remove("mbc_radius_ngon")
 _DRIVER_WINDOW.remove("geojson_roundtrip_area")
+_DRIVER_WINDOW.remove("line_merge_chain")
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

@@ -101,3 +101,32 @@ def test_sample_frames_matches_direct_decode(spark, every):
                 dec.shape[1], dec.shape[0], int(dec.astype(np.int64).sum())
             )
     assert got == expect
+
+
+def test_resample_audio_exact_pow2_ratios():
+    from shapely_spark.multimodal.transform import resample_audio
+
+    x = np.array([0.0, 2.0, 6.0, 4.0, -8.0, 10.0])
+    assert resample_audio(x, 16000, 8000).tolist() == [0.0, 6.0, -8.0]
+    up = resample_audio(np.array([0.0, 2.0, 6.0]), 8000, 16000)
+    assert up.tolist() == [0.0, 1.0, 2.0, 4.0, 6.0, 6.0]
+    # non-pow2 ratio: length rule floor(n*out/in), values via lerp
+    y = resample_audio(np.arange(9, dtype=float), 16000, 12000)
+    assert len(y) == 6
+    assert y == pytest.approx(np.arange(6) * (16000 / 12000), abs=1e-6)
+    assert resample_audio(np.array([]), 16000, 8000).shape == (0,)
+
+
+def test_resample_audios_dataframe_op(spark):
+    from shapely_spark.multimodal.media import decode_audio, encode_wav
+    from shapely_spark.multimodal.transform import resample_audios
+
+    c = (np.arange(50) % 21 - 10) * 128.0
+    df = spark.createDataFrame(
+        [("a", bytearray(encode_wav(c / 32768.0, 16000)), 16000)],
+        "url string, payload binary, sample_rate int",
+    )
+    out = resample_audios(df, target_rate=8000).collect()[0]
+    assert out.n_samples == 25
+    dec = np.rint(decode_audio(bytes(out.wav)).astype(np.float64) * 32768.0)
+    assert dec.tolist() == c[::2].tolist()
