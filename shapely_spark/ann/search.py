@@ -785,3 +785,137 @@ def cosine_neardup_pairs_bucketed(
         .where(pair_cos(F.col("__va"), F.col("__vb")) >= thr)
         .select("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ style ADC) — the memory-compression tier
+# ---------------------------------------------------------------------------
+
+def _kmeans_euclidean(X: np.ndarray, n_codes: int, iters: int = 10) -> np.ndarray:
+    """Deterministic Euclidean k-means for PQ sub-codebooks: evenly-strided
+    init over the id-sorted subvectors, fixed iterations, empty clusters
+    keep their previous centroid (mirrors _kmeans_centroids but WITHOUT
+    the spherical renormalization — subvector norms carry signal)."""
+    n = len(X)
+    n_codes = min(n_codes, n)
+    C = X[np.linspace(0, n - 1, n_codes).astype(int)].copy()
+    for _ in range(iters):
+        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        assign = np.argmin(d2, axis=1)
+        for j in range(n_codes):
+            sel = assign == j
+            if sel.any():
+                C[j] = X[sel].mean(axis=0)
+    return C
+
+
+def pq_train(T: np.ndarray, m: int = 8, n_codes: int = 16, iters: int = 10) -> np.ndarray:
+    """Per-subspace codebooks over row-normalized targets: T's dim splits
+    into m contiguous subspaces; each gets an independent Euclidean
+    k-means codebook. Returns (m, n_codes, dim//m). dim must divide by m."""
+    n, d = T.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    return np.stack([
+        _kmeans_euclidean(T[:, j * ds:(j + 1) * ds], n_codes, iters)
+        for j in range(m)
+    ])
+
+
+def pq_encode(T: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Nearest-codeword index per subspace → (n, m) uint8 codes: the
+    compressed index is m bytes/vector vs 8·dim raw (64× at dim=64, m=8)
+    — the representation you'd broadcast for a 10^9-vector target set
+    that no longer fits as floats."""
+    m, n_codes, ds = books.shape
+    codes = np.empty((len(T), m), dtype=np.uint8)
+    for j in range(m):
+        X = T[:, j * ds:(j + 1) * ds]
+        C = books[j]
+        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_reconstruct(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Decode codes back to (n, dim) float vectors (concatenated codewords)."""
+    m, n_codes, ds = books.shape
+    return np.concatenate([books[j][codes[:, j]] for j in range(m)], axis=1)
+
+
+def cosine_topk_pq(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 1,
+    m: int = 8,
+    n_codes: int = 16,
+    refine: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """PQ-compressed cosine top-k (ADC): targets are trained/encoded ONCE
+    driver-side and broadcast as (m-byte codes + codebooks + raw matrix);
+    each query builds m lookup tables of sub-dot-products, scores every
+    target with m uint8 gathers + a sum (no float matmul against the full
+    matrix), keeps the `refine`·k best approximate candidates, and exact-
+    rescores only those against the raw vectors. Ties break by target id
+    (matches the brute/IVF contract).
+
+    Scale story: the codes are dim·8/m × smaller than the floats (64× at
+    dim=64, m=8), which is what extends the broadcast tier's documented
+    ≲100k-target capacity into the multi-million range; the exact-refine
+    step touches raw vectors for only refine·k rows per query. Codes-only
+    deployments (no raw matrix anywhere) rescore against pq_reconstruct
+    instead — the tests pin that path's recall too. Reference analog:
+    none (Shapely has no ANN); design follows Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 (public)."""
+    t_ids, T = _collect_targets(targets, id_col, vec_col)
+    books = pq_train(T, m=m, n_codes=n_codes)
+    codes = pq_encode(T, books)
+    bc = queries.sparkSession.sparkContext.broadcast((t_ids, T, books, codes))
+    kk, rr = int(k), max(int(refine) * int(k), int(k))
+    out_schema = f"{id_col} long, target_id long, rank int"
+
+    def gen(batches):
+        ids, Tm, bk, cd = bc.value
+        mm, _, ds = bk.shape
+        n_t = len(ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qn = np.linalg.norm(Q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            Q = Q / qn
+            q_ids = pdf[id_col].to_numpy(np.int64)
+            out_q, out_t, out_r = [], [], []
+            for r in range(len(Q)):
+                # ADC: m tables of q_sub · codeword, gathered by code byte
+                lut = np.stack([
+                    bk[j] @ Q[r, j * ds:(j + 1) * ds] for j in range(mm)
+                ])                                           # (m, n_codes)
+                approx = lut[np.arange(mm)[None, :], cd].sum(axis=1)  # (n_t,)
+                nr = min(rr, n_t)
+                cand = np.argpartition(-approx, nr - 1)[:nr]
+                s = Tm[cand] @ Q[r]
+                order = np.lexsort((ids[cand], -s))
+                cnt = 0
+                for c in order:
+                    tid = int(ids[cand[c]])
+                    if exclude_self and tid == int(q_ids[r]):
+                        continue
+                    cnt += 1
+                    out_q.append(int(q_ids[r]))
+                    out_t.append(tid)
+                    out_r.append(cnt)
+                    if cnt >= kk:
+                        break
+            yield pd.DataFrame(
+                {id_col: pd.Series(out_q, dtype="int64"),
+                 "target_id": pd.Series(out_t, dtype="int64"),
+                 "rank": pd.Series(out_r, dtype="int32")}
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(gen, out_schema)

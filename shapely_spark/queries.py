@@ -988,6 +988,34 @@ def ann_cosine_lsh_top1(spark, sf_dir):
 
 
 @q(
+    "ann_cosine_pq_top1",
+    """
+    SELECT 0.55::DOUBLE AS floor,
+           (SELECT count(*) FROM embeddings)::BIGINT AS n_queries,
+           TRUE AS recall_ok
+    """,
+)
+def ann_cosine_pq_top1(spark, sf_dir):
+    """Product-quantization cosine top-1 recall contract
+    (ann/search.py cosine_topk_pq, Jégou et al. TPAMI 2011): targets
+    compress to m=8 one-byte codes (64× smaller than the float64
+    vectors — the representation that extends the broadcast tier into
+    the multi-million-target range), ADC scores every target with 8
+    uint8 gathers, and only refine·k=64 candidates per query are
+    exact-rescored. Floor 0.55 is the measured recall@1 on the
+    isotropic gate embeddings (ANN's worst case — the clustered-fixture
+    pytest pins ≥0.8); tests also pin refine=∞ == brute force exactly."""
+    from .ann.search import (
+        cosine_topk_bruteforce, cosine_topk_pq, topk_recall_contract,
+    )
+
+    e = _spread(_t(spark, sf_dir, "embeddings"))
+    pq = cosine_topk_pq(e, e, k=1, m=8, n_codes=16, refine=64)
+    brute = cosine_topk_bruteforce(e, e, k=1)
+    return topk_recall_contract(pq, brute, floor=0.55)
+
+
+@q(
     "embedding_label_centroids",
     """
     WITH e AS (SELECT label, unnest(embedding) AS v,
@@ -4666,6 +4694,9 @@ _DRIVER_WINDOW = [
     # audio resample (line_merge_chain rotated out: r3 kernel with
     # pytest goldens, local-green since r3)
     "audio_resample_abs_sum",
+    # PQ ANN (crosses_segments rotated out: DE-9IM kernel with dense
+    # pytest goldens, local-green since r2)
+    "ann_cosine_pq_top1",
 ]
 _DRIVER_WINDOW.remove("touches_overlaps_boxes")
 _DRIVER_WINDOW.remove("skew_area_box")
@@ -4675,6 +4706,7 @@ _DRIVER_WINDOW.remove("audio_decode_ulaw_abs_sum")
 _DRIVER_WINDOW.remove("mbc_radius_ngon")
 _DRIVER_WINDOW.remove("geojson_roundtrip_area")
 _DRIVER_WINDOW.remove("line_merge_chain")
+_DRIVER_WINDOW.remove("crosses_segments")
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

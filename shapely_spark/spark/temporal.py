@@ -73,6 +73,10 @@ def asof_join(
         right_ts = left_ts
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    reserved = {"__ts", "__p", "__side", "__m", "__asof_ts"}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(f"left columns collide with asof internals: {sorted(clash)}")
 
     payload_cols = [c for c in right.columns if c not in (*on, right_ts)]
     out_names = {
@@ -126,9 +130,12 @@ def asof_join(
 
 
 def _bucket(c: Column, width: int) -> Column:
-    """Exact integer floor-division for non-negative epoch columns: the
-    (c - c % w) numerator is an exact double and its division by w is a
-    correctly-rounded integer, so no fp-floor boundary slips."""
+    """Exact integer bucketing: the (c - c % w) numerator is an exact
+    double and its division by w is a correctly-rounded integer, so no
+    fp-floor boundary slips. Spark's truncation-style % makes this
+    ceil-division for negatives — still MONOTONE, and both sides share
+    the map, so the interval's sequence(bucket(s), bucket(e-1)) covers
+    every bucket its points can land in regardless of sign."""
     return ((c - (c % F.lit(width))) / F.lit(width)).cast("long")
 
 
@@ -143,7 +150,7 @@ def range_join(
 ) -> DataFrame:
     """Inner-join each point row to every interval row whose half-open
     window [start, end) contains point_ts (and whose `on` key matches,
-    when given). ts/start/end must be non-negative numerics in the same
+    when given). ts/start/end are numerics (either sign) in the same
     unit (e.g. unix_micros); `bucket` is the bucketing width in that
     unit (default 10 min of microseconds).
 

@@ -137,3 +137,18 @@ def test_kmv_ungrouped_and_null_keys(spark):
     df = spark.createDataFrame([(i,) for i in range(200)] + [(None,)], "uid long")
     r = kmv_distinct(df, key="uid", k=32).collect()[0]
     assert r.n_kept == 32 and r.est_distinct == pytest.approx(200, rel=0.6)
+
+
+def test_range_join_negative_domain(spark):
+    # truncation-mod bucketing is monotone for either sign; pairs must
+    # still match brute force when ts straddle zero
+    pts = [(k, t) for k in (0, 1) for t in range(-40, 40, 7)]
+    ivs = [(0, 0, -35, -5), (1, 0, -10, 12), (2, 1, -100, 100), (3, 1, 5, 6)]
+    p = spark.createDataFrame(pts, "k int, t long")
+    i = spark.createDataFrame(ivs, "iid int, k int, s long, e long")
+    from shapely_spark.spark.temporal import range_join
+    got = {(r.iid, r.t) for r in
+           range_join(p, i, point_ts="t", start="s", end="e", on="k", bucket=16).collect()}
+    brute = {(iid, t) for (pk, t) in pts for (iid, k, s, e) in ivs
+             if pk == k and s <= t < e}
+    assert got == brute

@@ -681,3 +681,57 @@ def test_remove_duplicate_spans_short_docs_untouched(spark):
     out = remove_duplicate_spans(df, window=8, stride=4, min_docs=2).collect()
     assert all(r.n_removed == 0 for r in out)
     assert {r.clean_text for r in out} == {"tiny doc"}
+
+
+# ---------------------------------------------------------------------------
+# product quantization (ann/search.py PQ tier)
+# ---------------------------------------------------------------------------
+
+def test_pq_roundtrip_shapes_and_determinism():
+    from shapely_spark.ann.search import pq_encode, pq_reconstruct, pq_train
+
+    rng = np.random.RandomState(4)
+    T = rng.normal(size=(200, 32))
+    T /= np.linalg.norm(T, axis=1, keepdims=True)
+    books = pq_train(T, m=8, n_codes=16)
+    codes = pq_encode(T, books)
+    assert books.shape == (8, 16, 4) and codes.shape == (200, 8)
+    assert codes.dtype == np.uint8
+    assert np.array_equal(codes, pq_encode(T, pq_train(T, m=8, n_codes=16)))
+    # finer quantization strictly reduces mean distortion
+    coarse = np.linalg.norm(T - pq_reconstruct(codes, books), axis=1).mean()
+    b2 = pq_train(T, m=16, n_codes=32)
+    fine = np.linalg.norm(T - pq_reconstruct(pq_encode(T, b2), b2), axis=1).mean()
+    assert fine < coarse
+    with pytest.raises(ValueError):
+        pq_train(T, m=5)
+
+
+def test_pq_full_refine_matches_bruteforce(spark, vectors):
+    """refine >= n_targets exact-rescoring every candidate must reproduce
+    brute force exactly (the ADC stage only orders candidates)."""
+    from shapely_spark.ann.search import cosine_topk_bruteforce, cosine_topk_pq
+
+    bf = {(r.vec_id, r.target_id, r.rank) for r in
+          cosine_topk_bruteforce(vectors, vectors, k=2).collect()}
+    pq = {(r.vec_id, r.target_id, r.rank) for r in
+          cosine_topk_pq(vectors, vectors, k=2, m=8, n_codes=16,
+                         refine=1000).collect()}
+    assert pq == bf
+
+
+def test_pq_clustered_recall_and_self_exclusion(spark):
+    from shapely_spark.ann.search import cosine_topk_bruteforce, cosine_topk_pq
+
+    rng = np.random.RandomState(9)
+    centers = rng.normal(size=(12, 32)) * 4.0
+    V = np.concatenate([c + rng.normal(size=(25, 32)) * 0.3 for c in centers])
+    rows = [(i, [float(x) for x in V[i]]) for i in range(len(V))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    brute = {r.vec_id: r.target_id for r in
+             cosine_topk_bruteforce(df, df, k=1).collect()}
+    pq = {r.vec_id: r.target_id for r in
+          cosine_topk_pq(df, df, k=1, m=8, n_codes=16, refine=32).collect()}
+    assert all(t != q for q, t in pq.items())          # self excluded
+    recall = sum(1 for q, t in pq.items() if brute[q] == t) / len(brute)
+    assert recall >= 0.8, f"PQ clustered top-1 recall {recall:.2f}"

@@ -65,7 +65,63 @@ def main() -> int:
             failures += 1
             print(f"FAIL  {name}: {ex}")
     failures += _codec_campaign(max(200, args.examples // 10), rnd)
+    failures += _transform_campaign(max(200, args.examples // 10), rnd)
     return 1 if failures else 0
+
+
+def _transform_campaign(n: int, rnd: int) -> int:
+    """Pixel/sample transform invariants at random shapes: constant
+    images/signals are fixed points of bilinear resize / linear resample
+    at ANY size ratio; exact 2× downscale equals average pooling; the
+    JVM-free dimension rule matches the kernel; MJPEG seek returns the
+    exact frame bytes for every stride."""
+    import numpy as np
+
+    from shapely_spark.multimodal.transform import (
+        encode_mjpeg, mjpeg_frames, resample_audio, resize_bilinear,
+        resize_image)
+
+    rng = np.random.default_rng(rnd ^ 0x5EED)
+    t0 = time.time()
+    failures = 0
+    for i in range(n):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        oh, ow = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        v = int(rng.integers(0, 256))
+        try:
+            out = resize_bilinear(np.full((h, w, 3), v, np.uint8), oh, ow)
+            assert out.shape == (oh, ow, 3) and (out == v).all(), "const resize"
+            img = rng.integers(0, 256, (2 * oh, 2 * ow, 3), dtype=np.uint8)
+            pool = np.rint(img.astype(np.float64)
+                           .reshape(oh, 2, ow, 2, 3).mean(axis=(1, 3)))
+            assert (resize_bilinear(img, oh, ow) == pool.astype(np.uint8)).all(), "2x"
+            cap = int(rng.integers(1, 50))
+            rh, rw = resize_image(np.zeros((h, w), np.uint8), cap).shape
+            m = max(h, w)
+            eh, ew = ((h, w) if m <= cap
+                      else (max(1, h * cap // m), max(1, w * cap // m)))
+            assert (rh, rw) == (eh, ew), "dims"
+            sig = np.full(int(rng.integers(1, 500)), float(v - 128))
+            sr_o = int(rng.choice([4000, 8000, 11025, 16000, 44100]))
+            y = resample_audio(sig, 16000, sr_o)
+            assert len(y) == len(sig) * sr_o // 16000, "resample len"
+            assert (y == np.float32(v - 128)).all(), "const resample"
+            frames = [rng.integers(0, 256, int(rng.integers(0, 64)),
+                                   dtype=np.uint8).tobytes()
+                      for _ in range(int(rng.integers(1, 9)))]
+            blob = encode_mjpeg(frames)
+            stride = int(rng.integers(1, 4))
+            keep = list(range(0, len(frames), stride))
+            assert mjpeg_frames(blob, keep) == [frames[j] for j in keep], "mjpeg"
+        except Exception as ex:
+            failures += 1
+            print(f"FAIL  transform invariants at case {i} "
+                  f"(h={h}, w={w}, oh={oh}, ow={ow}): {ex!r}")
+            break
+    if not failures:
+        print(f"OK    transform invariants: {n} cases × 6 properties "
+              f"[{time.time() - t0:.1f}s, seed={rnd}]")
+    return failures
 
 
 def _codec_campaign(n: int, rnd: int) -> int:
