@@ -118,6 +118,28 @@ def foreach_batch_dwithin_join(targets: DataFrame, radius_km: float,
 
     return fn
 
+def foreach_batch_asof_join(right: DataFrame, on, left_ts: str = "ts",
+                            **asof_kwargs):
+    """foreachBatch callback running the batch as-of join
+    (spark/temporal.asof_join, r4) of each arriving micro-batch against
+    a STATIC right side (e.g. the reference snapshot table). Every left
+    row's match depends only on that static right, so rows are
+    independent across micro-batches (no state) and the streaming union
+    equals the batch result partitioned by arrival — the same
+    equivalence contract the spatial/kNN/dwithin twins test. A
+    stream-vs-stream as-of (right side still arriving) is a genuinely
+    stateful operator: route that through watermarked
+    applyInPandasWithState instead; per-batch asof would miss late
+    right rows."""
+    from ..spark.temporal import asof_join
+
+    def fn(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return asof_join(batch_df, right, on=on, left_ts=left_ts,
+                         **asof_kwargs)
+
+    return fn
+
+
 def foreach_batch_decontaminate(eval_ngrams_df: DataFrame, n: int = 13):
     """foreachBatch callback running benchmark decontamination
     (text/decontam.decontaminate) per micro-batch of arriving documents.

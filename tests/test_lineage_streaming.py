@@ -373,3 +373,48 @@ def test_streaming_foreach_batch_decontaminate(spark, tmp_path):
     assert set(results) == want
     assert {d for d, _ in results} >= {200 + i for i in range(5)}
     ev.unpersist()
+
+
+def test_streaming_foreach_batch_asof_join(spark, tmp_path):
+    """Streaming twin of the as-of join (r4): each micro-batch of pages
+    asof-joins its warc_ts against a static snapshot table; the
+    streaming union must equal the batch result over the same files
+    (stateless against a static right — per-row matches don't depend on
+    batching)."""
+    from shapely_spark.spark.temporal import asof_join
+    from shapely_spark.streaming.pipeline import (
+        foreach_batch_asof_join, read_pages_stream)
+
+    src = str(tmp_path / "landing_asof")
+    synth_pages(spark, 800).write.mode("overwrite").parquet(src)
+    snaps = spark.createDataFrame(
+        [(s, f"2026-01-01 00:0{m}:00", float(s * 10 + m))
+         for s in range(6) for m in range(10)],
+        "site long, snap_ts string, snap_val double",
+    ).selectExpr("site", "CAST(snap_ts AS TIMESTAMP) AS snap_ts", "snap_val")
+
+    def with_site(df):
+        return df.selectExpr(
+            "url", "warc_ts",
+            "CAST(regexp_extract(url, 'site([0-9]+)', 1) AS LONG) % 6 AS site",
+        )
+
+    fn = foreach_batch_asof_join(snaps, on="site", left_ts="warc_ts",
+                                 right_ts="snap_ts")
+    results = set()
+
+    def sink(batch_df, batch_id):
+        out = fn(with_site(batch_df), batch_id)
+        results.update((r.url, r.snap_val) for r in
+                       out.select("url", "snap_val").collect())
+
+    q = (read_pages_stream(spark, src, max_files=1)
+         .writeStream.foreachBatch(sink).trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    want = {(r.url, r.snap_val) for r in
+            asof_join(with_site(spark.read.parquet(src)), snaps,
+                      on="site", left_ts="warc_ts", right_ts="snap_ts")
+            .select("url", "snap_val").collect()}
+    assert results == want and len(want) > 0
+    assert any(v is not None for _, v in want)
