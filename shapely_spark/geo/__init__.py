@@ -51,3 +51,11 @@ from .inspection import (  # noqa: F401
     get_srid, get_type_id, has_m, has_z, is_empty, set_srid, transform,
 )
 from .ops import linemerge, orient, unary_union  # noqa: F401
+# OO class veneer LAST: it binds methods onto Geometry and delegates to
+# every module above (reference shapely/geometry package).
+from .geometry import (  # noqa: F401
+    CAP_STYLE, GeometryCollection, GeometryTypeError, JOIN_STYLE,
+    LinearRing, LineString, MultiLineString, MultiPoint, MultiPolygon,
+    Point, Polygon, mapping, shape,
+)
+from . import geometry  # noqa: F401

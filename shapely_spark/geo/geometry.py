@@ -1,0 +1,519 @@
+"""The reference's object-oriented geometry class API.
+
+Reference surface: shapely/geometry/__init__.py (Point, LineString,
+LinearRing, Polygon, MultiPoint, MultiLineString, MultiPolygon,
+GeometryCollection, box, shape, mapping, CAP_STYLE, JOIN_STYLE) and the
+method/property veneer shapely/geometry/base.py — every OO member
+delegates to the same module function the array API uses (e.g.
+base.py:819-823 `contains` -> `shapely.contains(self, other)`), so this
+module is a THIN binding layer: typed constructors over the existing
+`geom.Geometry` scalar plus properties/methods bound onto it, all
+delegating to kernels/constructive/overlay. No new geometry math lives
+here.
+
+Why the binding happens here and not in geom.py: the method bodies need
+kernels/constructive/overlay, which import geom — the same layering
+reason the reference keeps `base.py` separate from the C ufuncs. The
+classes are real subclasses of Geometry (isinstance(Point(0, 1),
+Geometry) holds) and every veneer call re-tags its Geometry result to
+the matching subclass, so chains like
+`Point(0, 0).buffer(1).exterior.coords` work as they do in the
+reference.
+
+Equality/hash parity (reference base.py:154-171): `g1 == g2` is strict
+structural equality (same type, same coordinates in order, same Z/M —
+the reference's `equals_identical`, NOT the point-set `equals`), and
+geometries hash by their WKB so they work as dict keys. The dataclass
+default (field-tuple ==) raised on NumPy coords and set __hash__ to
+None, so nothing could have depended on the old behavior.
+"""
+
+from __future__ import annotations
+
+import array as _array
+
+import numpy as np
+
+from . import constructive as _C
+from . import kernels as _K
+from . import overlay as _O
+from .geojson import _geom_to_obj
+from .geom import (
+    GEOMETRYCOLLECTION, LINEARRING, LINESTRING, MULTILINESTRING,
+    MULTIPOINT, MULTIPOLYGON, POINT, POLYGON, Geometry, empty as _empty,
+    linearring as _linearring_fn, linestring as _linestring_fn,
+    point as _point_fn, polygon as _polygon_fn,
+)
+from .wkb import to_wkb as _to_wkb
+from .wkt import to_wkt as _to_wkt
+
+__all__ = [
+    "Point", "LineString", "LinearRing", "Polygon", "MultiPoint",
+    "MultiLineString", "MultiPolygon", "GeometryCollection",
+    "shape", "mapping", "CAP_STYLE", "JOIN_STYLE", "GeometryTypeError",
+]
+
+
+class GeometryTypeError(TypeError, ValueError):
+    """reference: shapely/errors.py:38 (raised by shape() on unknown types)."""
+
+
+class CAP_STYLE:
+    """reference: shapely/geometry/base.py enum-namespace compat."""
+    round = "round"
+    flat = "flat"
+    square = "square"
+
+
+class JOIN_STYLE:
+    round = "round"
+    mitre = "mitre"
+    bevel = "bevel"
+
+
+# --------------------------------------------------------------------------
+# typed constructors (reference shapely/geometry/{point,linestring,...}.py)
+# --------------------------------------------------------------------------
+
+def _adopt(self: Geometry, g: Geometry) -> None:
+    """Initialize `self`'s Geometry state from an existing scalar."""
+    Geometry.__init__(self, g.type_id, g.coords, g.rings, g.parts,
+                      g.has_z, g.has_m, g.srid, g.precision)
+
+
+def _dataclass_call(self, kw: dict) -> bool:
+    """dataclasses.replace() reconstructs via type(obj)(**all_fields)
+    (inspection.set_srid, wkb EWKB tagging do this on geometries that
+    may be retagged subclasses) — honor the generated-init convention:
+    a call carrying the `type_id` field keyword is a field-wise init."""
+    if "type_id" not in kw:
+        return False
+    Geometry.__init__(self, **kw)
+    return True
+
+
+def _coords_of(obj):
+    """Coordinate row(s) from a Geometry part or a plain sequence."""
+    if isinstance(obj, Geometry):
+        if obj.type_id == POINT:
+            return obj.coords[0]
+        return obj.coords
+    return obj
+
+
+class Point(Geometry):
+    """Point(x, y[, z]) | Point((x, y[, z])) | Point(point) | Point().
+
+    reference: shapely/geometry/point.py:22-88.
+    """
+
+    def __init__(self, *args, **kw):
+        if _dataclass_call(self, kw):
+            return
+        if not args:
+            _adopt(self, _empty(POINT))
+            return
+        if len(args) == 1:
+            a = args[0]
+            if isinstance(a, Geometry):
+                if a.type_id != POINT:
+                    raise GeometryTypeError(
+                        f"cannot build Point from {a.type_id}")
+                _adopt(self, a)
+                return
+            args = tuple(np.asarray(a, dtype=np.float64).ravel())
+        if len(args) not in (2, 3):
+            raise ValueError(f"Point takes 2 or 3 coordinates, got {len(args)}")
+        _adopt(self, _point_fn(*[float(v) for v in args]))
+
+
+class LineString(Geometry):
+    """LineString(coordinates) — rows of (x, y[, z]) tuples or Points.
+
+    reference: shapely/geometry/linestring.py:25-95.
+    """
+
+    def __init__(self, coordinates=None, **kw):
+        if _dataclass_call(self, kw):
+            return
+        if coordinates is None:
+            _adopt(self, _empty(LINESTRING))
+            return
+        if isinstance(coordinates, Geometry):
+            if coordinates.type_id not in (LINESTRING, LINEARRING):
+                raise GeometryTypeError("cannot build LineString from that type")
+            _adopt(self, Geometry(LINESTRING, coords=np.array(coordinates.coords),
+                                  has_z=coordinates.has_z, has_m=coordinates.has_m))
+            return
+        rows = [_coords_of(c) for c in coordinates]
+        if not rows:
+            _adopt(self, _empty(LINESTRING))
+            return
+        if len(rows) < 2:
+            raise ValueError("LineString needs at least 2 coordinate tuples")
+        a = np.asarray(rows, dtype=np.float64)
+        _adopt(self, Geometry(LINESTRING, coords=a, has_z=a.shape[1] >= 3))
+
+
+class LinearRing(LineString):
+    """Closed ring; auto-closes an open sequence (reference
+    shapely/geometry/polygon.py:47-96, creation.py:236)."""
+
+    def __init__(self, coordinates=None, **kw):
+        if _dataclass_call(self, kw):
+            return
+        if coordinates is None:
+            _adopt(self, _empty(LINEARRING))
+            return
+        if isinstance(coordinates, Geometry):
+            coordinates = [tuple(r) for r in np.asarray(coordinates.coords)]
+        rows = [_coords_of(c) for c in coordinates]
+        if not rows:
+            _adopt(self, _empty(LINEARRING))
+            return
+        g = _linearring_fn(np.asarray(rows, dtype=np.float64))
+        g.has_z = g.coords.shape[1] >= 3 if g.coords is not None else False
+        _adopt(self, g)
+
+
+class Polygon(Geometry):
+    """Polygon(shell, holes=None) — shell/holes are coordinate sequences
+    or LinearRings. reference: shapely/geometry/polygon.py:229-320."""
+
+    def __init__(self, shell=None, holes=None, **kw):
+        if _dataclass_call(self, kw):
+            return
+        if shell is None:
+            _adopt(self, _empty(POLYGON))
+            return
+        if isinstance(shell, Geometry) and shell.type_id == POLYGON:
+            _adopt(self, shell)
+            return
+        sh = LinearRing(shell)
+        hs = [LinearRing(h) for h in (holes or ())]
+        if sh.is_empty:
+            _adopt(self, _empty(POLYGON))
+            return
+        g = Geometry(POLYGON, rings=[sh.coords] + [h.coords for h in hs],
+                     has_z=sh.has_z)
+        _adopt(self, g)
+
+
+class MultiPoint(Geometry):
+    """reference: shapely/geometry/multipoint.py:18-75."""
+
+    def __init__(self, points=None, **kw):
+        if _dataclass_call(self, kw):
+            return
+        if points is None:
+            _adopt(self, _empty(MULTIPOINT))
+            return
+        parts = [p if isinstance(p, Geometry) else Point(p) for p in points]
+        _adopt(self, Geometry(MULTIPOINT, parts=[_retag(p) for p in parts],
+                              has_z=any(p.has_z for p in parts)))
+
+
+class MultiLineString(Geometry):
+    """reference: shapely/geometry/multilinestring.py:18-77."""
+
+    def __init__(self, lines=None, **kw):
+        if _dataclass_call(self, kw):
+            return
+        if lines is None:
+            _adopt(self, _empty(MULTILINESTRING))
+            return
+        parts = [l if isinstance(l, Geometry) else LineString(l) for l in lines]
+        _adopt(self, Geometry(MULTILINESTRING, parts=[_retag(p) for p in parts],
+                              has_z=any(p.has_z for p in parts)))
+
+
+class MultiPolygon(Geometry):
+    """MultiPolygon(polygons) — Polygon objects or (shell, holes) tuples.
+
+    reference: shapely/geometry/multipolygon.py:20-90."""
+
+    def __init__(self, polygons=None, **kw):
+        if _dataclass_call(self, kw):
+            return
+        if polygons is None:
+            _adopt(self, _empty(MULTIPOLYGON))
+            return
+        parts = []
+        for p in polygons:
+            if isinstance(p, Geometry):
+                parts.append(_retag(p))
+            else:  # (shell, holes) tuple, reference multipolygon.py:79
+                parts.append(Polygon(p[0], p[1] if len(p) > 1 else None))
+        _adopt(self, Geometry(MULTIPOLYGON, parts=parts,
+                              has_z=any(p.has_z for p in parts)))
+
+
+class GeometryCollection(Geometry):
+    """reference: shapely/geometry/collection.py:9-45."""
+
+    def __init__(self, geoms=None, **kw):
+        if _dataclass_call(self, kw):
+            return
+        if geoms is None:
+            _adopt(self, _empty(GEOMETRYCOLLECTION))
+            return
+        if isinstance(geoms, Geometry):
+            geoms = [geoms]
+        _adopt(self, Geometry(GEOMETRYCOLLECTION,
+                              parts=[_retag(g) for g in geoms]))
+
+
+_CLASS_BY_TYPE = {
+    POINT: Point, LINESTRING: LineString, LINEARRING: LinearRing,
+    POLYGON: Polygon, MULTIPOINT: MultiPoint,
+    MULTILINESTRING: MultiLineString, MULTIPOLYGON: MultiPolygon,
+    GEOMETRYCOLLECTION: GeometryCollection,
+}
+
+_GEOM_TYPE_NAMES = {
+    POINT: "Point", LINESTRING: "LineString", LINEARRING: "LinearRing",
+    POLYGON: "Polygon", MULTIPOINT: "MultiPoint",
+    MULTILINESTRING: "MultiLineString", MULTIPOLYGON: "MultiPolygon",
+    GEOMETRYCOLLECTION: "GeometryCollection",
+}
+
+
+def _retag(g):
+    """Upgrade a plain Geometry to its typed subclass IN PLACE (the
+    subclasses add no state, so reassigning __class__ is sound); typed
+    instances and None pass through."""
+    if g is not None and type(g) is Geometry:
+        cls = _CLASS_BY_TYPE.get(g.type_id)
+        if cls is not None:
+            g.__class__ = cls
+    return g
+
+
+# --------------------------------------------------------------------------
+# shape / mapping (reference shapely/geometry/geo.py:54,121)
+# --------------------------------------------------------------------------
+
+def _coords_empty(coordinates) -> bool:
+    if coordinates is None or len(coordinates) == 0:
+        return True
+    if isinstance(coordinates[0], (list, tuple)):
+        return all(_coords_empty(c) for c in coordinates)
+    return False
+
+
+def shape(context):
+    """GeoJSON-like dict (or object with __geo_interface__) -> typed
+    geometry. reference: shapely/geometry/geo.py:54."""
+    ob = getattr(context, "__geo_interface__", context)
+    geom_type = ob.get("type", "").lower()
+    if geom_type == "feature":
+        ob = ob["geometry"]
+        geom_type = ob.get("type", "").lower()
+    if "coordinates" in ob and _coords_empty(ob["coordinates"]):
+        by_name = {v.lower(): k for k, v in _GEOM_TYPE_NAMES.items()}
+        if geom_type not in by_name:
+            raise GeometryTypeError(f"Unknown geometry type: {geom_type!r}")
+        return _retag(_empty(by_name[geom_type]))
+    c = ob.get("coordinates")
+    if geom_type == "point":
+        return Point(c)
+    if geom_type == "linestring":
+        return LineString(c)
+    if geom_type == "linearring":
+        return LinearRing(c)
+    if geom_type == "polygon":
+        return Polygon(c[0], c[1:])
+    if geom_type == "multipoint":
+        return MultiPoint(c)
+    if geom_type == "multilinestring":
+        return MultiLineString(c)
+    if geom_type == "multipolygon":
+        return MultiPolygon([(p[0], p[1:]) for p in c])
+    if geom_type == "geometrycollection":
+        return GeometryCollection([shape(g) for g in ob.get("geometries", [])])
+    raise GeometryTypeError(f"Unknown geometry type: {geom_type!r}")
+
+
+def mapping(ob) -> dict:
+    """Geometry (or __geo_interface__ object) -> GeoJSON-like dict.
+    reference: shapely/geometry/geo.py:121."""
+    if isinstance(ob, Geometry):
+        return _geom_to_obj(ob)
+    return ob.__geo_interface__
+
+
+# --------------------------------------------------------------------------
+# the OO veneer bound onto Geometry (reference shapely/geometry/base.py)
+# --------------------------------------------------------------------------
+
+def _prop(fn):
+    return property(fn)
+
+
+def _geo_eq(self, other):
+    if not isinstance(other, Geometry):
+        return NotImplemented
+    return self.equals_identical(other)
+
+
+def _geo_hash(self):
+    return hash(_to_wkb(self))
+
+
+def _install_oo_api() -> None:
+    """Bind the reference's base.py members onto Geometry. Runs once at
+    package import (geo/__init__ imports this module), so every
+    Geometry — whatever constructed it — carries the OO surface."""
+    G = Geometry
+
+    # equality + hash (module docstring: equals_identical / WKB hash)
+    G.__eq__ = _geo_eq
+    G.__ne__ = lambda self, other: (
+        NotImplemented if not isinstance(other, Geometry)
+        else not self.equals_identical(other))
+    G.__hash__ = _geo_hash
+    G.__bool__ = lambda self: not self.is_empty
+    G.__str__ = lambda self: self.wkt
+
+    # scalar measurement / construction properties
+    G.area = _prop(lambda self: _K.area(self))
+    G.length = _prop(lambda self: _K.length(self))
+    G.bounds = _prop(lambda self: tuple(float(v) for v in _K.bounds(self)))
+    G.centroid = _prop(lambda self: _retag(_C.centroid(self)))
+    G.convex_hull = _prop(lambda self: _retag(_C.convex_hull(self)))
+    G.envelope = _prop(lambda self: _retag(_C.envelope(self)))
+    G.boundary = _prop(lambda self: _retag(_C.boundary(self)))
+    G.oriented_envelope = _prop(
+        lambda self: _retag(_C.oriented_envelope(self)))
+    G.minimum_rotated_rectangle = G.oriented_envelope
+    G.minimum_clearance = _prop(lambda self: _C.minimum_clearance(self))
+    G.geom_type = _prop(lambda self: _GEOM_TYPE_NAMES[self.type_id])
+    G.wkt = _prop(lambda self: _to_wkt(self, rounding_precision=-1))
+    G.wkb = _prop(lambda self: _to_wkb(self))
+    G.wkb_hex = _prop(lambda self: _to_wkb(self, hex=True))
+    G.__geo_interface__ = _prop(_geom_to_obj)
+
+    # validity / shape predicates as properties (base.py:650-760)
+    G.is_valid = _prop(lambda self: _K.is_valid(self))
+    G.is_simple = _prop(lambda self: _K.is_simple(self))
+    G.is_ring = _prop(lambda self: _K.is_ring(self))
+    G.is_closed = _prop(lambda self: _K.is_closed(self))
+    G.is_ccw = _prop(lambda self: _K.is_ccw(self))
+
+    # structure accessors
+    def _geoms(self):
+        if self.parts is None:
+            raise AttributeError(
+                f"{self.geom_type} has no parts; .geoms is for Multi*/"
+                "GeometryCollection")
+        return [_retag(p) for p in self.parts]
+
+    def _coords(self):
+        if self.type_id == POLYGON:
+            raise NotImplementedError(
+                "Polygon has no coords; use .exterior.coords")  # base.py:271
+        if self.coords is None:
+            return []
+        return [tuple(float(v) for v in row) for row in np.asarray(self.coords)]
+
+    def _xy(self):
+        cs = _coords(self)
+        return (_array.array("d", [c[0] for c in cs]),
+                _array.array("d", [c[1] for c in cs]))
+
+    def _exterior(self):
+        if self.type_id != POLYGON:
+            raise AttributeError(".exterior is Polygon-only")
+        if not self.rings:
+            return _retag(_empty(LINEARRING))
+        return _retag(Geometry(LINEARRING, coords=np.array(self.rings[0]),
+                               has_z=self.has_z))
+
+    def _interiors(self):
+        if self.type_id != POLYGON:
+            raise AttributeError(".interiors is Polygon-only")
+        return [
+            _retag(Geometry(LINEARRING, coords=np.array(r), has_z=self.has_z))
+            for r in (self.rings or [])[1:]
+        ]
+
+    def _coord_scalar(self, i, name):
+        if self.type_id != POINT or self.is_empty:
+            raise ValueError(f".{name} is for non-empty Point only")
+        if i >= self.coords.shape[1]:
+            raise ValueError(f"point has no {name}")
+        return float(self.coords[0, i])
+
+    G.geoms = _prop(_geoms)
+    # NOTE: `coords` is also the dataclass FIELD holding the raw (n, ndim)
+    # array for point/line types. The property below shadows it with the
+    # reference's list-of-tuples view; the raw array stays reachable via
+    # vars(g)["coords"], and every internal module reads it through
+    # __dict__ (instance attribute lookup on a plain attribute) — but a
+    # property on the class TAKES PRECEDENCE over the instance dict, so
+    # shadowing the field would break every kernel. Bind the reference
+    # view under the OO-only name and alias the raw field instead:
+    G.coord_tuples = _prop(_coords)
+    G.xy = _prop(_xy)
+    G.exterior = _prop(_exterior)
+    G.interiors = _prop(_interiors)
+    def _z(self):
+        if not self.has_z:
+            raise ValueError("point has no z")
+        return _coord_scalar(self, 2, "z")
+
+    G.x = _prop(lambda self: _coord_scalar(self, 0, "x"))
+    G.y = _prop(lambda self: _coord_scalar(self, 1, "y"))
+    G.z = _prop(_z)
+
+    # unary constructive methods
+    G.buffer = lambda self, distance, *a, **kw: _retag(
+        _C.buffer(self, distance, *a, **kw))
+    G.simplify = lambda self, tolerance, preserve_topology=True: _retag(
+        _C.simplify(self, tolerance, preserve_topology))
+    G.segmentize = lambda self, max_segment_length: _retag(
+        _C.segmentize(self, max_segment_length))
+    G.reverse = lambda self: _retag(_C.reverse(self))
+    G.normalize = lambda self: _retag(_C.normalize(self))
+    G.point_on_surface = lambda self: _retag(_C.point_on_surface(self))
+    G.representative_point = G.point_on_surface
+    G.make_valid = lambda self: _retag(_O.make_valid(self))
+
+    # binary measures / predicates
+    G.distance = lambda self, other: _K.distance(self, other)
+    G.hausdorff_distance = lambda self, other, densify=None: \
+        _K.hausdorff_distance(self, other, densify)
+    G.frechet_distance = lambda self, other, densify=None: \
+        _K.frechet_distance(self, other, densify)
+    G.relate = lambda self, other: _K.relate(self, other)
+    G.relate_pattern = lambda self, other, pattern: \
+        _K.relate_pattern(self, other, pattern)
+    for name in ("intersects", "disjoint", "contains", "contains_properly",
+                 "within", "covers", "covered_by", "crosses", "touches",
+                 "overlaps", "equals"):
+        setattr(G, name, (lambda f: lambda self, other: f(self, other))(
+            getattr(_K, name)))
+    G.dwithin = lambda self, other, distance: _K.dwithin(self, other, distance)
+
+    # set operations + operator overloads (base.py:558-648)
+    G.intersection = lambda self, other, grid_size=0.0: _retag(
+        _O.intersection(self, other, grid_size))
+    G.union = lambda self, other, grid_size=0.0: _retag(
+        _O.union(self, other, grid_size))
+    G.difference = lambda self, other, grid_size=0.0: _retag(
+        _O.difference(self, other, grid_size))
+    G.symmetric_difference = lambda self, other, grid_size=0.0: _retag(
+        _O.symmetric_difference(self, other, grid_size))
+    G.__and__ = lambda self, other: self.intersection(other)
+    G.__or__ = lambda self, other: self.union(other)
+    G.__sub__ = lambda self, other: self.difference(other)
+    G.__xor__ = lambda self, other: self.symmetric_difference(other)
+
+    # linear referencing (base.py:958-1022: OO project/interpolate)
+    G.interpolate = lambda self, distance, normalized=False: _retag(
+        _C.line_interpolate_point(self, distance, normalized))
+    G.project = lambda self, other, normalized=False: \
+        _C.line_locate_point(self, other, normalized)
+
+
+_install_oo_api()
