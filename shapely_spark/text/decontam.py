@@ -33,12 +33,19 @@ from pyspark.sql import functions as F
 def ngrams_col(text_col, n: int, sep: str = " "):
     """Word n-gram array (with duplicates), JVM-side. Docs shorter than
     n tokens yield an empty array — element_at throws on OOB under
-    Spark 4 ANSI mode, so short docs are guarded, not clamped."""
+    Spark 4 ANSI mode, so short docs are guarded, not clamped.
+
+    Built as a zip_with chain over n shifted slices, NOT
+    slice(w, i+1, n) inside a transform lambda: an outer array
+    expression referenced inside a HOF lambda is re-evaluated PER
+    ELEMENT (the whole split(text) again for every gram — O(tokens²)
+    per doc). Slices are HOF inputs, evaluated once per row."""
     w = F.split(text_col, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(sep, F.slice(w, i + 1, n)),
-    )
+    m = F.size(w) - n + 1
+    grams = F.slice(w, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(grams, F.slice(w, 1 + j, m),
+                           lambda a, b: F.concat_ws(sep, a, b))
     return F.when(F.size(w) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )

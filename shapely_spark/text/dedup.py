@@ -47,15 +47,22 @@ HARD_MAX_BUCKET = 65536
 def shingles_col(text_col, n: int = 3):
     """Word n-gram shingle array (distinct), JVM-side. Docs shorter than n
     tokens yield an empty array (element_at throws on OOB in Spark 4, so
-    short docs must be guarded, not clamped)."""
+    short docs must be guarded, not clamped).
+
+    Built as a zip_with chain over n shifted slices, NOT element_at(w, i)
+    inside a transform lambda: an outer array expression referenced
+    inside a HOF lambda is re-evaluated PER ELEMENT (the whole
+    split(text) again for every shingle — O(tokens²) per doc, measured
+    100× on 2k-token docs). The slices are HOF *inputs*, evaluated once
+    per row."""
     w = F.split(text_col, " ")
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - n),
-            lambda i: F.concat_ws("\x01", *[F.element_at(w, i + j + 1) for j in range(n)]),
-        )
-    )
-    return F.when(F.size(w) >= n, sh).otherwise(F.array().cast("array<string>"))
+    m = F.size(w) - n + 1
+    sh = F.slice(w, 1, m)
+    for j in range(1, n):
+        sh = F.zip_with(sh, F.slice(w, 1 + j, m),
+                        lambda a, b: F.concat_ws("\x01", a, b))
+    return F.when(F.size(w) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>"))
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -423,7 +430,15 @@ def duplicate_spans(
     shuffle widths where long string keys dominate the wire, group by
     (xxhash64(span), span-sample) instead — identical counts short of a
     64-bit collision."""
-    toks = F.split(F.col(text_col), " ")
+    # Materialize the token array as a COLUMN before the transform: the
+    # lambda below slices it per start index, and an outer *expression*
+    # (the split itself) referenced inside a HOF lambda is re-evaluated
+    # per element — O(tokens²/stride) per doc. An attribute reference is
+    # a row lookup; the multi-referenced non-trivial alias survives
+    # CollapseProject (the with_geo materialization rule).
+    base = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    toks = F.col("__toks")
     starts = F.when(
         F.size(toks) >= window,
         F.sequence(F.lit(0), F.size(toks) - window, F.lit(stride)),
@@ -432,7 +447,7 @@ def duplicate_spans(
         F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)))
     )
     return (
-        docs.select(F.col(id_col), span.alias("span"))
+        base.select(F.col(id_col), span.alias("span"))
         .groupBy("span")
         .agg(F.countDistinct(id_col).alias("n_docs"), F.count("*").alias("n_occ"))
         .where(F.col("n_occ") >= min_count)
