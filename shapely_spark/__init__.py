@@ -25,6 +25,17 @@ def __getattr__(name):
             "shapely_spark.spark.geometry_cols", "register_sql_functions"),
         "geo": ("shapely_spark.geo", None),
     }
+    # reference 2.x top-level idiom: `from shapely import Point` — the OO
+    # classes + shape/mapping resolve lazily through the geo package
+    oo = {"Point", "LineString", "LinearRing", "Polygon", "MultiPoint",
+          "MultiLineString", "MultiPolygon", "GeometryCollection",
+          "Geometry", "STRtree", "shape", "mapping",
+          "from_wkt", "to_wkt", "from_wkb", "to_wkb",
+          "from_geojson", "to_geojson", "box"}
+    if name in oo:
+        import importlib
+
+        return getattr(importlib.import_module("shapely_spark.geo"), name)
     if name in surface:
         import importlib
 

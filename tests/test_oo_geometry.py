@@ -24,6 +24,16 @@ from shapely_spark.geo.wkt import from_wkt
 SQ = [(0, 0), (1, 0), (1, 1), (0, 1)]
 
 
+def test_top_level_reference_idiom():
+    """reference 2.x: `from shapely import Point, box` works at top level."""
+    import shapely_spark as ss
+
+    assert ss.Point(1, 2).x == 1.0
+    assert ss.box(0, 0, 2, 2).area == 4.0
+    assert ss.shape({"type": "Point", "coordinates": [3, 4]}).y == 4.0
+    assert ss.mapping(ss.Point(0, 1))["type"] == "Point"
+
+
 class TestConstructors:
     def test_point_forms(self):
         assert Point(1, 2).x == 1.0
