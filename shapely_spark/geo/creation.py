@@ -77,10 +77,14 @@ def linestrings(coords, y=None, z=None, indices=None):
 
 
 def polygons(geometries, holes=None, indices=None):
-    """Build polygons from shell rings (+ optional hole rings).
-    reference: shapely/creation.py:334 — geometries are rings (LINEARRING
-    geometries or coordinate arrays); with indices=, holes are grouped to
-    the shell of the same index."""
+    """Build polygons from rings. reference: shapely/creation.py:334 —
+    without ``indices`` the geometries are outer shells (rings or
+    coordinate arrays; a bare (N, 2+) coordinate array is ONE shell) and
+    ``holes`` attaches hole rings per shell. With ``indices`` the holes
+    are expected INSIDE ``geometries``: the first ring per index is the
+    shell and subsequent rings of that index are its holes; ``holes``
+    must not be combined with ``indices`` and missing indices raise
+    ValueError (reference docstring lines 344-355)."""
     def ring_coords(r):
         if r is None:
             return None
@@ -88,30 +92,78 @@ def polygons(geometries, holes=None, indices=None):
             return r.coords
         return np.asarray(r, dtype=np.float64)
 
-    if isinstance(geometries, Geometry) or (
-            not isinstance(geometries, (list, tuple)) and np.asarray(geometries, dtype=object).ndim == 0):
+    if isinstance(geometries, Geometry):
         geometries = [geometries]
+        single = indices is None
+    else:
+        try:
+            arr = np.asarray(geometries, dtype=np.float64)
+        except (TypeError, ValueError):
+            arr = None
+        if arr is not None and arr.ndim == 2:
+            # a bare coordinate array is a single shell
+            # (reference example: polygons([[0,0],[0,10],...]) → 1 POLYGON)
+            geometries = [arr]
+            single = indices is None
+        else:
+            geometries = list(geometries)
+            single = False
+
+    if indices is not None:
+        if holes is not None:
+            raise ValueError(
+                "holes must not be combined with indices (reference "
+                "shapely/creation.py:346)")
+        idx = _checked_indices(indices, len(geometries))
+        grouped: dict[int, list] = {}
+        for i, g in zip(idx, geometries):
+            if g is not None:
+                grouped.setdefault(int(i), []).append(ring_coords(g))
+        out = []
+        for u in sorted(grouped):
+            rings = grouped[u]
+            out.append(polygon(rings[0], rings[1:]))
+        return out
+
     shells = [ring_coords(g) for g in geometries]
     if holes is None:
-        return [polygon(s) for s in shells]
-    if indices is None:
+        out = [polygon(s) for s in shells]
+        return out[0] if single else out
+    if len(shells) == 1:
         hs = [ring_coords(h) for h in holes if h is not None]
-        if len(shells) != 1:
-            raise ValueError("holes without indices need a single shell")
-        return [polygon(shells[0], hs)]
+        p = polygon(shells[0], hs)
+        return p if single else [p]
+    if len(holes) != len(shells):
+        raise ValueError(
+            "holes must be one list of hole rings per shell")
+    return [
+        polygon(s, [ring_coords(h) for h in hs_i if h is not None])
+        for s, hs_i in zip(shells, holes)
+    ]
+
+
+def _checked_indices(indices, n_geoms: int) -> np.ndarray:
+    """Validate an ``indices=`` array per the reference ufunc contract:
+    same length as the geometries, non-decreasing, and no gaps (missing
+    indices raise ValueError — reference shapely/creation.py:353)."""
     idx = np.asarray(indices)
-    grouped: dict[int, list] = {}
-    for i, h in zip(idx, holes):
-        if h is not None:
-            grouped.setdefault(int(i), []).append(ring_coords(h))
-    return [polygon(s, grouped.get(i, [])) for i, s in enumerate(shells)]
+    if len(idx) != n_geoms:
+        raise ValueError("indices length must match geometries")
+    if len(idx) and np.any(np.diff(idx) < 0):
+        raise ValueError("indices should be in increasing order")
+    if len(idx):
+        present = np.unique(idx)
+        expected = np.arange(int(present[0]), int(present[-1]) + 1)
+        if len(present) != len(expected) or np.any(present != expected):
+            raise ValueError("missing indices in indices array")
+    return idx
 
 
 def _grouped(geometries, indices, build, empty_tid):
     geoms = list(geometries)
     if indices is None:
         return build(geoms)
-    idx = np.asarray(indices)
+    idx = _checked_indices(indices, len(geoms))
     out = []
     for u in np.unique(idx):
         members = [g for g, i in zip(geoms, idx) if i == u and g is not None]

@@ -88,11 +88,15 @@ def cell_parent(cell, res: int = DEFAULT_RES, parent_res: int | None = None):
 
 def cell_children(cell: int, res: int = DEFAULT_RES, child_res: int | None = None) -> np.ndarray:
     """All 4^Δ children at a finer resolution (H3 cell_to_children analog);
-    inverse of cell_parent (parent of every child is `cell`)."""
+    inverse of cell_parent (parent of every child is `cell`). The -1
+    NULL-island sentinel has no children: it propagates as a single -1,
+    mirroring cell_parent's sentinel handling."""
     if child_res is None:
         child_res = res + 1
     if child_res < res:
         raise ValueError(f"child_res {child_res} < res {res}")
+    if int(cell) < 0:
+        return np.array([-1], dtype=np.int64)
     s = 1 << (child_res - res)
     n = grid_n(res)
     ix, iy = int(cell % n), int(cell // n)

@@ -93,10 +93,14 @@ def knn_join(
     still escalates instead of brute-forcing. The counts make the plan
     build partially EAGER (one count job per pass over the persisted
     remainder); set escalate_min_yield=0.0 to force every configured
-    ring, or ring_growth=() to disable escalation.
+    ring, or ring_growth=() to disable escalation — with stats=None that
+    also skips every count/persist and returns a fully LAZY plan (the
+    streaming twin runs this shape per micro-batch).
 
     Pass `stats={}` to also record `points` and `unsafe_fraction` for
-    the first pass (one extra count job over the full input)."""
+    the first pass, plus `persisted`: the cached remainder DataFrames
+    (they stay in the returned plan's lineage; unpersist them after
+    consuming the result in a long-lived session)."""
     plat, plon = point_cols
     tlat, tlon = target_cols
     n = grid_n(res)
@@ -181,27 +185,40 @@ def knn_join(
         unsafe = pts.join(safe, point_id, "left_anti").drop("__g")
         return exact, unsafe
 
-    n_points = base_pts.count()
     out, remaining = disk_pass(base_pts, k_ring)
-    remaining = remaining.persist()
-    n_unsafe = remaining.count()
-    if stats is not None:
-        stats["points"] = n_points
-        stats[f"unsafe_after_pass_{k_ring}"] = n_unsafe
-        stats["unsafe_fraction"] = round(n_unsafe / max(1, n_points), 6)
-    certified = n_points - n_unsafe
-    entered = n_points
-    for mult in ring_growth:
-        if n_unsafe == 0 or certified < escalate_min_yield * max(1, entered):
-            break  # previous pass barely certified — wider rings won't
-        exact, remaining = disk_pass(remaining, k_ring * mult)
+    persisted: list[DataFrame] = []
+    if ring_growth or stats is not None:
+        # eager counts run ONLY when the yield gate or stats need them;
+        # ring_growth=() with stats=None builds a fully lazy plan (the
+        # streaming twin's per-micro-batch path)
+        n_points = base_pts.count()
         remaining = remaining.persist()
-        entered = n_unsafe
+        persisted.append(remaining)
         n_unsafe = remaining.count()
-        certified = entered - n_unsafe
-        out = out.unionByName(exact)
         if stats is not None:
-            stats[f"unsafe_after_pass_{k_ring * mult}"] = n_unsafe
+            stats["points"] = n_points
+            stats[f"unsafe_after_pass_{k_ring}"] = n_unsafe
+            stats["unsafe_fraction"] = round(n_unsafe / max(1, n_points), 6)
+        certified = n_points - n_unsafe
+        entered = n_points
+        for mult in ring_growth:
+            if n_unsafe == 0 or certified < escalate_min_yield * max(1, entered):
+                break  # previous pass barely certified — wider rings won't
+            exact, remaining = disk_pass(remaining, k_ring * mult)
+            remaining = remaining.persist()
+            persisted.append(remaining)
+            entered = n_unsafe
+            n_unsafe = remaining.count()
+            certified = entered - n_unsafe
+            out = out.unionByName(exact)
+            if stats is not None:
+                stats[f"unsafe_after_pass_{k_ring * mult}"] = n_unsafe
+    if stats is not None:
+        # the cached remainders stay in the returned plan's lineage (each
+        # pass's exact rows read from them), so they cannot be unpersisted
+        # here without forcing a recompute at action time — hand the
+        # handles to the caller for cleanup after the result is consumed
+        stats["persisted"] = persisted
 
     # ---- final pass: exact brute force for the residual ------------------
     # Either form assumes a broadcastable target layer. ties='break' (the

@@ -161,6 +161,10 @@ def range_join(
     suffixed '_i' on the interval side.
     """
     on = [] if on is None else _as_list(on)
+    clash = {"__b"} & (set(points.columns) | set(intervals.columns))
+    if clash:
+        raise ValueError(
+            f"input columns collide with range_join internals: {sorted(clash)}")
     icols = [c for c in intervals.columns if c not in on]
     iout = {c: (c + "_i" if c in points.columns else c) for c in icols}
 

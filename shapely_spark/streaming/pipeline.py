@@ -94,8 +94,12 @@ def foreach_batch_knn_join(targets: DataFrame, k: int = 1, res: int = DEFAULT_RE
     exact haversine refine, spark/knn.py:56) per micro-batch. Same kernels
     and guarantees as batch — the micro-batch is just a smaller points
     side; the target layer is stable across batches so its cell index
-    re-broadcasts from cache."""
+    re-broadcasts from cache. Defaults to ring_growth=() so each
+    micro-batch builds a fully lazy plan (no eager count/persist jobs);
+    pass ring_growth explicitly to re-enable yield-gated escalation."""
     from ..spark.knn import knn_join
+
+    knn_kwargs.setdefault("ring_growth", ())
 
     def fn(batch_df: DataFrame, batch_id: int) -> DataFrame:
         return knn_join(batch_df, targets, k=k, res=res, k_ring=k_ring,

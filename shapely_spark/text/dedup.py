@@ -282,9 +282,12 @@ def _verify_pairs(
         .withColumn("n_b", F.size("sh_b"))
         # provably lossless size prefilter: J(A,B) ≤ min/max of the set
         # sizes, so a pair failing it can never reach the threshold —
-        # and the O(1) length test runs before any hash-set build
+        # and the O(1) length test runs before any hash-set build.
+        # The final filter compares ROUND(J, 4) ≥ threshold, which admits
+        # true J down to threshold − 5e-5; the prefilter bound must use
+        # the same slack or it drops pairs the rounded filter would keep.
         .where(F.least("n_a", "n_b").cast("double")
-               / F.greatest("n_a", "n_b") >= threshold)
+               / F.greatest("n_a", "n_b") >= threshold - 0.00005)
     )
     # both arrays are array_distinct by construction, so
     # |A∪B| = |A|+|B|−|A∩B| exactly — one hash-set build per pair

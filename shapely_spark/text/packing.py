@@ -94,9 +94,10 @@ def pack_sequences(
 
 def chunk_occupancy(packed: DataFrame, seq_len: int = 512) -> DataFrame:
     """Per training-chunk document counts from pack_sequences output:
-    (chunk_id, n_docs, n_boundary_docs). A doc is a boundary doc in a
-    chunk when it does not fill the whole chunk by itself — the usual
-    attention-mask accounting. One JVM explode + one partial-agg
+    (chunk_id, n_docs, n_whole_docs). n_whole_docs counts the docs that
+    lie entirely inside this one chunk (n_chunks == 1); the complement
+    n_docs − n_whole_docs is the chunk's boundary-crossing docs — the
+    usual attention-mask accounting. One JVM explode + one partial-agg
     shuffle."""
     span = F.sequence(
         F.col("first_chunk"), F.col("first_chunk") + F.col("n_chunks") - 1

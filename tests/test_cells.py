@@ -137,6 +137,14 @@ def test_cell_children_roundtrip():
         assert pymin - 1e-9 <= ymin and ymax <= pymax + 1e-9
 
 
+def test_cell_children_null_island_sentinel():
+    # -1 (null coords) must propagate as -1, mirroring cell_parent
+    np.testing.assert_array_equal(
+        cells.cell_children(-1, 4, 6), np.array([-1], dtype=np.int64))
+    np.testing.assert_array_equal(
+        cells.cell_parent(np.array([-1]), 6, 4), np.array([-1]))
+
+
 def test_cell_parent_validation():
     import pytest as _pytest
     with _pytest.raises(ValueError):

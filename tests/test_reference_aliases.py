@@ -234,12 +234,30 @@ class TestCreationModule:
         assert len(out[1].coords) == 3
 
     def test_polygons_with_grouped_holes(self):
-        shells = [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
-                  [[10, 10], [14, 10], [14, 14], [10, 14], [10, 10]]]
-        holes = [[[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]]]
-        out = CR.polygons(shells, holes=holes, indices=[0])
+        # reference shapely/creation.py:347-355 — with indices= the holes
+        # ride INSIDE geometries: first ring per index is the shell,
+        # subsequent rings of that index are its holes
+        shell_a = [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]
+        hole_a = [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]]
+        shell_b = [[10, 10], [14, 10], [14, 14], [10, 14], [10, 10]]
+        out = CR.polygons([shell_a, hole_a, shell_b], indices=[0, 0, 1])
         assert K.area(out[0]) == pytest.approx(15.0)
         assert K.area(out[1]) == pytest.approx(16.0)
+        # holes= without indices: one hole list per shell
+        out = CR.polygons([shell_a, shell_b], holes=[[hole_a], []])
+        assert K.area(out[0]) == pytest.approx(15.0)
+        assert K.area(out[1]) == pytest.approx(16.0)
+        # a bare coordinate array is ONE shell (reference example :385)
+        single = CR.polygons(shell_a)
+        assert K.area(single) == pytest.approx(16.0)
+        # reference :346 — holes must not be combined with indices
+        with pytest.raises(ValueError):
+            CR.polygons([shell_a], holes=[[hole_a]], indices=[0])
+        # reference :353 — missing indices raise
+        with pytest.raises(ValueError):
+            CR.polygons([shell_a, shell_b], indices=[0, 2])
+        with pytest.raises(ValueError):
+            CR.multipoints([point(0, 0), point(1, 1)], indices=[0, 2])
 
     def test_multis_with_indices(self):
         pts = [point(0, 0), point(1, 1), point(2, 2)]

@@ -735,3 +735,24 @@ def test_pq_clustered_recall_and_self_exclusion(spark):
     assert all(t != q for q, t in pq.items())          # self excluded
     recall = sum(1 for q, t in pq.items() if brute[q] == t) / len(brute)
     assert recall >= 0.8, f"PQ clustered top-1 recall {recall:.2f}"
+
+
+def test_verify_prefilter_respects_rounded_threshold(spark):
+    """The size prefilter must keep pairs whose true Jaccard is just below
+    the threshold but whose ROUND(J, 4) meets it — the final filter
+    compares the rounded value (r4 review finding: a prefilter at the raw
+    threshold dropped J in [thr-5e-5, thr) that the oracle emits)."""
+    from shapely_spark.text.dedup import _verify_pairs
+
+    # 1-token shingles, A ⊂ B: J = |A|/|B| = 13999/20000 = 0.69995,
+    # which rounds to 0.7000 >= 0.7 — the pair must survive
+    toks_b = [f"t{i}" for i in range(20000)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks_b[:13999])), (2, " ".join(toks_b))],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    out = _verify_pairs(docs, cand, "text", "doc_id",
+                        threshold=0.7, shingle_n=1).collect()
+    assert len(out) == 1
+    assert out[0].jaccard == pytest.approx(0.7, abs=1e-9)
