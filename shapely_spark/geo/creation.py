@@ -20,10 +20,15 @@ import numpy as np
 
 from .geom import (
     GEOMETRYCOLLECTION,
+    LINEARRING,
+    LINESTRING,
     MULTILINESTRING,
     MULTIPOINT,
     MULTIPOLYGON,
+    POINT,
+    POLYGON,
     Geometry,
+    empty,
     geometrycollection,
     linearring,
     linestring,
@@ -115,14 +120,26 @@ def polygons(geometries, holes=None, indices=None):
                 "holes must not be combined with indices (reference "
                 "shapely/creation.py:346)")
         idx = _checked_indices(indices, len(geometries))
+        for g in geometries:
+            if isinstance(g, Geometry) and g.type_id not in (
+                    LINESTRING, LINEARRING):
+                raise TypeError(
+                    "polygons with indices= takes ring geometries "
+                    "(reference test_creation_indices.test_incompatible_types)")
         grouped: dict[int, list] = {}
         for i, g in zip(idx, geometries):
+            # None rings are skipped inside their group; a group whose
+            # rings are ALL None yields an empty polygon (reference
+            # test_creation_indices.test_polygons: [None, ring] →
+            # [POLYGON EMPTY, poly])
+            grouped.setdefault(int(i), [])
             if g is not None:
-                grouped.setdefault(int(i), []).append(ring_coords(g))
+                grouped[int(i)].append(ring_coords(g))
         out = []
         for u in sorted(grouped):
             rings = grouped[u]
-            out.append(polygon(rings[0], rings[1:]))
+            out.append(polygon(rings[0], rings[1:]) if rings
+                       else empty(POLYGON))
         return out
 
     shells = [ring_coords(g) for g in geometries]
@@ -147,8 +164,12 @@ def _checked_indices(indices, n_geoms: int) -> np.ndarray:
     same length as the geometries, non-decreasing, and no gaps (missing
     indices raise ValueError — reference shapely/creation.py:353)."""
     idx = np.asarray(indices)
+    if idx.dtype == object or not np.issubdtype(idx.dtype, np.number):
+        raise TypeError("indices must be integers")
     if len(idx) != n_geoms:
         raise ValueError("indices length must match geometries")
+    if len(idx) and int(idx.min()) < 0:
+        raise ValueError("indices must be non-negative")
     if len(idx) and np.any(np.diff(idx) < 0):
         raise ValueError("indices should be in increasing order")
     if len(idx):
@@ -159,8 +180,14 @@ def _checked_indices(indices, n_geoms: int) -> np.ndarray:
     return idx
 
 
-def _grouped(geometries, indices, build, empty_tid):
+def _grouped(geometries, indices, build, empty_tid, part_tids=None):
     geoms = list(geometries)
+    if part_tids is not None:
+        for g in geoms:
+            if isinstance(g, Geometry) and g.type_id not in part_tids:
+                raise TypeError(
+                    f"geometry type {g.type_id} is not a valid part here "
+                    "(reference test_creation_indices.test_incompatible_types)")
     if indices is None:
         return build(geoms)
     idx = _checked_indices(indices, len(geoms))
@@ -173,19 +200,22 @@ def _grouped(geometries, indices, build, empty_tid):
 
 def multipoints(geometries, indices=None):
     """reference: shapely/creation.py:500."""
-    return _grouped(geometries, indices, multipoint, MULTIPOINT)
+    return _grouped(geometries, indices, multipoint, MULTIPOINT,
+                    part_tids={POINT})
 
 
 def multilinestrings(geometries, indices=None):
     """reference: shapely/creation.py:585."""
-    return _grouped(geometries, indices, multilinestring, MULTILINESTRING)
+    return _grouped(geometries, indices, multilinestring, MULTILINESTRING,
+                    part_tids={LINESTRING, LINEARRING})
 
 
 def multipolygons(geometries, indices=None):
     """reference: shapely/creation.py:641."""
-    return _grouped(geometries, indices, multipolygon, MULTIPOLYGON)
+    return _grouped(geometries, indices, multipolygon, MULTIPOLYGON,
+                    part_tids={POLYGON})
 
 
 def geometrycollections(geometries, indices=None):
-    """reference: shapely/creation.py:696."""
+    """reference: shapely/creation.py:696 — parts may be any type."""
     return _grouped(geometries, indices, geometrycollection, GEOMETRYCOLLECTION)

@@ -259,6 +259,35 @@ class TestCreationModule:
         with pytest.raises(ValueError):
             CR.multipoints([point(0, 0), point(1, 1)], indices=[0, 2])
 
+    def test_polygons_indices_none_handling(self):
+        # reference shapely/tests/test_creation_indices.py::test_polygons —
+        # None rings skip inside their group; an all-None group is an
+        # EMPTY polygon at that slot, not a dropped slot
+        ring = [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]
+        hole = [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]]
+        out = CR.polygons([None, ring], indices=[0, 1])
+        assert out[0].is_empty and K.area(out[1]) == pytest.approx(16.0)
+        out = CR.polygons([None, ring, None, None], indices=[0, 0, 1, 1])
+        assert K.area(out[0]) == pytest.approx(16.0) and out[1].is_empty
+        out = CR.polygons([ring, hole, None, hole, ring],
+                          indices=[0, 0, 0, 0, 1])
+        assert K.area(out[0]) == pytest.approx(14.0)  # two holes excised
+        assert K.area(out[1]) == pytest.approx(16.0)
+        # negative / wrong-typed indices raise
+        # (reference test_invalid_indices_collections)
+        with pytest.raises(ValueError):
+            CR.polygons([ring], indices=[-1])
+        with pytest.raises((TypeError, ValueError)):
+            CR.multipoints([point(0, 0)], indices=" h")
+        # incompatible part types raise TypeError
+        # (reference test_incompatible_types)
+        with pytest.raises(TypeError):
+            CR.polygons([point(0, 0)], indices=[0])
+        with pytest.raises(TypeError):
+            CR.multipoints([linestring([[0, 0], [1, 1]])], indices=[0])
+        with pytest.raises(TypeError):
+            CR.multipolygons([point(0, 0)], indices=[0])
+
     def test_multis_with_indices(self):
         pts = [point(0, 0), point(1, 1), point(2, 2)]
         out = CR.multipoints(pts, indices=[0, 0, 1])
