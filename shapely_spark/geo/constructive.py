@@ -947,10 +947,57 @@ def skew(geom, xs=0.0, ys=0.0, origin="center", use_radians=False):
 # Linear referencing (reference: shapely/linear.py)
 # ---------------------------------------------------------------------------
 
-def line_interpolate_point(line: Geometry, distance: float, normalized: bool = False) -> Geometry:
+def line_interpolate_point(line: Geometry | None, distance: float, normalized: bool = False) -> Geometry | None:
     """reference: shapely/linear.py:26 (negative distance measures from
     end). Distance is measured in XY; Z/M ride along and interpolate
-    linearly within the hit segment (GEOS LengthIndexedLine semantics)."""
+    linearly within the hit segment (GEOS LengthIndexedLine semantics).
+
+    Edge contract pinned to shapely/tests/test_linear.py: None input or
+    NaN distance → None; non-lineal input (point/polygon/multi thereof)
+    → TypeError; empty lineal input, a multi whose FIRST part is empty,
+    or an empty/leading-empty-line collection → POINT EMPTY; a
+    MultiLineString interpolates over its concatenated parts."""
+    if line is None or (isinstance(distance, float) and math.isnan(distance)):
+        return None
+    tid = line.type_id
+    if tid in (MULTILINESTRING, GEOMETRYCOLLECTION):
+        parts = line.parts or []
+        if not parts:
+            return empty(POINT)
+        first = parts[0]
+        if tid == GEOMETRYCOLLECTION and first.type_id not in (LINESTRING, LINEARRING):
+            raise TypeError(
+                "line_interpolate_point takes lineal geometries")
+        if first.is_empty:
+            # GEOS quirk the reference tests pin: a leading empty part
+            # empties the whole result (MULTILINESTRING (EMPTY, ...))
+            return empty(POINT)
+        if tid == GEOMETRYCOLLECTION and any(
+                p.type_id not in (LINESTRING, LINEARRING) for p in parts):
+            raise TypeError(
+                "line_interpolate_point takes lineal geometries")
+        # the length index spans parts WITHOUT bridge segments between a
+        # part's end and the next part's start (GEOS LengthIndexedLine)
+        live = [p for p in parts if p.coords is not None and len(p.coords) >= 2]
+        lens = []
+        for p in live:
+            pc = np.asarray(p.coords, dtype=np.float64)
+            lens.append(float(np.sqrt(
+                (np.diff(pc[:, :2], axis=0) ** 2).sum(axis=1)).sum()))
+        total = sum(lens)
+        if not live:
+            return empty(POINT)
+        if normalized:
+            distance = distance * total
+        if distance < 0:
+            distance = max(0.0, total + distance)
+        distance = min(max(distance, 0.0), total)
+        for p, ln in zip(live, lens):
+            if distance <= ln or p is live[-1]:
+                return line_interpolate_point(p, distance)
+            distance -= ln
+    if tid not in (LINESTRING, LINEARRING):
+        raise TypeError("line_interpolate_point takes lineal geometries")
     c = np.asarray(line.coords, dtype=np.float64)
     if len(c) == 0:
         return empty(POINT)
@@ -970,8 +1017,18 @@ def line_interpolate_point(line: Geometry, distance: float, normalized: bool = F
                     has_m=line.has_m)
 
 
-def line_locate_point(line: Geometry, other: Geometry, normalized: bool = False) -> float:
-    """reference: shapely/linear.py:78 — distance along line to nearest point."""
+def line_locate_point(line: Geometry | None, other: Geometry | None, normalized: bool = False) -> float:
+    """reference: shapely/linear.py:78 — distance along line to nearest
+    point. None/empty inputs → nan; a non-lineal line or non-point other
+    raises (tests/test_linear.py::test_line_locate_point_*)."""
+    if line is None or other is None:
+        return float("nan")
+    if line.type_id not in (LINESTRING, LINEARRING):
+        raise TypeError("line_locate_point takes a lineal geometry")
+    if other.type_id != POINT:
+        raise TypeError("line_locate_point locates a point")
+    if line.is_empty or other.is_empty:
+        return float("nan")
     c = np.asarray(line.coords)[:, :2]
     p = other.all_coords()[0, :2]
     seg = np.diff(c, axis=0)

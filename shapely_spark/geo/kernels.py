@@ -1355,6 +1355,10 @@ def _densified_points(geom: Geometry, densify: float | None) -> np.ndarray:
     pts = geom.all_coords()[:, :2]
     if densify is None:
         return pts
+    if math.isnan(densify):
+        # reference: densify=nan propagates to a nan distance, not an
+        # error (tests/test_measurement.py::test_hausdorff_densify_nan)
+        return None
     if not 0 < densify <= 1:
         raise ValueError("densify must be in (0, 1]")
     segs = _edges(geom)
@@ -1374,6 +1378,8 @@ def hausdorff_distance(a: Geometry | None, b: Geometry | None, densify: float | 
         return float("nan")
     pa = _densified_points(a, densify)
     pb = _densified_points(b, densify)
+    if pa is None or pb is None:  # densify=nan
+        return float("nan")
 
     def directed(p, q):
         d2 = (p[:, None, 0] - q[None, :, 0]) ** 2 + (p[:, None, 1] - q[None, :, 1]) ** 2
@@ -1389,6 +1395,8 @@ def frechet_distance(a: Geometry | None, b: Geometry | None, densify: float | No
         return float("nan")
     p = _densified_points(a, densify)
     q = _densified_points(b, densify)
+    if p is None or q is None:  # densify=nan
+        return float("nan")
     n, m = len(p), len(q)
     d = np.sqrt((p[:, None, 0] - q[None, :, 0]) ** 2 + (p[:, None, 1] - q[None, :, 1]) ** 2)
     ca = np.full((n, m), -1.0)

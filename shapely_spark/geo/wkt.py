@@ -134,7 +134,11 @@ def _parse_geom(toks: list[str], i: int):
     ndim = 2 + has_z + has_m
 
     def parse_coord_list(i):
-        # inside parens: x y [z [m]], comma-separated
+        # inside parens: x y [z [m]], comma-separated; a bare EMPTY is an
+        # empty element inside a multi (reference accepts
+        # "MULTILINESTRING (EMPTY, (0 0, 1 1))")
+        if toks[i].upper() == "EMPTY":
+            return np.zeros((0, ndim)), i + 1
         assert toks[i] == "(", f"expected ( at {i}"
         i += 1
         rows = []
@@ -154,6 +158,8 @@ def _parse_geom(toks: list[str], i: int):
         return a, i + 1
 
     def parse_ring_list(i):
+        if toks[i].upper() == "EMPTY":  # empty element inside a multi
+            return [], i + 1
         assert toks[i] == "("
         i += 1
         rings = []

@@ -348,6 +348,53 @@ def test_linear_referencing():
     assert C.line_locate_point(line, point(3, 5), normalized=True) == 0.3
 
 
+def test_linear_referencing_edge_contract():
+    """reference: shapely/tests/test_linear.py — None/NaN/empty/type
+    edges of line_interpolate_point and line_locate_point."""
+    from shapely_spark.geo.geom import GEOMETRYCOLLECTION
+
+    ls = linestring([(0, 0), (1, 0), (1, 1)])
+    lr = linearring([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)])
+    mls = multilinestring([[(0, 0), (1, 2)]])
+    # negative distance measures from the end; multis use the summed index
+    assert to_wkt(C.line_interpolate_point(ls, -1)) == "POINT (1 0)"
+    assert to_wkt(C.line_interpolate_point(lr, -1)) == "POINT (0 1)"
+    np.testing.assert_allclose(
+        C.line_interpolate_point(mls, -1).coords[0], [0.5528, 1.1056],
+        atol=1e-3)
+    # no phantom bridge segment between multi parts
+    m2 = multilinestring([[(0, 0), (1, 0)], [(5, 0), (5, 2)]])
+    assert to_wkt(C.line_interpolate_point(m2, 1.5)) == "POINT (5 0.5)"
+    # empty lineal inputs (incl. a leading EMPTY part) → POINT EMPTY
+    for g in [linestring(np.zeros((0, 2))), multilinestring([]),
+              from_wkt("MULTILINESTRING (EMPTY, (0 0, 1 1))"),
+              empty(GEOMETRYCOLLECTION),
+              geometrycollection([linestring(np.zeros((0, 2))), point(1, 1)])]:
+        r = C.line_interpolate_point(g, 0.2)
+        assert r.is_empty and r.type_id == POINT
+    # non-lineal inputs raise TypeError
+    for g in [empty(POINT), point(1, 1),
+              polygon([(0, 0), (1, 0), (1, 1), (0, 0)]),
+              multipoint([point(0, 0)]),
+              geometrycollection([point(0, 0)]),
+              geometrycollection([mls])]:
+        with pytest.raises(TypeError):
+            C.line_interpolate_point(g, 0.2)
+    assert C.line_interpolate_point(None, 0.2) is None
+    assert C.line_interpolate_point(ls, float("nan")) is None
+    # locate: None/empty → nan; wrong types raise
+    assert math.isnan(C.line_locate_point(ls, None))
+    assert math.isnan(C.line_locate_point(None, point(0, 0)))
+    assert math.isnan(C.line_locate_point(ls, empty(POINT)))
+    assert math.isnan(C.line_locate_point(linestring(np.zeros((0, 2))), point(0, 0)))
+    with pytest.raises(TypeError):
+        C.line_locate_point(ls, ls)
+    # densify=nan propagates to nan, not an error
+    assert math.isnan(K.hausdorff_distance(point(0, 0), point(1, 1),
+                                           densify=float("nan")))
+    assert math.isnan(K.frechet_distance(ls, ls, densify=float("nan")))
+
+
 def test_line_merge():
     m = multilinestring([[(0, 0), (1, 1)], [(1, 1), (2, 2)]])
     merged = C.line_merge(m)
