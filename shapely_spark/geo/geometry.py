@@ -31,6 +31,7 @@ None, so nothing could have depended on the old behavior.
 from __future__ import annotations
 
 import array as _array
+import re as _re
 
 import numpy as np
 
@@ -92,6 +93,33 @@ def _dataclass_call(self, kw: dict) -> bool:
     return True
 
 
+def _geom_format(self, format_spec: str) -> str:
+    """Format-spec support: '' → wkt, 'x'/'X' → (upper)hex WKB,
+    '[0][.prec][fFgG]' → WKT at that rounding precision (f = untrimmed
+    fixed notation, g = trimmed; uppercase upper-cases the result).
+    reference: shapely/geometry/base.py:126."""
+    if not format_spec:
+        return _to_wkt(self, rounding_precision=-1)
+    if format_spec == "x":
+        return _to_wkb(self, hex=True).lower()
+    if format_spec == "X":
+        return _to_wkb(self, hex=True)
+    m = _re.fullmatch(r"(?:0?\.(?P<prec>[0-9]+))?(?P<fmt_code>[fFgGxX]?)",
+                      format_spec)
+    if m is None:
+        raise ValueError(f"invalid format specifier: {format_spec}")
+    prec, fmt_code = m.groups()
+    prec = int(prec) if prec else -1  # GEOS default rounding_precision
+    fmt_code = fmt_code or "g"
+    if fmt_code in ("g", "G"):
+        res = _to_wkt(self, rounding_precision=prec, trim=True)
+    elif fmt_code in ("f", "F"):
+        res = _to_wkt(self, rounding_precision=prec, trim=False)
+    else:  # x/X with a precision prefix
+        raise ValueError("hex representation does not specify precision")
+    return res.upper() if fmt_code.isupper() else res
+
+
 def _coords_of(obj):
     """Coordinate row(s) from a Geometry part or a plain sequence."""
     if isinstance(obj, Geometry):
@@ -121,10 +149,20 @@ class Point(Geometry):
                         f"cannot build Point from {a.type_id}")
                 _adopt(self, a)
                 return
+            if hasattr(a, "__iter__") and not hasattr(a, "__len__"):
+                a = list(a)  # generator input (reference test_from_generator)
             args = tuple(np.asarray(a, dtype=np.float64).ravel())
         if len(args) not in (2, 3):
             raise ValueError(f"Point takes 2 or 3 coordinates, got {len(args)}")
-        _adopt(self, _point_fn(*[float(v) for v in args]))
+        vals = []
+        for v in args:
+            # accept length-1 arrays per coordinate (shapely 1.8 compat,
+            # reference test_point.test_from_numpy_xy)
+            a = np.asarray(v, dtype=np.float64).ravel()
+            if a.size != 1:
+                raise ValueError("Point coordinates must be scalars")
+            vals.append(float(a[0]))
+        _adopt(self, _point_fn(*vals))
 
 
 class LineString(Geometry):
@@ -392,6 +430,7 @@ def _install_oo_api() -> None:
     G.wkb = _prop(lambda self: _to_wkb(self))
     G.wkb_hex = _prop(lambda self: _to_wkb(self, hex=True))
     G.__geo_interface__ = _prop(_geom_to_obj)
+    G.__format__ = _geom_format
 
     # validity / shape predicates as properties (base.py:650-760)
     G.is_valid = _prop(lambda self: _K.is_valid(self))

@@ -42,6 +42,14 @@ class TestConstructors:
         assert Point(1, 2, 3).z == 3.0 and Point(1, 2, 3).has_z
         p = Point(Point(4, 5))
         assert (p.x, p.y) == (4.0, 5.0)
+        # generator input (reference test_point.test_from_generator) and
+        # the shapely-1.8 length-1 separate-array form (test_from_numpy_xy)
+        g = Point(c for c in (3.0, 4.0))
+        assert (g.x, g.y) == (3.0, 4.0)
+        g = Point(np.array([1.0]), np.array([2.0]), np.array([3.0]))
+        assert (g.x, g.y, g.z) == (1.0, 2.0, 3.0)
+        g = Point([(3.0, 4.0)])  # single-row coordinate sequence
+        assert (g.x, g.y) == (3.0, 4.0)
         assert Point().is_empty and not Point()
         with pytest.raises(ValueError):
             Point(1)
@@ -235,3 +243,26 @@ class TestDataclassCompat:
             Point(0, 0).geoms
         with pytest.raises(AttributeError):
             Point(0, 0).exterior
+
+
+def test_format_spec():
+    """reference: shapely/tests/geometry/test_format.py — __format__ on
+    geometry objects: '' → wkt, x/X → hex WKB, [0][.prec][fFgG] → WKT."""
+    pt = Point(1, 2)
+    assert f"{pt}" == pt.wkt
+    assert format(pt, "") == pt.wkt
+    assert format(pt, "x") == pt.wkb_hex.lower()
+    assert format(pt, "X") == pt.wkb_hex.upper()
+    xy1 = (0.12345678901234567, 1.2345678901234567e10)
+    xy2 = (-169.910918, -18.997564)
+    assert format(Point(*xy1), ".0f") == "POINT (0 12345678901)"
+    assert format(Point(*xy1), ".1f") == "POINT (0.1 12345678901.2)"
+    assert format(Point(*xy2), "0.2f") == "POINT (-169.91 -19.00)"
+    assert format(Point(*xy2), "0.2g") == "POINT (-169.91 -19)"
+    assert format(Point(float("inf"), -float("inf")), ".3F") == "POINT (INF -INF)"
+    assert format(Point(*xy1), ".6G") == "POINT (0.123457 12345678901.234568)"
+    assert format(Point(1, 2), "f") == f"POINT ({1:.16f} {2:.16f})"
+    assert format(Point(630084, 4833438, 76), "g") == "POINT Z (630084 4833438 76)"
+    for bad in ("5G", ".f", "0.2e", ".1x"):
+        with pytest.raises(ValueError):
+            format(pt, bad)
