@@ -120,6 +120,83 @@ def _geom_format(self, format_spec: str) -> str:
     return res.upper() if fmt_code.isupper() else res
 
 
+def _geom_svg(self, scale_factor=1.0, color=None, opacity=None, **kw):
+    """SVG element for the geometry (reference: shapely/geometry/
+    point.py:123 circle, linestring.py:86 polyline, polygon.py:281
+    evenodd path, base.py:1149 <g> for multiparts). `fill_color=` /
+    `stroke_color=` keyword spellings are accepted as in the per-type
+    reference signatures."""
+    color = kw.pop("fill_color", kw.pop("stroke_color", color))
+    if kw:
+        raise TypeError(f"unexpected svg() arguments: {sorted(kw)}")
+    if self.is_empty:
+        return "<g />"
+    if color is None:
+        color = "#66cc99" if _K.is_valid(self) else "#ff3333"
+    tid = self.type_id
+
+    def xy_pairs(a):
+        return " ".join(f"{row[0]},{row[1]}" for row in np.asarray(a))
+
+    if tid == POINT:
+        x, y = (float(v) for v in vars(self)["coords"][0][:2])
+        return (
+            f'<circle cx="{x}" cy="{y}" r="{3.0 * scale_factor}" '
+            f'stroke="#555555" stroke-width="{1.0 * scale_factor}" '
+            f'fill="{color}" opacity="{0.6 if opacity is None else opacity}" />'
+        )
+    if tid in (LINESTRING, LINEARRING):
+        return (
+            f'<polyline fill="none" stroke="{color}" '
+            f'stroke-width="{2.0 * scale_factor}" '
+            f'points="{xy_pairs(vars(self)["coords"])}" '
+            f'opacity="{0.8 if opacity is None else opacity}" />'
+        )
+    if tid == POLYGON:
+        ring_paths = []
+        for r in self.rings:
+            pts = [f"{row[0]},{row[1]}" for row in np.asarray(r)]
+            ring_paths.append("M {} L {} z".format(pts[0], " L ".join(pts[1:])))
+        return (
+            f'<path fill-rule="evenodd" fill="{color}" stroke="#555555" '
+            f'stroke-width="{2.0 * scale_factor}" '
+            f'opacity="{0.6 if opacity is None else opacity}" '
+            f'd="{" ".join(ring_paths)}" />'
+        )
+    # multiparts / collections: group of child elements, color decided here
+    return ("<g>"
+            + "".join(_geom_svg(p, scale_factor, color, opacity)
+                      for p in (self.parts or []))
+            + "</g>")
+
+
+def _geom_repr_svg(self):
+    """SVG document for notebook display (reference: shapely/geometry/
+    base.py:288)."""
+    svg_top = ('<svg xmlns="http://www.w3.org/2000/svg" '
+               'xmlns:xlink="http://www.w3.org/1999/xlink" ')
+    if self.is_empty:
+        return svg_top + "/>"
+    xmin, ymin, xmax, ymax = (float(v) for v in _K.bounds(self))
+    if xmin == xmax and ymin == ymax:
+        xmin, ymin, xmax, ymax = (float(v) for v in _K.bounds(_C.buffer(self, 1)))
+    else:
+        expand = 0.04 * max(xmax - xmin, ymax - ymin)
+        xmin, ymin, xmax, ymax = (xmin - expand, ymin - expand,
+                                  xmax + expand, ymax + expand)
+    dx, dy = xmax - xmin, ymax - ymin
+    width = min(max(100.0, dx), 300)
+    height = min(max(100.0, dy), 300)
+    scale_factor = max(dx, dy) / max(width, height) if max(width, height) else 1.0
+    return (
+        f'{svg_top}width="{width}" height="{height}" '
+        f'viewBox="{xmin} {ymin} {dx} {dy}" '
+        'preserveAspectRatio="xMinYMin meet">'
+        f'<g transform="matrix(1,0,0,-1,0,{ymax + ymin})">'
+        f'{_geom_svg(self, scale_factor)}</g></svg>'
+    )
+
+
 def _coords_of(obj):
     """Coordinate row(s) from a Geometry part or a plain sequence."""
     if isinstance(obj, Geometry):
@@ -431,6 +508,8 @@ def _install_oo_api() -> None:
     G.wkb_hex = _prop(lambda self: _to_wkb(self, hex=True))
     G.__geo_interface__ = _prop(_geom_to_obj)
     G.__format__ = _geom_format
+    G.svg = _geom_svg
+    G._repr_svg_ = _geom_repr_svg
 
     # validity / shape predicates as properties (base.py:650-760)
     G.is_valid = _prop(lambda self: _K.is_valid(self))
@@ -508,6 +587,21 @@ def _install_oo_api() -> None:
     # unary constructive methods
     G.buffer = lambda self, distance, *a, **kw: _retag(
         _C.buffer(self, distance, *a, **kw))
+    G.offset_curve = lambda self, distance, quad_segs=8, \
+        join_style=JOIN_STYLE.round, mitre_limit=5.0: _retag(
+        _C.offset_curve(self, distance, quad_segs, join_style, mitre_limit))
+
+    def _parallel_offset(self, distance, side="right", resolution=16,
+                         join_style=JOIN_STYLE.round, mitre_limit=5.0):
+        """Legacy spelling of offset_curve (reference: shapely/geometry/
+        linestring.py:185): side= instead of signed distance, resolution=
+        instead of quad_segs."""
+        if side == "right":
+            distance = -distance
+        return _retag(_C.offset_curve(
+            self, distance, resolution, join_style, mitre_limit))
+
+    G.parallel_offset = _parallel_offset
     G.simplify = lambda self, tolerance, preserve_topology=True: _retag(
         _C.simplify(self, tolerance, preserve_topology))
     G.segmentize = lambda self, max_segment_length: _retag(
