@@ -787,6 +787,54 @@ def _gc_overlay(a: Geometry, b: Geometry, op: str) -> Geometry:
     return _dissolve_mixed(pieces)
 
 
+def _z_along(geom: Geometry, x: float, y: float) -> float | None:
+    """Z of the nearest point on `geom`'s 3-D segments to (x, y),
+    linearly interpolated within the hit segment."""
+    best_z, best_d2 = None, np.inf
+    seqs = [np.asarray(c) for c in geom.coord_seqs()]
+    for c in seqs:
+        if c.shape[0] < 2 or c.shape[1] < 3:
+            continue
+        x1, y1, x2, y2 = c[:-1, 0], c[:-1, 1], c[1:, 0], c[1:, 1]
+        dx, dy = x2 - x1, y2 - y1
+        L2 = dx * dx + dy * dy
+        t = np.clip(((x - x1) * dx + (y - y1) * dy)
+                    / np.where(L2 > 0, L2, 1.0), 0.0, 1.0)
+        d2 = (x1 + t * dx - x) ** 2 + (y1 + t * dy - y) ** 2
+        i = int(np.argmin(d2))
+        if d2[i] < best_d2:
+            best_d2 = d2[i]
+            best_z = float(c[i, 2] + t[i] * (c[i + 1, 2] - c[i, 2]))
+    return best_z
+
+
+def _interpolate_point_z(out: Geometry, a: Geometry, b: Geometry) -> Geometry:
+    """GEOS zInterpolate analog for lineal×lineal intersections whose
+    result is a (multi)point: each intersection point's Z is the mean of
+    the Z linearly interpolated along each 3-D input at that point
+    (reference behavior pinned by legacy/test_products_z.py). Line-
+    dimensional overlap results stay 2-D — a documented narrowing."""
+    if out is None or out.is_empty or not (a.has_z or b.has_z):
+        return out
+    if out.type_id not in (POINT, MULTIPOINT):
+        return out
+
+    def lift(pt: Geometry) -> Geometry:
+        x, y = float(pt.coords[0][0]), float(pt.coords[0][1])
+        zs = [z for g in (a, b) if g.has_z
+              for z in [_z_along(g, x, y)] if z is not None]
+        if not zs:
+            return pt
+        return Geometry(POINT,
+                        coords=np.array([[x, y, float(np.mean(zs))]]),
+                        has_z=True)
+
+    if out.type_id == POINT:
+        return lift(out)
+    return Geometry(MULTIPOINT, parts=[lift(p) for p in out.parts or []],
+                    has_z=True)
+
+
 def intersection(a: Geometry, b: Geometry, grid_size: float = 0.0) -> Geometry:
     """reference: shapely/set_operations.py:114."""
     if grid_size:
@@ -842,7 +890,8 @@ def intersection(a: Geometry, b: Geometry, grid_size: float = 0.0) -> Geometry:
         deg = _line_line_intersection(ba, bb)
         return deg if not deg.is_empty else out
     if _is_lineal(a) and _is_lineal(b):
-        return _line_line_intersection(a, b)
+        out = _line_line_intersection(a, b)
+        return _interpolate_point_z(out, a, b)
     if _is_lineal(a) and _is_polygonal(b):
         return _line_poly_intersection(a, b)
     if _is_polygonal(a) and _is_lineal(b):

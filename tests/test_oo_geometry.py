@@ -266,3 +266,27 @@ def test_format_spec():
     for bad in ("5G", ".f", "0.2e", ".1x"):
         with pytest.raises(ValueError):
             format(pt, bad)
+
+
+def test_line_intersection_z_interpolation():
+    """reference: shapely/tests/legacy/test_products_z.py — Z of a
+    lineal×lineal intersection point interpolates along the 3-D inputs."""
+    l1 = LineString([(0, 0, 0), (1, 1, 1)])
+    l2 = LineString([(0, 1, 1), (1, 0, 0)])
+    x = l1.intersection(l2)
+    assert x.has_z
+    assert x.z == pytest.approx(0.5)
+    # one-sided Z uses the z-carrying input alone
+    y = LineString([(0, 0, 2), (1, 1, 2)]).intersection(LineString([(0, 1), (1, 0)]))
+    assert y.has_z and y.z == pytest.approx(2.0)
+    # 2-D inputs stay 2-D
+    z = LineString([(0, 0), (1, 1)]).intersection(LineString([(0, 1), (1, 0)]))
+    assert not z.has_z
+
+
+def test_degenerate_polygon_singularity():
+    """reference: shapely/tests/legacy/test_singularity.py — a polygon of
+    one repeated point has point bounds, no crash."""
+    p = (1.0, 1.0)
+    assert Polygon([p, p, p]).bounds == (1.0, 1.0, 1.0, 1.0)
+    assert Polygon([p, p, p, p, p]).bounds == (1.0, 1.0, 1.0, 1.0)
