@@ -42,4 +42,16 @@ def __getattr__(name):
         mod, attr = surface[name]
         m = importlib.import_module(mod)
         return getattr(m, attr) if attr else m
+    if not name.startswith("_"):
+        # the reference's flat `shapely.*` namespace: any remaining
+        # public symbol resolves through the geo package (which itself
+        # falls back across the kernel modules) — ported `shapely.area`/
+        # `shapely.intersects` calls work unchanged
+        import importlib
+
+        geo_pkg = importlib.import_module("shapely_spark.geo")
+        try:
+            return getattr(geo_pkg, name)
+        except AttributeError:
+            pass
     raise AttributeError(name)

@@ -59,3 +59,19 @@ from .geometry import (  # noqa: F401
     Point, Polygon, mapping, shape,
 )
 from . import geometry  # noqa: F401
+from . import vectorized  # noqa: F401,E402
+
+
+def __getattr__(name):
+    """Resolve any remaining reference top-level symbol against the
+    kernel modules, in a fixed precedence order — the reference's flat
+    `shapely.*` namespace re-exports every ufunc (measurement,
+    predicates, set ops, constructive, linear); this keeps ported code
+    like `shapely.area(...)` / `shapely.intersects(...)` working without
+    enumerating hundreds of explicit re-exports."""
+    for m in (kernels, constructive, overlay, triangulate, inspection,
+              creation, ops):
+        if hasattr(m, name):
+            return getattr(m, name)
+    raise AttributeError(
+        f"module 'shapely_spark.geo' has no attribute {name!r}")
