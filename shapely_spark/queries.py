@@ -1037,6 +1037,158 @@ def embedding_label_centroids(spark, sf_dir):
     )
 
 
+# ---- distributed k-means + SemDeDup (ann/cluster.py) ------------------------
+# The oracle replays Lloyd's algorithm EXACTLY (unrolled iterations in SQL):
+# both engines quantize centroids to 6 dp between iterations and squared
+# distances to 9 dp before the argmin (ties -> lowest cluster index), so the
+# centroid sequences and every assignment are identical — fp noise from
+# differing summation orders (~1e-14) sits far below both guards.
+
+def _kmeans_cte(k: int, iters: int, source_cte: str) -> str:
+    """DuckDB CTE chain mirroring ann/cluster.kmeans_fit: `source_cte`
+    must define e(vec_id, emb DOUBLE[]); produces x (unit-sphere dims),
+    c0..c{iters} centroids (c, dim, cv) and a{iters+1}, the assignment
+    under the final model."""
+    parts = [source_cte]
+    parts.append("""
+x AS (
+  SELECT vec_id, dim, v / nrm AS v
+  FROM (SELECT vec_id,
+               generate_subscripts(emb, 1) AS dim,
+               unnest(emb) AS v,
+               sqrt(list_sum(list_transform(emb, y -> y * y))) AS nrm
+        FROM e))""")
+    parts.append(f"""
+c0 AS (
+  SELECT dense_rank() OVER (ORDER BY vec_id) - 1 AS c, dim, round(v, 6) AS cv
+  FROM x
+  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT {k}))""")
+    for i in range(1, iters + 2):
+        prev = f"c{i - 1}"
+        parts.append(f"""
+a{i} AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+    FROM (SELECT x.vec_id, cp.c,
+                 round(sum((x.v - cp.cv) * (x.v - cp.cv)), 9) AS d2
+          FROM x JOIN {prev} cp ON x.dim = cp.dim
+          GROUP BY x.vec_id, cp.c))
+  WHERE rn = 1)""")
+        if i <= iters:
+            parts.append(f"""
+c{i} AS (
+  SELECT p.c, p.dim, coalesce(round(u.mv, 6), p.cv) AS cv
+  FROM {prev} p LEFT JOIN (
+    SELECT a{i}.c AS c, x.dim, avg(x.v) AS mv
+    FROM a{i} JOIN x USING (vec_id) GROUP BY a{i}.c, x.dim) u
+  ON u.c = p.c AND u.dim = p.dim)""")
+    return ",".join(parts)
+
+
+_KM_K, _KM_ITERS = 8, 3
+_KMEANS_STATS_SQL = "WITH " + _kmeans_cte(_KM_K, _KM_ITERS, """
+e AS (SELECT vec_id, list_transform(embedding, y -> y::DOUBLE) AS emb
+      FROM embeddings)""") + f"""
+SELECT a{_KM_ITERS + 1}.c::INTEGER AS cluster_id,
+       count(*)::BIGINT AS n_members,
+       min(vec_id)::BIGINT AS min_vec_id,
+       max(cn.nrm) AS centroid_norm
+FROM a{_KM_ITERS + 1} JOIN (SELECT c, round(sqrt(sum(cv * cv)), 4) AS nrm
+                            FROM c{_KM_ITERS} GROUP BY c) cn
+  ON cn.c = a{_KM_ITERS + 1}.c
+GROUP BY a{_KM_ITERS + 1}.c
+ORDER BY cluster_id"""
+
+
+@q("kmeans_cluster_stats", _KMEANS_STATS_SQL)
+def kmeans_cluster_stats(spark, sf_dir):
+    """Distributed spherical k-means (ann/cluster.kmeans_fit): Lloyd's
+    over the FULL embedding table — unlike the IVF trainer's driver-side
+    collect, each iteration is one fused mapInPandas pass (assignment +
+    per-batch partial centroid sums, k*d cells/batch) + one (cluster,
+    dim) partial-agg shuffle; the driver holds k*d doubles, never the
+    vectors. The oracle unrolls the identical 3 Lloyd's iterations in
+    SQL (6-dp centroid / 9-dp distance quantization on both engines
+    makes every assignment bit-reproducible); this gate hash-matches an
+    ITERATIVE algorithm end-to-end."""
+    import numpy as np
+
+    from .ann.cluster import kmeans_assign, kmeans_fit
+
+    e = _spread(_t(spark, sf_dir, "embeddings"))
+    C = kmeans_fit(e, k=_KM_K, iters=_KM_ITERS)
+    a = kmeans_assign(e, C)
+    norms = spark.createDataFrame(
+        [(int(i), float(np.round(np.sqrt((C[i] ** 2).sum()), 4)))
+         for i in range(_KM_K)],
+        "cluster int, centroid_norm double")
+    return (a.groupBy("cluster")
+            .agg(F.count("*").cast("long").alias("n_members"),
+                 F.min("vec_id").cast("long").alias("min_vec_id"))
+            .join(norms, "cluster")
+            .select(F.col("cluster").alias("cluster_id"), "n_members",
+                    "min_vec_id", "centroid_norm")
+            .repartition(1).sortWithinPartitions("cluster_id"))
+
+
+_SD_K, _SD_ITERS, _SD_TAU = 8, 2, 0.9
+_SD_AUG_CTE = """
+e AS (
+  SELECT vec_id, list_transform(embedding, y -> y::DOUBLE) AS emb
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding, y -> y::DOUBLE * 1.5)
+  FROM embeddings WHERE vec_id % 10 = 0)"""
+_SD_FA = f"a{_SD_ITERS + 1}"
+_SEMDEDUP_SQL = "WITH " + _kmeans_cte(_SD_K, _SD_ITERS, _SD_AUG_CTE) + f""",
+en AS (SELECT vec_id, emb,
+              sqrt(list_sum(list_transform(emb, y -> y * y))) AS nrm FROM e),
+dropids AS (
+  SELECT DISTINCT b.vec_id
+  FROM {_SD_FA} a JOIN {_SD_FA} b ON a.c = b.c AND a.vec_id < b.vec_id
+  JOIN en ea ON ea.vec_id = a.vec_id
+  JOIN en eb ON eb.vec_id = b.vec_id
+  WHERE round(list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm), 6)
+        >= {_SD_TAU})
+SELECT {_SD_FA}.c::INTEGER AS cluster_id,
+       count(*)::BIGINT AS n_members,
+       sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM {_SD_FA} LEFT JOIN dropids d USING (vec_id)
+GROUP BY {_SD_FA}.c ORDER BY cluster_id"""
+
+
+@q("semantic_dedup_keep", _SEMDEDUP_SQL)
+def semantic_dedup_keep(spark, sf_dir):
+    """SemDeDup (ann/cluster.semantic_dedup, Abbas et al. 2303.09540):
+    embedding-level near-duplicate removal with the quadratic search
+    confined to k-means clusters. The gate corpus is the embeddings
+    table plus a planted scaled copy (x1.5, cosine exactly ~1.0) of
+    every 10th vector — scaling is norm-invariant, so the copy lands in
+    its source's cluster under the unit-sphere k-means and MUST be
+    dropped at tau=0.9 (natural max cosine in the isotropic gate data
+    is 0.513 — a 0.39 margin on both sides of the threshold). Output:
+    per-cluster member/kept counts; at sf0.01 exactly the 50 planted
+    copies drop. Both branches of the augmentation union scan the tiny
+    parquet twice (persist upstream at scale)."""
+    from .ann.cluster import semantic_dedup
+
+    e0 = _t(spark, sf_dir, "embeddings")
+    base = e0.select(
+        "vec_id", F.transform("embedding", lambda y: y.cast("double")).alias("embedding"))
+    dup = (e0.where(F.col("vec_id") % 10 == 0)
+           .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                   F.transform("embedding",
+                               lambda y: y.cast("double") * F.lit(1.5)).alias("embedding")))
+    aug = _spread(base.unionByName(dup))
+    dd = semantic_dedup(aug, k=_SD_K, iters=_SD_ITERS, tau=_SD_TAU)
+    return (dd.groupBy("cluster")
+            .agg(F.count("*").cast("long").alias("n_members"),
+                 F.sum(F.col("keep").cast("long")).alias("n_kept"))
+            .select(F.col("cluster").alias("cluster_id"), "n_members", "n_kept")
+            .repartition(1).sortWithinPartitions("cluster_id"))
+
+
 # ---- dedup scale paths (sketch → verify, oracle = exact pairs) --------------
 # Contract oracle for the sketch paths: the sketch (MinHash-LSH / SimHash
 # bands) only PRUNES; an exact-Jaccard verify filters the candidates, so the
@@ -4697,7 +4849,13 @@ _DRIVER_WINDOW = [
     # PQ ANN (crosses_segments rotated out: DE-9IM kernel with dense
     # pytest goldens, local-green since r2)
     "ann_cosine_pq_top1",
+    # distributed k-means + SemDeDup (hausdorff_boxes / frechet_segments
+    # rotated out: r2 measurement kernels with pytest goldens,
+    # local-gate green since r2)
+    "kmeans_cluster_stats", "semantic_dedup_keep",
 ]
+_DRIVER_WINDOW.remove("hausdorff_boxes")
+_DRIVER_WINDOW.remove("frechet_segments")
 _DRIVER_WINDOW.remove("touches_overlaps_boxes")
 _DRIVER_WINDOW.remove("skew_area_box")
 _DRIVER_WINDOW.remove("segmentize_diag_npoints")
