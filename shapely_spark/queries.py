@@ -1673,6 +1673,49 @@ def pack_chunk_occupancy(spark, sf_dir):
 
 
 @q(
+    "bm25_topk_docs",
+    """
+    WITH b2 AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+                       string_split(text, ' ') AS w
+                FROM documents),
+    s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM b2),
+    tf AS (SELECT doc_id, dl, word, count(*)::BIGINT AS tf
+           FROM (SELECT doc_id, dl, unnest(w) AS word FROM b2)
+           WHERE word IN ('hash', 'join', 'window', 'stream', 'vector')
+           GROUP BY doc_id, dl, word),
+    idf AS (SELECT word, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+            FROM (SELECT word, count(*)::DOUBLE AS df FROM tf
+                  GROUP BY word), s),
+    sc AS (SELECT doc_id,
+                  round(sum(idf * ((tf * (1.2 + 1.0))
+                       / (tf + 1.2 * ((1.0 - 0.75)
+                                      + 0.75 * dl / avgdl)))), 6) AS score
+           FROM tf JOIN idf USING (word), s GROUP BY doc_id),
+    top AS (SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 20)
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+           doc_id, score
+    FROM top ORDER BY rank
+    """,
+)
+def bm25_topk_docs(spark, sf_dir):
+    """BM25 top-k retrieval (text/search.bm25_topk, r4): Okapi BM25
+    (k1=1.2, b=0.75, the Lucene default) for a 5-term bag-of-words
+    query, scored entirely with JVM expressions — corpus stats from one
+    aggregate, idf as a broadcast |terms|-row relation, top-k planned as
+    TakeOrderedAndProject (per-partition heaps, no global sort shuffle).
+    Scores rounded to 6 decimals and tie-broken by doc_id so the DuckDB
+    twin (identical arithmetic op order) selects the identical ranking."""
+    from .text.search import bm25_topk
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    out = bm25_topk(d, ["hash", "join", "window", "stream", "vector"], k=20)
+    return (out.select(F.col("rank").cast("long").alias("rank"),
+                       "doc_id", "score")
+            .repartition(1).sortWithinPartitions("rank"))
+
+
+@q(
     "training_pipeline_summary",
     """
     WITH base AS (SELECT doc_id, lang, text FROM documents

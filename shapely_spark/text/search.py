@@ -1,0 +1,82 @@
+"""BM25 keyword search over a document corpus — pure Catalyst.
+
+The retrieval view of the documents table: Okapi BM25 (Robertson &
+Zaragoza 2009, the Lucene/Elasticsearch default) scored entirely with
+JVM expressions — no UDF anywhere:
+
+- document frequencies and the average document length come from one
+  explode + partial-agg pass over the corpus;
+- idf is a tiny per-term relation (|query terms| rows) broadcast into
+  the per-(doc, term) score join;
+- top-k uses `orderBy(...).limit(k)` so Catalyst plans
+  TakeOrderedAndProject: per-partition heaps + a driver merge — no
+  RangePartitioner sampling pass, no global sort shuffle.
+
+Cross-engine determinism: scores are rounded to 6 decimals before
+ranking (summation-order fp noise is ~1e-15) and ties break by doc_id,
+so the DuckDB oracle (queries.bm25_topk_docs) selects the identical
+top-k with identical scores.
+
+Scale notes: the corpus is scanned twice (length stats + term
+frequencies) — persist the tokenized projection upstream when the scan
+is expensive. Only rows containing a query term survive the explode
+filter, so the shuffled relation is |matching (doc, term)| rows, not
+the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bm25_topk"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25.
+
+    Returns (rank, id_col, score) with score = round(BM25, 6) and rank
+    dense from 1 by (score desc, id ascending).
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    w = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), w.alias("__w")).withColumn(
+        "dl", F.size("__w").cast("long"))
+    stats = base.agg(F.count("*").alias("n"),
+                     F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+
+    tf = (base.select(id_col, "dl", F.explode("__w").alias("word"))
+          .where(F.col("word").isin(list(terms)))
+          .groupBy(id_col, "dl", "word")
+          .agg(F.count("*").cast("long").alias("tf")))
+    # document frequency over the (already distinct) (doc, word) rows;
+    # idf is |terms| rows — broadcast back into the score join.
+    idf = tf.groupBy("word").agg(F.count("*").cast("long").alias("df")).select(
+        "word",
+        F.log((F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+              / (F.col("df") + F.lit(0.5)) + F.lit(1.0)).alias("idf"))
+    # identical operator order to the SQL oracle:
+    # idf * ((tf * (k1+1)) / (tf + k1 * (1 - b + b * dl / avgdl)))
+    term_score = (F.col("idf")
+                  * ((F.col("tf") * F.lit(k1 + 1.0))
+                     / (F.col("tf")
+                        + F.lit(k1) * (F.lit(1.0 - b)
+                                       + F.lit(b) * F.col("dl") / F.lit(avgdl)))))
+    scored = (tf.join(F.broadcast(idf), "word")
+              .groupBy(id_col)
+              .agg(F.round(F.sum(term_score), 6).alias("score")))
+    top = scored.orderBy(F.desc("score"), id_col).limit(k)
+    return (top.repartition(1)
+            .withColumn("rank", F.row_number().over(
+                Window.partitionBy().orderBy(F.desc("score"), id_col)))
+            .select("rank", id_col, "score"))

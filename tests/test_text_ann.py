@@ -756,3 +756,66 @@ def test_verify_prefilter_respects_rounded_threshold(spark):
                         threshold=0.7, shingle_n=1).collect()
     assert len(out) == 1
     assert out[0].jaccard == pytest.approx(0.7, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (text/search.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_numpy_reference(spark):
+    """bm25_topk must reproduce the textbook Okapi BM25 (Robertson &
+    Zaragoza 2009) computed directly with numpy on a small corpus."""
+    import math
+
+    from shapely_spark.text.search import bm25_topk
+
+    rows = [
+        (0, "spark join hash join shuffle"),
+        (1, "hash table scan scan scan filter"),
+        (2, "join join join join hash"),
+        (3, "window sort order by window"),
+        (4, "the quick brown fox"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["join", "hash"]
+    k1, b = 1.2, 0.75
+
+    texts = {i: t.split(" ") for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(w) for w in texts.values()) / n
+    df = {t: sum(t in w for w in texts.values()) for t in terms}
+    want = {}
+    for i, w in texts.items():
+        s = 0.0
+        for t in terms:
+            tf = w.count(t)
+            if not tf:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * len(w) / avgdl))
+        if s > 0:
+            want[i] = round(s, 6)
+
+    out = bm25_topk(docs, terms, k=10, k1=k1, b=b).collect()
+    got = {r.doc_id: r.score for r in out}
+    assert got == pytest.approx(want)
+    # ranks dense from 1 by (score desc, doc_id)
+    order = sorted(want, key=lambda i: (-want[i], i))
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)] == order
+    assert sorted(r.rank for r in out) == list(range(1, len(want) + 1))
+
+
+def test_bm25_topk_limit_and_empty_terms(spark):
+    from shapely_spark.text.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "a b c" + " x" * i) for i in range(8)],
+        "doc_id long, text string")
+    out = bm25_topk(docs, ["a"], k=3).collect()
+    assert len(out) == 3
+    # shorter docs score higher for equal tf
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)] == [0, 1, 2]
+    with pytest.raises(ValueError):
+        bm25_topk(docs, [])
