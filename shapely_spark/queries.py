@@ -1605,6 +1605,43 @@ def decontaminate_eval_overlap(spark, sf_dir):
 
 
 @q(
+    "bloom_decontaminate_counts",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    ev AS (SELECT toks[1:30] AS toks FROM d WHERE doc_id % 5 = 2),
+    eg AS (SELECT DISTINCT array_to_string(toks[i+1 : i+6], ' ') AS ngram
+           FROM (SELECT toks, unnest(range(0, len(toks))) AS i FROM ev) u
+           WHERE i + 6 <= len(toks)),
+    dg AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1 : i+6], ' ') AS ngram
+           FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i
+                 FROM d WHERE doc_id % 5 <> 2) u
+           WHERE i + 6 <= len(toks))
+    SELECT doc_id, COUNT(*)::BIGINT AS n_hits
+    FROM dg JOIN eg USING (ngram)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def bloom_decontaminate_counts(spark, sf_dir):
+    """Bloom-prefiltered decontamination (text/decontam.
+    bloom_decontaminate, r4): same contract as decontaminate_eval_overlap
+    (distinct shared n-grams per training doc) through the two-stage
+    plan that survives an eval suite too big for an exact broadcast map —
+    xxhash64 JVM-side, Arrow-batched membership test against the ~1.2
+    byte/n-gram broadcast filter, then an exact verify join over only
+    the surviving candidates (true hits + ~fpp false positives), which
+    removes every FP. The oracle is the PLAIN exact n-gram join: the
+    gate proves the Bloom stage loses nothing and leaks nothing."""
+    from .text.decontam import bloom_decontaminate, eval_ngrams
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    ev = eval_ngrams(d.where(F.col("doc_id") % 5 == 2), n=6, max_tokens=30)
+    train = d.where(F.col("doc_id") % 5 != 2)
+    out = bloom_decontaminate(train, ev, n=6, fpp=0.01)
+    return (out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+            .repartition(1).sortWithinPartitions("doc_id"))
+
+
+@q(
     "sequence_pack_chunks",
     """
     WITH t AS (SELECT doc_id,

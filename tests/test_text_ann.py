@@ -819,3 +819,37 @@ def test_bm25_topk_limit_and_empty_terms(spark):
     assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)] == [0, 1, 2]
     with pytest.raises(ValueError):
         bm25_topk(docs, [])
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination tier (text/decontam.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fpp():
+    from shapely_spark.text.decontam import NgramBloom
+
+    keys = np.arange(-5000, 5000, dtype=np.int64) * 7919
+    b = NgramBloom.build(keys, fpp=0.01)
+    assert b.might_contain(keys).all()  # never a false negative
+    other = np.arange(10**7, 10**7 + 10**5, dtype=np.int64) * 104729
+    fp = b.might_contain(other).mean()
+    assert fp < 0.03, fp  # ~1% target with statistical slack
+
+
+def test_bloom_decontaminate_equals_exact(docs):
+    """The Bloom tier must return the exact decontaminate() rows — the
+    verify join removes every false positive. Run once at fpp=0.01 and
+    once at fpp=0.5 (a deliberately saturated filter, FPs guaranteed in
+    the candidate stream) to prove the verify stage, not filter luck."""
+    from shapely_spark.text.decontam import bloom_decontaminate, decontaminate
+
+    ev = docs.where(F.col("doc_id") < 10)
+    train = docs.where(F.col("doc_id") >= 100)
+    want = {(r.doc_id, r.n_hits)
+            for r in decontaminate(train, ev, n=5).collect()}
+    assert want  # planted near-dups must collide
+    for fpp in (0.01, 0.5):
+        got = {(r.doc_id, r.n_hits)
+               for r in bloom_decontaminate(train, ev, n=5, fpp=fpp).collect()}
+        assert got == want, fpp
