@@ -1605,6 +1605,37 @@ def decontaminate_eval_overlap(spark, sf_dir):
 
 
 @q(
+    "unigram_logprob_filter",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    v0 AS (SELECT word, count(*)::BIGINT AS cnt FROM t GROUP BY word),
+    s AS (SELECT sum(cnt)::DOUBLE AS total FROM v0),
+    lp AS (SELECT word, ln(cnt / total) AS logp FROM v0, s WHERE cnt >= 100),
+    d AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                 round(avg(coalesce(logp, ln(0.5 / total))), 6) AS avg_logp
+          FROM t LEFT JOIN lp USING (word), s GROUP BY doc_id)
+    SELECT doc_id, n_tokens, avg_logp FROM d ORDER BY doc_id
+    """,
+)
+def unigram_logprob_filter(spark, sf_dir):
+    """Unigram-LM quality scoring (text/quality.unigram_logprob, r4):
+    the Catalyst stand-in for the CCNet/LLaMA KenLM perplexity filter —
+    mean token ln P(w) per document under a self-estimated unigram LM.
+    min_count=100 drops the corpus's rarest type ('dup', 26 occurrences
+    at sf0.01) from the vocab so the OOV half-count floor ln(0.5/total)
+    is exercised, not just defined. LM build is one partial-agg shuffle;
+    the (word, logp) relation broadcasts into the scoring join; identical
+    arithmetic op order on both engines, round-6 means."""
+    from .text.quality import unigram_logprob
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    out = unigram_logprob(d, min_count=100)
+    return (out.select("doc_id", "n_tokens", "avg_logp")
+            .repartition(1).sortWithinPartitions("doc_id"))
+
+
+@q(
     "bloom_decontaminate_counts",
     """
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

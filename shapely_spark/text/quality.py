@@ -5,6 +5,8 @@ pipeline. All JVM-side expressions except nothing; no Python in the path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -339,3 +341,50 @@ def stratified_sample(
     return (cand.withColumn("sample_rank", F.row_number().over(w2))
             .where(F.col("sample_rank") <= quota)
             .drop("__k", "__s", "__r"))
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    lm_corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """Per-document mean token log-probability under a unigram LM — the
+    cheap stand-in for the CCNet/LLaMA KenLM perplexity filter (Wenzek
+    et al. 2020 §4.3: docs far from the reference LM's distribution are
+    gibberish or boilerplate; here P(w) is unigram instead of 5-gram so
+    the whole filter stays in Catalyst).
+
+    Returns (id_col, n_tokens, avg_logp) with
+    avg_logp = round(mean over tokens of ln(count(w)/total), 6). Tokens
+    absent from the LM (or below `min_count`) take the floor probability
+    ln(0.5/total) — half a count, the classic OOV backoff.
+
+    `lm_corpus` defaults to `docs` itself (self-scored). Scale shape:
+    the LM is one explode + partial-agg shuffle over the LM corpus; the
+    vocab relation (word, logp) is broadcast into the scoring join —
+    at web scale a `min_count` threshold keeps it broadcastable (~10M
+    surviving types is ~200 MB; Zipf puts >99.9% of token MASS there,
+    and everything below the cut scores as OOV anyway). One scoring
+    shuffle: groupBy doc after the broadcast join.
+    """
+    lm = lm_corpus if lm_corpus is not None else docs
+    toks = F.split(F.col(text_col), " ")
+    vocab = (lm.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+             .groupBy("word").agg(F.count("*").cast("long").alias("cnt")))
+    if min_count > 1:
+        vocab = vocab.where(F.col("cnt") >= min_count)
+    total = lm.select(F.sum(F.size(F.split(F.col(text_col), " ")))
+                      .cast("long").alias("t")).collect()[0]["t"]
+    # identical op order to the SQL oracle: ln(cnt / total)
+    vocab = vocab.select("word", F.log(F.col("cnt") / F.lit(float(total)))
+                         .alias("logp"))
+    floor = F.lit(math.log(0.5 / float(total)))
+    scored = (docs.select(F.col(id_col), F.explode(toks).alias("word"))
+              .join(F.broadcast(vocab), "word", "left")
+              .groupBy(id_col)
+              .agg(F.count("*").cast("long").alias("n_tokens"),
+                   F.round(F.avg(F.coalesce(F.col("logp"), floor)), 6)
+                    .alias("avg_logp")))
+    return scored

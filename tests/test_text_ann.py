@@ -853,3 +853,45 @@ def test_bloom_decontaminate_equals_exact(docs):
         got = {(r.doc_id, r.n_hits)
                for r in bloom_decontaminate(train, ev, n=5, fpp=fpp).collect()}
         assert got == want, fpp
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM log-prob scoring (text/quality.py)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_logprob_matches_hand_computation(spark):
+    import math
+
+    from shapely_spark.text.quality import unigram_logprob
+
+    rows = [(0, "a a b"), (1, "b c"), (2, "a zzz")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # corpus: a=3 b=2 c=1 zzz=1, total=7
+    total = 7.0
+    p = {"a": 3, "b": 2, "c": 1, "zzz": 1}
+    want = {}
+    for i, t in rows:
+        ws = t.split(" ")
+        want[i] = round(sum(math.log(p[w] / total) for w in ws) / len(ws), 6)
+    got = {r.doc_id: r.avg_logp for r in unigram_logprob(docs).collect()}
+    assert got == pytest.approx(want)
+
+
+def test_unigram_logprob_oov_floor_and_external_lm(spark):
+    import math
+
+    from shapely_spark.text.quality import unigram_logprob
+
+    lm = spark.createDataFrame([(0, "a a a b")], "doc_id long, text string")
+    docs = spark.createDataFrame([(7, "a b x")], "doc_id long, text string")
+    # total=4; x is OOV -> ln(0.5/4)
+    want = round((math.log(3 / 4.0) + math.log(1 / 4.0)
+                  + math.log(0.5 / 4.0)) / 3.0, 6)
+    out = unigram_logprob(docs, lm_corpus=lm).collect()
+    assert len(out) == 1 and out[0].n_tokens == 3
+    assert out[0].avg_logp == pytest.approx(want)
+    # min_count drops b (count 1) to the floor as well
+    want2 = round((math.log(3 / 4.0) + 2 * math.log(0.5 / 4.0)) / 3.0, 6)
+    out2 = unigram_logprob(docs, lm_corpus=lm, min_count=2).collect()
+    assert out2[0].avg_logp == pytest.approx(want2)
