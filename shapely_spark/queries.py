@@ -1755,9 +1755,10 @@ def pack_chunk_occupancy(spark, sf_dir):
             FROM (SELECT word, count(*)::DOUBLE AS df FROM tf
                   GROUP BY word), s),
     sc AS (SELECT doc_id,
-                  round(sum(idf * ((tf * (1.2 + 1.0))
+                  CAST(round(sum(CAST(round(idf * ((tf * (1.2 + 1.0))
                        / (tf + 1.2 * ((1.0 - 0.75)
-                                      + 0.75 * dl / avgdl)))), 6) AS score
+                                      + 0.75 * dl / avgdl))), 9)
+                       AS DECIMAL(20,9))), 6) AS DOUBLE) AS score
            FROM tf JOIN idf USING (word), s GROUP BY doc_id),
     top AS (SELECT doc_id, score FROM sc
             ORDER BY score DESC, doc_id LIMIT 20)
@@ -4939,10 +4940,13 @@ _DRIVER_WINDOW = [
     # both carry driver-green rows from r3 and stay in the local gate)
     "boundary_by_type", "xyzm_line_interpolate",
     "decontaminate_eval_overlap", "sequence_pack_chunks",
-    # named in the r3 verdict's done-criteria
-    "dedup_components_chain", "overlay_gc_intersection",
-    "overlay_gc_difference",
+    # dedup_components_chain / overlay_gc_intersection / overlay_gc_difference
+    # (named in the r3 verdict's done-criteria) rotated out late-r4: all
+    # three were sampled by the r3 driver and carry green CORRECTNESS_r03
+    # rows already; they stay in the local gate.
     "spatial_join_ngon_pairs",
+    # newest in r4, never driver-sampled
+    "bm25_topk_docs", "bloom_decontaminate_counts", "unigram_logprob_filter",
     # new in late r4 (touches_overlaps_boxes / skew_area_box /
     # segmentize_diag_npoints / substring_frac_length /
     # audio_decode_ulaw_abs_sum rotated out: stable low-risk kernels

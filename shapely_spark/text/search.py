@@ -72,9 +72,15 @@ def bm25_topk(
                      / (F.col("tf")
                         + F.lit(k1) * (F.lit(1.0 - b)
                                        + F.lit(b) * F.col("dl") / F.lit(avgdl)))))
+    # per-term scores are bit-identical across engines (exact int inputs,
+    # one shared op order); quantize each to 9 dp and sum on a DECIMAL
+    # carrier so the doc score is partition-order insensitive, then
+    # present at 6 dp.
     scored = (tf.join(F.broadcast(idf), "word")
               .groupBy(id_col)
-              .agg(F.round(F.sum(term_score), 6).alias("score")))
+              .agg(F.round(F.sum(F.round(term_score, 9)
+                                 .cast("decimal(20,9)")), 6)
+                   .cast("double").alias("score")))
     top = scored.orderBy(F.desc("score"), id_col).limit(k)
     return (top.repartition(1)
             .withColumn("rank", F.row_number().over(

@@ -34,6 +34,15 @@ _EXACT_SUM_OK = {
     "dissolve_union_by_key",   # (2+k%5)*(2.0+k%4): DECIMAL literal arithmetic
     "collect_multipoint_bounds",  # closed-form n·cx sums of sub-unit terms, round 6
     "explode_coordinates_ngon",   # same closed-form coordinate identity
+    # k-means gates: the round(sum(...)) is the 32-dim squared distance /
+    # centroid mean inside the Lloyd's CTE. The Spark side sums these in
+    # float64 BY DESIGN (numpy partial sums inside mapInPandas — the
+    # distributed algorithm cannot ride a decimal), so the contract is the
+    # documented 6-dp centroid / 9-dp distance quantization with measured
+    # assignment margins (see kmeans_cluster_stats docstring), not an
+    # exact carrier. Output columns themselves are BIGINT/4-dp constants.
+    "kmeans_cluster_stats",
+    "semantic_dedup_keep",
 }
 
 
