@@ -1785,6 +1785,65 @@ def bm25_topk_docs(spark, sf_dir):
 
 
 @q(
+    "dsir_select_topk",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    uni AS (SELECT doc_id, unnest(w) AS g FROM d),
+    bi AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] AS g
+           FROM (SELECT doc_id, w, unnest(range(0, len(w) - 1)) AS i
+                 FROM d) u),
+    feats AS (SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 15))::UBIGINT % 4096 AS b
+              FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) a),
+    tc AS (SELECT b, count(*)::DOUBLE AS ct FROM feats
+           WHERE doc_id % 10 < 2 GROUP BY b),
+    rc AS (SELECT b, count(*)::DOUBLE AS cr FROM feats GROUP BY b),
+    tot AS (SELECT (SELECT sum(ct) FROM tc) AS tt,
+                   (SELECT sum(cr) FROM rc) AS rt),
+    ratio AS (SELECT bk.b,
+                     ln((coalesce(ct, 0) + 1.0) / (4096.0 + tt))
+                   - ln((coalesce(cr, 0) + 1.0) / (4096.0 + rt)) AS lr
+              FROM (SELECT unnest(range(0, 4096)) AS b) bk
+              LEFT JOIN tc USING (b) LEFT JOIN rc USING (b), tot),
+    sc AS (SELECT doc_id, count(*)::BIGINT AS n_feats,
+                  CAST(round(sum(CAST(round(lr, 9) AS DECIMAL(28,9))), 6)
+                       AS DOUBLE) AS logw
+           FROM feats JOIN ratio USING (b) GROUP BY doc_id),
+    gk AS (SELECT doc_id, n_feats, logw,
+                  logw - ln(-ln(((('0x' || substr(md5('dsir7:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT)::DOUBLE
+                        + 0.5) / 4503599627370496.0)) AS key
+           FROM sc),
+    top AS (SELECT doc_id, n_feats, logw, key FROM gk
+            ORDER BY key DESC, doc_id LIMIT 50)
+    SELECT doc_id, n_feats, logw, round(key, 6) AS key FROM top
+    ORDER BY doc_id
+    """,
+)
+def dsir_select_topk(spark, sf_dir):
+    """DSIR data selection (text/selection.dsir_resample, r4): the
+    public importance-resampling method of Xie et al. NeurIPS'23 —
+    hashed unigram+bigram bag features (4096 buckets), add-1-smoothed
+    target/raw bucket LMs fit in one partial-agg shuffle each, per-doc
+    importance log-weight via a broadcast 4096-row log-ratio join, then
+    Gumbel-top-k (deterministic salted-hash Gumbel noise) selects k=50
+    without replacement ∝ exp(logw). Target = doc_id % 10 < 2 slice of
+    the same corpus. hash_fn='md5' is the cross-engine verification
+    path (DuckDB reproduces the bucket ids exactly); exact_sum rides
+    the DECIMAL(28,9) carrier so the per-doc sum is order-independent.
+    The production path swaps in xxhash64 — identical plan shape."""
+    from .text.selection import dsir_resample
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    target = d.where(F.col("doc_id") % 10 < 2)
+    out = dsir_resample(d, target, 50, n_buckets=4096, seed=7,
+                        hash_fn="md5", exact_sum=True)
+    return (out.select("doc_id", "n_feats", "logw",
+                       F.round("key", 6).alias("key"))
+            .repartition(1).sortWithinPartitions("doc_id"))
+
+
+@q(
     "training_pipeline_summary",
     """
     WITH base AS (SELECT doc_id, lang, text FROM documents
@@ -4968,7 +5027,11 @@ _DRIVER_WINDOW = [
     # rotated out: r2 measurement kernels with pytest goldens,
     # local-gate green since r2)
     "kmeans_cluster_stats", "semantic_dedup_keep",
+    # DSIR importance resampling (split_segment_pieces rotated out: r3
+    # kernel with pytest goldens, local-gate green since r3)
+    "dsir_select_topk",
 ]
+_DRIVER_WINDOW.remove("split_segment_pieces")
 _DRIVER_WINDOW.remove("hausdorff_boxes")
 _DRIVER_WINDOW.remove("frechet_segments")
 _DRIVER_WINDOW.remove("touches_overlaps_boxes")

@@ -1,0 +1,124 @@
+"""DSIR importance resampling (text/selection.py).
+
+The arithmetic reference is numpy over bucket ids taken FROM the engine's
+own feature extractor — so the tests pin the model fit, smoothing,
+log-ratio, per-doc sum, and Gumbel-top-k stages without reimplementing
+xxhash64 in Python.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from shapely_spark.text.selection import (
+    dsir_logweights,
+    dsir_resample,
+    gumbel_key_col,
+    hashed_ngram_features,
+)
+
+B = 64  # tiny bucket space so smoothing and collisions are exercised
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # two vocab families; family A (even ids) is the target domain
+    rows = []
+    for i in range(40):
+        fam = ("alpha beta gamma delta", "omega psi chi phi")[i % 2]
+        rows.append((i, fam + f" tok{i % 5}"))
+    return _docs(spark, rows)
+
+
+def test_feature_bag_has_multiplicity_and_bigrams(spark):
+    d = _docs(spark, [(0, "a b a")])
+    feats = d.select(
+        hashed_ngram_features(F.col("text"), B).alias("f")).head()["f"]
+    # 3 unigrams (a, b, a — duplicates kept) + 2 bigrams ("a b", "b a")
+    assert len(feats) == 5
+    u = d.select(hashed_ngram_features(F.lit("a"), B).alias("f")).head()["f"]
+    assert len(u) == 1  # single-token doc: no bigram slice, no throw
+
+
+def test_logweights_match_numpy_model(spark, corpus):
+    target = corpus.where(F.col("doc_id") % 2 == 0)
+    # bucket ids from the engine's own extractor
+    feats = corpus.select(
+        "doc_id",
+        F.explode(hashed_ngram_features(F.col("text"), B)).alias("b"),
+    ).toPandas()
+    tmask = (feats.doc_id % 2 == 0).to_numpy()
+    tc = np.bincount(feats.b[tmask], minlength=B).astype(float)
+    rc = np.bincount(feats.b, minlength=B).astype(float)
+    lr = (np.log((tc + 1.0) / (B + tc.sum()))
+          - np.log((rc + 1.0) / (B + rc.sum())))
+    exp = {
+        did: g.b.map(lambda b: lr[b]).sum()
+        for did, g in feats.groupby("doc_id")
+    }
+    got = dsir_logweights(corpus, target, n_buckets=B).toPandas()
+    assert set(got.doc_id) == set(exp)
+    for _, r in got.iterrows():
+        assert r.logw == pytest.approx(exp[r.doc_id], abs=1e-9)
+        assert r.n_feats == (feats.doc_id == r.doc_id).sum()
+
+
+def test_target_equals_raw_is_flat_zero(spark, corpus):
+    out = dsir_logweights(corpus, corpus, n_buckets=B).toPandas()
+    assert (out.logw == 0.0).all()  # identical doubles subtract exactly
+
+
+def test_in_domain_docs_outweigh_out_of_domain(spark, corpus):
+    target = corpus.where(F.col("doc_id") % 2 == 0)
+    out = dsir_logweights(corpus, target, n_buckets=B).toPandas()
+    a = out[out.doc_id % 2 == 0].logw
+    b = out[out.doc_id % 2 == 1].logw
+    assert a.min() > b.max()  # family separation is decisive, not marginal
+
+
+def test_null_text_keeps_zero_row(spark):
+    d = _docs(spark, [(0, "alpha beta"), (1, None)])
+    out = {r.doc_id: r for r in
+           dsir_logweights(d, d.where("doc_id = 0"), n_buckets=B).collect()}
+    assert out[1].n_feats == 0 and out[1].logw == 0.0
+    assert out[0].n_feats == 3
+
+
+def test_resample_is_deterministic_topk_without_replacement(spark, corpus):
+    target = corpus.where(F.col("doc_id") % 2 == 0)
+    s1 = dsir_resample(corpus, target, 10, n_buckets=B, seed=7).toPandas()
+    s2 = dsir_resample(corpus, target, 10, n_buckets=B, seed=7).toPandas()
+    assert list(s1.doc_id) == list(s2.doc_id)
+    assert s1.doc_id.nunique() == 10
+    assert (np.diff(s1.key) <= 1e-12).all()  # descending keys
+    s3 = dsir_resample(corpus, target, 10, n_buckets=B, seed=8).toPandas()
+    assert list(s3.doc_id) != list(s1.doc_id)  # seed moves the Gumbel field
+
+
+def test_gumbel_key_matches_closed_form(spark):
+    d = _docs(spark, [(5, "x")])
+    row = d.select(
+        F.pmod(F.xxhash64(F.concat(F.lit("s:"), F.col("doc_id").cast("string"))),
+               F.lit(1 << 52)).alias("h"),
+        gumbel_key_col(F.col("doc_id"), F.lit(0.0), "s:").alias("k"),
+    ).head()
+    u = (row["h"] + 0.5) / float(1 << 52)
+    assert row["k"] == pytest.approx(-math.log(-math.log(u)), abs=1e-12)
+
+
+def test_md5_path_and_exact_sum_agree_with_fast_path(spark, corpus):
+    target = corpus.where(F.col("doc_id") % 2 == 0)
+    fast = dsir_logweights(corpus, target, n_buckets=B,
+                           hash_fn="md5").toPandas().set_index("doc_id")
+    exact = dsir_logweights(corpus, target, n_buckets=B, hash_fn="md5",
+                            exact_sum=True).toPandas().set_index("doc_id")
+    for did in fast.index:
+        assert exact.loc[did].logw == pytest.approx(
+            fast.loc[did].logw, abs=1e-5)
+        assert exact.loc[did].n_feats == fast.loc[did].n_feats
