@@ -1844,6 +1844,68 @@ def dsir_select_topk(spark, sf_dir):
 
 
 @q(
+    "domain_cap_keep",
+    """
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id)::BIGINT
+             AS keep_rank
+    FROM documents
+    QUALIFY keep_rank <= 3
+    ORDER BY source, keep_rank
+    """,
+)
+def domain_cap_keep(spark, sf_dir):
+    """Per-domain frequency capping (text/quality.cap_per_key, r4): keep
+    the best ≤3 documents per source domain (longest first, id
+    tie-break) so no single site dominates the training mixture — the
+    standard web-corpus cap. Two-phase salted windows: phase 1 ranks
+    within (source, salt) so a hot domain never pins one reducer, phase
+    2 ranks the ≤ salts×cap survivors. Exact: the oracle is the naive
+    single-window QUALIFY."""
+    from .text.quality import cap_per_key
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    out = cap_per_key(d, "source", cap=3)
+    return (out.select("doc_id", "source",
+                       F.col("keep_rank").cast("long").alias("keep_rank"))
+            .repartition(1).sortWithinPartitions("source", "keep_rank"))
+
+
+@q(
+    "hash_split_counts",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('split7:' || CAST(doc_id AS VARCHAR)),
+                             1, 13))::UBIGINT % 1000000 AS b
+      FROM documents)
+    SELECT CASE WHEN b < 900000 THEN 'train'
+                WHEN b < 950000 THEN 'val' ELSE 'test' END AS split,
+           count(*)::BIGINT AS n_docs,
+           sum(doc_id)::BIGINT AS id_sum
+    FROM s GROUP BY 1 ORDER BY split
+    """,
+)
+def hash_split_counts(spark, sf_dir):
+    """Deterministic train/val/test split (text/quality.hash_split, r4):
+    a salted per-id hash bucketed into 10^6 cells, cut at the cumulative
+    fractions (90/5/5). Pure JVM column math, no shuffle for the
+    assignment itself; stable under repartitioning and re-runs, so eval
+    contamination is auditable. md5 hash path = the DuckDB-reproducible
+    twin; production uses xxhash64 (identical plan). Gate compares
+    per-split row counts and exact BIGINT id sums."""
+    from .text.quality import hash_split
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    out = hash_split(d, seed=7, hash_fn="md5")
+    return (out.groupBy("split")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("doc_id").cast("long").alias("id_sum"))
+            .repartition(1).sortWithinPartitions("split"))
+
+
+@q(
     "training_pipeline_summary",
     """
     WITH base AS (SELECT doc_id, lang, text FROM documents
@@ -5030,8 +5092,14 @@ _DRIVER_WINDOW = [
     # DSIR importance resampling (split_segment_pieces rotated out: r3
     # kernel with pytest goldens, local-gate green since r3)
     "dsir_select_topk",
+    # domain capping + deterministic hash split (offset_curve_lengths /
+    # coverage_valid_grid rotated out: r2/r3 kernels with dense pytest
+    # goldens, local-gate green for two rounds)
+    "domain_cap_keep", "hash_split_counts",
 ]
 _DRIVER_WINDOW.remove("split_segment_pieces")
+_DRIVER_WINDOW.remove("offset_curve_lengths")
+_DRIVER_WINDOW.remove("coverage_valid_grid")
 _DRIVER_WINDOW.remove("hausdorff_boxes")
 _DRIVER_WINDOW.remove("frechet_segments")
 _DRIVER_WINDOW.remove("touches_overlaps_boxes")

@@ -388,3 +388,81 @@ def unigram_logprob(
                    F.round(F.avg(F.coalesce(F.col("logp"), floor)), 6)
                     .alias("avg_logp")))
     return scored
+
+
+def cap_per_key(
+    docs: DataFrame,
+    key_col: str = "source",
+    cap: int = 3,
+    order_cols=None,
+    id_col: str = "doc_id",
+    salts: int = 32,
+) -> DataFrame:
+    """Frequency capping: keep at most `cap` rows per key (the standard
+    per-domain cap in web-corpus curation — a handful of best documents
+    per registrable domain so no single site dominates the mixture),
+    choosing by `order_cols` (default: longest first, id tie-break).
+
+    Same two-phase skew shape as stratified_sample: a naive row_number
+    over partitionBy(key) pins a hot domain onto ONE reducer; phase 1
+    ranks within (key, salt) — bounded partitions — and keeps the
+    per-salt top `cap`; phase 2 ranks the ≤ salts×cap survivors. Exact,
+    not approximate (the global top-cap of any key is a subset of its
+    per-salt top-caps). Adds ``keep_rank`` (1-based within key).
+    """
+    from ..spark.columns import salt_col
+    from pyspark.sql import Window
+
+    if order_cols is None:
+        order_cols = [F.col("n_chars").desc(), F.col(id_col)]
+    cand = docs.withColumn("__s", salt_col(F.col(id_col), salts))
+    w1 = Window.partitionBy(key_col, "__s").orderBy(*order_cols)
+    cand = (cand.withColumn("__r", F.row_number().over(w1))
+            .where(F.col("__r") <= cap))
+    w2 = Window.partitionBy(key_col).orderBy(*order_cols)
+    return (cand.withColumn("keep_rank", F.row_number().over(w2))
+            .where(F.col("keep_rank") <= cap)
+            .drop("__s", "__r"))
+
+
+def hash_split(
+    docs: DataFrame,
+    splits: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: a salted per-id hash
+    bucketed into 10^6 cells, cut at the cumulative split fractions.
+    Pure JVM column math, no shuffle, stable under repartitioning and
+    re-runs — the property that makes eval contamination auditable
+    (an id's split never depends on which executor saw it).
+
+    hash_fn="md5" is the cross-engine twin DuckDB reproduces exactly
+    (('0x' || substr(md5(...), 1, 13))::UBIGINT % 1000000); xxhash64 is
+    the production default. Adds a ``split`` column.
+    """
+    if splits is None:
+        splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions sum to {total}, expected 1.0")
+    m = 1_000_000
+    sid = F.concat(F.lit(f"split{seed}:"), F.col(id_col).cast("string"))
+    if hash_fn == "xxhash64":
+        b = F.pmod(F.xxhash64(sid), F.lit(m))
+    elif hash_fn == "md5":
+        b = F.pmod(
+            F.conv(F.substring(F.md5(F.encode(sid, "UTF-8")), 1, 13), 16, 10)
+            .cast("long"), F.lit(m))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    expr = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = b < int(round(acc * m))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (F.lit(names[-1]) if expr is None else expr.otherwise(names[-1]))
+    return docs.withColumn("split", expr)

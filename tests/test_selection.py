@@ -122,3 +122,68 @@ def test_md5_path_and_exact_sum_agree_with_fast_path(spark, corpus):
         assert exact.loc[did].logw == pytest.approx(
             fast.loc[did].logw, abs=1e-5)
         assert exact.loc[did].n_feats == fast.loc[did].n_feats
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: domain frequency capping + deterministic hash split
+# ---------------------------------------------------------------------------
+
+from shapely_spark.text.quality import cap_per_key, hash_split  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def domains(spark):
+    rows = []
+    for i in range(300):
+        dom = "hot.example" if i % 3 == 0 else f"d{i % 7}.example"
+        rows.append((i, dom, (i * 37) % 101))  # n_chars with ties
+    return spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+
+def test_cap_per_key_matches_naive_window(spark, domains):
+    got = cap_per_key(domains, "source", cap=4).toPandas()
+    pdf = domains.toPandas().sort_values(
+        ["source", "n_chars", "doc_id"], ascending=[True, False, True])
+    pdf["rk"] = pdf.groupby("source").cumcount() + 1
+    exp = pdf[pdf.rk <= 4]
+    assert sorted(got.doc_id) == sorted(exp.doc_id)
+    m = got.set_index("doc_id").keep_rank
+    for _, r in exp.iterrows():
+        assert m[r.doc_id] == r.rk
+    assert got.groupby("source").size().max() <= 4
+
+
+def test_cap_per_key_salt_count_invariant(spark, domains):
+    a = cap_per_key(domains, "source", cap=2, salts=1).toPandas()
+    b = cap_per_key(domains, "source", cap=2, salts=64).toPandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)  # exact under any salting
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark, domains):
+    s1 = hash_split(domains).select("doc_id", "split").toPandas()
+    s2 = (hash_split(domains.repartition(13))
+          .select("doc_id", "split").toPandas())
+    m1 = s1.set_index("doc_id").split.to_dict()
+    m2 = s2.set_index("doc_id").split.to_dict()
+    assert m1 == m2
+    frac = s1.split.value_counts(normalize=True)
+    assert 0.8 < frac.get("train", 0) < 0.97  # 300 ids, 90% nominal
+    assert set(s1.split) <= {"train", "val", "test"}
+
+
+def test_hash_split_md5_matches_hashlib(spark):
+    import hashlib
+
+    d = spark.createDataFrame([(5,), (77,)], "doc_id long")
+    got = {r.doc_id: r.split
+           for r in hash_split(d, seed=0, hash_fn="md5").collect()}
+    for did in (5, 77):
+        b = int(hashlib.md5(f"split0:{did}".encode()).hexdigest()[:13],
+                16) % 1_000_000
+        exp = "train" if b < 900000 else ("val" if b < 950000 else "test")
+        assert got[did] == exp
+
+
+def test_hash_split_rejects_bad_fractions(spark, domains):
+    with pytest.raises(ValueError):
+        hash_split(domains, splits={"a": 0.5, "b": 0.6})
