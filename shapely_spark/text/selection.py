@@ -126,29 +126,28 @@ def dsir_logweights(raw: DataFrame, target: DataFrame, *,
     ratios = dsir_log_ratios(raw, target, text_col=text_col,
                              n_buckets=n_buckets, alpha=alpha,
                              hash_fn=hash_fn)
+    # explode_outer keeps zero-feature docs (null/empty text) as one
+    # NULL-bucket row, so they survive the aggregate with logw = 0 —
+    # WITHOUT a corpus-sized join-back of raw ids onto the scores (a
+    # second shuffle of the whole table at 10^12 docs). The ratio join
+    # is left so the NULL-bucket rows pass through with lr NULL;
+    # count(lr) ignores them.
     feats = raw.select(
         F.col(id_col),
-        F.explode(hashed_ngram_features(F.col(text_col), n_buckets, hash_fn)
-                  ).alias("b"),
+        F.explode_outer(
+            hashed_ngram_features(F.col(text_col), n_buckets, hash_fn)
+        ).alias("b"),
     )
     if exact_sum:
         lr_sum = F.sum(F.round(F.col("lr"), 9).cast("decimal(28,9)"))
         logw = F.round(lr_sum, 6).cast("double")
     else:
         logw = F.sum("lr")
-    scores = (
-        feats.join(F.broadcast(ratios), "b")
-        .groupBy(id_col)
-        .agg(F.count("*").cast("long").alias("n_feats"), logw.alias("logw"))
-    )
     return (
-        raw.select(id_col)
-        .join(scores, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_feats"), F.lit(0).cast("long")).alias("n_feats"),
-            F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"),
-        )
+        feats.join(F.broadcast(ratios), "b", "left")
+        .groupBy(id_col)
+        .agg(F.count("lr").cast("long").alias("n_feats"),
+             F.coalesce(logw, F.lit(0.0)).alias("logw"))
     )
 
 
