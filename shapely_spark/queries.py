@@ -1906,6 +1906,50 @@ def hash_split_counts(spark, sf_dir):
 
 
 @q(
+    "mixture_sample_counts",
+    """
+    WITH d AS (SELECT doc_id, source,
+                      ('0x' || substr(md5('mix7:' || CAST(doc_id AS VARCHAR)),
+                                      1, 13))::UBIGINT % 1000000 AS b
+               FROM documents),
+    r AS (SELECT *, CASE WHEN source = 'src0' THEN 2.5
+                         WHEN source = 'src1' THEN 0.25
+                         ELSE 1.0 END AS rate FROM d),
+    c AS (SELECT doc_id, source,
+                 floor(rate)::INT
+                   + CASE WHEN b < CAST(round((rate - floor(rate)) * 1000000)
+                                   AS BIGINT)
+                          THEN 1 ELSE 0 END AS n
+          FROM r),
+    e AS (SELECT doc_id, source, unnest(range(0, n)) AS copy
+          FROM c WHERE n > 0)
+    SELECT source, count(*)::BIGINT AS n_rows,
+           sum(doc_id + copy)::BIGINT AS id_sum
+    FROM e GROUP BY source ORDER BY source
+    """,
+)
+def mixture_sample_counts(spark, sf_dir):
+    """Mixture sampling with epoch rates (text/quality.mixture_sample,
+    r4): the published Pile/LLaMA sampling-proportions recipe — src0 at
+    2.5 epochs (2 full copies + deterministic 50% third), src1 down to
+    0.25, everything else 1.0. The Bernoulli is a salted per-id hash on
+    the same 10^6 grid as hash_split; pure JVM when-chain + sequence
+    explode, no shuffle for the assignment. md5 = DuckDB-reproducible
+    gate path; production uses xxhash64. Gate compares per-source row
+    counts and exact BIGINT (doc_id+copy) sums."""
+    from .text.quality import mixture_sample
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    out = mixture_sample(d, {"src0": 2.5, "src1": 0.25}, seed=7,
+                         hash_fn="md5", default_rate=1.0)
+    return (out.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.sum(F.col("doc_id") + F.col("copy")).cast("long")
+                  .alias("id_sum"))
+            .repartition(1).sortWithinPartitions("source"))
+
+
+@q(
     "training_pipeline_summary",
     """
     WITH base AS (SELECT doc_id, lang, text FROM documents
@@ -5096,7 +5140,11 @@ _DRIVER_WINDOW = [
     # coverage_valid_grid rotated out: r2/r3 kernels with dense pytest
     # goldens, local-gate green for two rounds)
     "domain_cap_keep", "hash_split_counts",
+    # mixture sampling with epoch rates (inscribed_circle_box rotated
+    # out: r2 kernel with pytest goldens, local-gate green since r2)
+    "mixture_sample_counts",
 ]
+_DRIVER_WINDOW.remove("inscribed_circle_box")
 _DRIVER_WINDOW.remove("split_segment_pieces")
 _DRIVER_WINDOW.remove("offset_curve_lengths")
 _DRIVER_WINDOW.remove("coverage_valid_grid")

@@ -466,3 +466,58 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = (F.lit(names[-1]) if expr is None else expr.otherwise(names[-1]))
     return docs.withColumn("split", expr)
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-source mixture sampling with epoch semantics (the published
+    Pile / LLaMA sampling-proportions recipe): a source with rate 2.4
+    contributes every document twice plus a deterministic 40% chance of
+    a third copy; rate 0.3 keeps 30% of documents. The Bernoulli is a
+    salted per-id hash uniform — stable under repartitioning/re-runs,
+    so the mixture is reproducible and contamination-auditable. Sources
+    absent from `rates` get `default_rate` (0 drops them).
+
+    Adds ``copy`` (0-based repetition index) — downstream shuffles see
+    distinct (id, copy) keys. Pure JVM column math: one when-chain for
+    the rate, one hash, one sequence explode; no shuffle, no UDF.
+
+    hash_fn="md5" is the DuckDB-reproducible twin used by the oracle
+    gate; xxhash64 is the production default.
+    """
+    m = 1_000_000
+    rate = None
+    for src, r in rates.items():
+        if r < 0:
+            raise ValueError(f"negative rate for {src!r}")
+        cond = F.col(source_col) == src
+        rate = (F.when(cond, float(r)) if rate is None
+                else rate.when(cond, float(r)))
+    rate = (F.lit(float(default_rate)) if rate is None
+            else rate.otherwise(float(default_rate)))
+    sid = F.concat(F.lit(f"mix{seed}:"), F.col(id_col).cast("string"))
+    if hash_fn == "xxhash64":
+        b = F.pmod(F.xxhash64(sid), F.lit(m))
+    elif hash_fn == "md5":
+        b = F.pmod(
+            F.conv(F.substring(F.md5(F.encode(sid, "UTF-8")), 1, 13), 16, 10)
+            .cast("long"), F.lit(m))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    # copies = floor(rate) + (u < frac(rate)); frac threshold on the SAME
+    # integer grid as hash_split so the cut is exact, not float-fuzzy
+    base = F.floor(rate).cast("int")
+    extra = (b < F.round((rate - F.floor(rate)) * m).cast("long")).cast("int")
+    n_copies = base + extra
+    return (docs.withColumn("__n", n_copies)
+            .where(F.col("__n") > 0)
+            .withColumn("copy", F.explode(F.sequence(
+                F.lit(0), F.col("__n") - 1)))
+            .drop("__n"))

@@ -187,3 +187,43 @@ def test_hash_split_md5_matches_hashlib(spark):
 def test_hash_split_rejects_bad_fractions(spark, domains):
     with pytest.raises(ValueError):
         hash_split(domains, splits={"a": 0.5, "b": 0.6})
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling with epoch rates
+# ---------------------------------------------------------------------------
+
+from shapely_spark.text.quality import mixture_sample  # noqa: E402
+
+
+def test_mixture_sample_epoch_semantics_exact(spark):
+    import hashlib
+
+    rows = [(i, ("a", "b", "c")[i % 3]) for i in range(90)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"a": 2.4, "b": 0.3, "c": 0.0}
+    got = mixture_sample(d, rates, seed=3, hash_fn="md5").toPandas()
+    exp_rows = []
+    for i, src in rows:
+        b = int(hashlib.md5(f"mix3:{i}".encode()).hexdigest()[:13],
+                16) % 1_000_000
+        r = rates[src]
+        n = int(r) + (1 if b < round((r - int(r)) * 1_000_000) else 0)
+        exp_rows += [(i, c) for c in range(n)]
+    assert sorted(zip(got.doc_id, got["copy"])) == sorted(exp_rows)
+    assert not (got.source == "c").any()
+
+
+def test_mixture_sample_partition_invariant_and_defaults(spark):
+    d = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y") for i in range(200)],
+        "doc_id long, source string")
+    a = mixture_sample(d, {"x": 1.5}, default_rate=1.0).toPandas()
+    b = mixture_sample(d.repartition(17), {"x": 1.5},
+                       default_rate=1.0).toPandas()
+    assert sorted(zip(a.doc_id, a["copy"])) == sorted(zip(b.doc_id, b["copy"]))
+    assert (a[a.source == "y"].groupby("doc_id").size() == 1).all()
+    c = mixture_sample(d, {"x": 1.0})  # default_rate=0 drops unknown
+    assert c.where("source = 'y'").count() == 0
+    with pytest.raises(ValueError):
+        mixture_sample(d, {"x": -0.1})
