@@ -1906,6 +1906,52 @@ def hash_split_counts(spark, sf_dir):
 
 
 @q(
+    "paragraph_dedup_clean",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    p AS (SELECT doc_id, i AS idx,
+                 array_to_string(w[i*10+1 : i*10+10], ' ') AS para
+          FROM (SELECT doc_id, w,
+                       unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)))
+                         AS i
+                FROM d) u),
+    k AS (SELECT doc_id, idx, para,
+                 row_number() OVER (PARTITION BY para
+                                    ORDER BY doc_id, idx) = 1 AS keep
+          FROM p)
+    SELECT doc_id,
+           md5(coalesce(string_agg(para, ' ' ORDER BY idx)
+                          FILTER (WHERE keep), '')) AS clean_md5,
+           count(*)::BIGINT AS n_units,
+           (count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END))::BIGINT
+             AS n_removed
+    FROM k GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def paragraph_dedup_clean(spark, sf_dir):
+    """Cross-document unit dedup (text/dedup.paragraph_dedup, r4): the
+    RefinedWeb/Falcon paragraph dedup — only the FIRST corpus-wide
+    occurrence (by (doc_id, position)) of each repeated unit survives;
+    documents are reassembled in order. Units here are 10-token blocks
+    (this corpus has no structural separators; the sep:'\\n\\n' mode is
+    pytest-covered on real multi-paragraph strings) — the corpus's
+    shared prefixes guarantee cross-document removals. ONE min-struct
+    aggregate window keyed by unit (no sort, hot boilerplate costs its
+    row count) + ONE reassembly groupBy. Gate compares md5 of the
+    cleaned text plus unit/removal counts per document."""
+    from .text.dedup import paragraph_dedup
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    out = paragraph_dedup(d, unit="tokens:10")
+    return (out.select(
+                "doc_id",
+                F.md5(F.encode(F.col("clean_text"), "UTF-8"))
+                 .alias("clean_md5"),
+                "n_units", "n_removed")
+            .repartition(1).sortWithinPartitions("doc_id"))
+
+
+@q(
     "mixture_sample_counts",
     """
     WITH d AS (SELECT doc_id, source,
@@ -5143,8 +5189,13 @@ _DRIVER_WINDOW = [
     # mixture sampling with epoch rates (inscribed_circle_box rotated
     # out: r2 kernel with pytest goldens, local-gate green since r2)
     "mixture_sample_counts",
+    # cross-document paragraph dedup (oriented_envelope_area rotated
+    # out: r3 rotating-calipers kernel with pytest goldens, local-gate
+    # green since r3)
+    "paragraph_dedup_clean",
 ]
 _DRIVER_WINDOW.remove("inscribed_circle_box")
+_DRIVER_WINDOW.remove("oriented_envelope_area")
 _DRIVER_WINDOW.remove("split_segment_pieces")
 _DRIVER_WINDOW.remove("offset_curve_lengths")
 _DRIVER_WINDOW.remove("coverage_valid_grid")

@@ -521,3 +521,90 @@ def remove_duplicate_spans(
             F.size("__cov").cast("long").alias("n_removed"),
         )
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unit: str = "sep:\n\n",
+    min_tokens: int = 0,
+) -> DataFrame:
+    """Cross-document unit-level exact dedup (the RefinedWeb/Falcon
+    paragraph dedup): split every document into units, keep only the
+    FIRST corpus-wide occurrence of each repeated unit (ordered by
+    (id, position)), reassemble the survivors in document order. Drops
+    boilerplate (cookie banners, nav text) that exact_dedup misses
+    because the surrounding document differs.
+
+    unit: "sep:<delim>" splits on a delimiter (real web text:
+    paragraphs on blank lines); "tokens:<K>" chunks into K-token blocks
+    (corpora without structural separators). Units shorter than
+    `min_tokens` tokens are exempt — always kept, never claim a keeper
+    slot (the RefinedWeb short-line guard: deduping "Yes." corpus-wide
+    would shred meaning).
+
+    Plan shape at 10^12 docs: ONE window shuffle keyed by the unit
+    string (min-struct aggregate window, no sort — a hot boilerplate
+    unit costs its row count, not a sort) + ONE groupBy(id) partial-agg
+    shuffle to reassemble. The unit array is materialized as a column
+    before the chunk lambda so construction is O(tokens) per doc (an
+    outer array expression inside a HOF lambda re-evaluates per
+    element — CLAUDE.md O(tokens²) trap). Exact string keys, same
+    contract as exact_dedup; swap in xxhash64 keys + string re-verify
+    if unit strings dominate shuffle volume.
+
+    Returns (id_col, clean_text, n_units, n_removed); clean_text is ""
+    for a fully-boilerplate document (row preserved).
+    """
+    if unit.startswith("sep:"):
+        import re as _re
+
+        sep = unit[4:]
+        # split's pattern is a Java regex — escape the literal delimiter
+        units = F.split(F.col(text_col), _re.escape(sep))
+        joiner = sep
+    elif unit.startswith("tokens:"):
+        k = int(unit[7:])
+        if k <= 0:
+            raise ValueError("tokens:<K> needs K >= 1")
+        joiner = " "
+        units = None  # built below from the materialized token column
+    else:
+        raise ValueError(f"unknown unit spec {unit!r}")
+
+    if units is not None:
+        p = docs.select(F.col(id_col), units.alias("__units"))
+    else:
+        w = docs.select(F.col(id_col),
+                        F.split(F.col(text_col), " ").alias("__w"))
+        nchunks = F.ceil(F.size("__w") / F.lit(float(k))).cast("int")
+        chunks = F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda i: F.concat_ws(" ", F.slice("__w", i * k + 1, k)))
+        p = w.select(F.col(id_col), chunks.alias("__units"))
+
+    paras = p.select(
+        F.col(id_col),
+        F.posexplode_outer("__units").alias("idx", "para"),
+    )
+    exempt = (F.size(F.split(F.col("para"), " ")) < min_tokens) \
+        if min_tokens > 0 else F.lit(False)
+    wmin = Window.partitionBy("para")
+    first = F.min(F.when(~exempt, F.struct(F.col(id_col), F.col("idx")))
+                  ).over(wmin)
+    keep = exempt | (F.struct(F.col(id_col), F.col("idx")) == first)
+    kept = paras.withColumn("__keep", keep)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(joiner, F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("__keep"), F.struct("idx", "para")))),
+                lambda s: s["para"])).alias("clean_text"),
+            F.count("para").cast("long").alias("n_units"),
+            (F.count("para")
+             - F.coalesce(F.sum(F.col("__keep").cast("long")), F.lit(0)))
+            .cast("long").alias("n_removed"),
+        )
+    )
