@@ -304,3 +304,30 @@ def test_paragraph_dedup_tokens_matches_pandas_reference(spark):
     for i, (txt, rem) in exp.items():
         assert got[i].clean_text == txt
         assert got[i].n_removed == rem
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_tok = st.sampled_from(["a", "b", "c", "dd"])  # tiny alphabet → collisions
+_doc = st.lists(_tok, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=8), st.integers(1, 4))
+def test_paragraph_dedup_property_vs_python_model(spark, docs, k):
+    d = spark.createDataFrame(list(enumerate(docs)),
+                              "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           paragraph_dedup(d, unit=f"tokens:{k}").collect()}
+    seen = set()
+    for i, t in enumerate(docs):
+        w = t.split(" ")
+        chunks = [" ".join(w[j:j + k]) for j in range(0, len(w), k)]
+        kept = []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        assert got[i].clean_text == " ".join(kept), (i, t, k)
+        assert got[i].n_units == len(chunks)
+        assert got[i].n_removed == len(chunks) - len(kept)
