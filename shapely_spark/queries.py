@@ -1906,6 +1906,40 @@ def hash_split_counts(spark, sf_dir):
 
 
 @q(
+    "corpus_shuffle_head",
+    """
+    WITH s AS (SELECT doc_id,
+                      ('0x' || substr(md5('shuf7:' || CAST(doc_id AS VARCHAR)),
+                                      1, 13))::UBIGINT::BIGINT AS shuffle_key
+               FROM documents),
+    top AS (SELECT doc_id, shuffle_key FROM s
+            ORDER BY shuffle_key, doc_id LIMIT 20)
+    SELECT row_number() OVER (ORDER BY shuffle_key, doc_id)::BIGINT AS pos,
+           doc_id, shuffle_key
+    FROM top ORDER BY pos
+    """,
+)
+def corpus_shuffle_head(spark, sf_dir):
+    """Deterministic corpus shuffle (text/packing.shuffle_rows, r4): the
+    permutation step before concat-and-chop packing — sort key is a
+    salted per-id hash, a pure function of (id, seed), so the stream
+    order is reproducible and resumable. The gate takes the first 20
+    positions of the permutation: orderBy+limit plans as
+    TakeOrderedAndProject (per-partition heaps), so verifying the
+    prefix never pays the full global sort. md5 = DuckDB-reproducible
+    path; production uses xxhash64 (identical plan)."""
+    from .text.packing import shuffle_rows
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    out = shuffle_rows(d, seed=7, hash_fn="md5").limit(20)
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return (out.select(
+                F.row_number().over(w).cast("long").alias("pos"),
+                "doc_id", "shuffle_key")
+            .repartition(1).sortWithinPartitions("pos"))
+
+
+@q(
     "paragraph_dedup_clean",
     """
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -5193,9 +5227,14 @@ _DRIVER_WINDOW = [
     # out: r3 rotating-calipers kernel with pytest goldens, local-gate
     # green since r3)
     "paragraph_dedup_clean",
+    # deterministic corpus shuffle (image_decode_webp_px_sum rotated
+    # out: bit-exact pytest goldens and five codec siblings remain in
+    # the window — png/gif/jpeg/progressive-jpeg/flac)
+    "corpus_shuffle_head",
 ]
 _DRIVER_WINDOW.remove("inscribed_circle_box")
 _DRIVER_WINDOW.remove("oriented_envelope_area")
+_DRIVER_WINDOW.remove("image_decode_webp_px_sum")
 _DRIVER_WINDOW.remove("split_segment_pieces")
 _DRIVER_WINDOW.remove("offset_curve_lengths")
 _DRIVER_WINDOW.remove("coverage_valid_grid")

@@ -114,3 +114,36 @@ def chunk_occupancy(packed: DataFrame, seq_len: int = 512) -> DataFrame:
             ),
         )
     )
+
+
+def shuffle_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic global corpus shuffle — the permutation step before
+    concat-and-chop packing (stream order must decorrelate neighboring
+    source documents). The sort key is a salted per-id hash, so the
+    permutation is a pure function of (id, seed): reproducible across
+    runs, partitionings, and engines, and resumable mid-stream.
+
+    Adds ``shuffle_key`` and returns the frame sorted by it (ties broken
+    by id). The global sort IS the cost — one range-partitioned shuffle,
+    the canonical distributed permutation; for top-k prefixes Catalyst
+    plans orderBy+limit as TakeOrderedAndProject instead (no global
+    sort), which is what the oracle query exercises.
+
+    hash_fn="md5" is the DuckDB-reproducible gate path (13 hex chars =
+    52 bits, exact in a double); xxhash64 is the production default.
+    """
+    sid = F.concat(F.lit(f"shuf{seed}:"), F.col(id_col).cast("string"))
+    if hash_fn == "xxhash64":
+        key = F.xxhash64(sid)
+    elif hash_fn == "md5":
+        key = F.conv(F.substring(F.md5(F.encode(sid, "UTF-8")), 1, 13),
+                     16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return (docs.withColumn("shuffle_key", key)
+            .orderBy("shuffle_key", id_col))

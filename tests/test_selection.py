@@ -331,3 +331,60 @@ def test_paragraph_dedup_property_vs_python_model(spark, docs, k):
         assert got[i].clean_text == " ".join(kept), (i, t, k)
         assert got[i].n_units == len(chunks)
         assert got[i].n_removed == len(chunks) - len(kept)
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus shuffle + streaming twins of the curation stage
+# ---------------------------------------------------------------------------
+
+from shapely_spark.text.packing import shuffle_rows  # noqa: E402
+
+
+def test_shuffle_rows_is_a_deterministic_permutation(spark):
+    d = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = shuffle_rows(d, seed=1).toPandas()
+    b = shuffle_rows(d.repartition(11), seed=1).toPandas()
+    assert list(a.doc_id) == list(b.doc_id)          # partition-invariant
+    assert sorted(a.doc_id) == list(range(500))      # a permutation
+    assert list(a.doc_id) != list(range(500))        # actually shuffled
+    assert (a.shuffle_key.sort_values().values == a.shuffle_key.values).all()
+    c = shuffle_rows(d, seed=2).toPandas()
+    assert list(c.doc_id) != list(a.doc_id)          # seed moves the order
+
+
+def test_shuffle_rows_md5_matches_hashlib(spark):
+    import hashlib
+
+    d = spark.createDataFrame([(9,), (10,)], "doc_id long")
+    got = {r.doc_id: r.shuffle_key
+           for r in shuffle_rows(d, seed=3, hash_fn="md5").collect()}
+    for did in (9, 10):
+        assert got[did] == int(
+            hashlib.md5(f"shuf3:{did}".encode()).hexdigest()[:13], 16)
+
+
+def test_curation_stage_streaming_twin(spark, tmp_path):
+    """hash_split + mixture_sample are stateless column ops, so they run
+    unchanged inside a streaming plan: readStream → assign → memory sink
+    must equal the batch result row-for-row."""
+    rows = [(i, ("src0", "src1", "src2")[i % 3]) for i in range(120)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    path = str(tmp_path / "docs")
+    d.write.mode("overwrite").parquet(path)
+
+    def stage(df):
+        return mixture_sample(hash_split(df, seed=5),
+                              {"src0": 2.5, "src1": 0.5},
+                              default_rate=1.0, seed=5)
+
+    batch = stage(spark.read.parquet(path)) \
+        .select("doc_id", "split", "copy").toPandas()
+    stream = stage(spark.readStream.schema("doc_id long, source string")
+                   .parquet(path))
+    q = (stream.select("doc_id", "split", "copy")
+         .writeStream.format("memory").queryName("curation_twin")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = spark.sql("SELECT * FROM curation_twin").toPandas()
+    key = lambda p: sorted(map(tuple, p.values.tolist()))  # noqa: E731
+    assert key(got) == key(batch)
