@@ -1905,6 +1905,88 @@ def hash_split_counts(spark, sf_dir):
             .repartition(1).sortWithinPartitions("split"))
 
 
+def _logreg_cte(iters: int, lr: float) -> str:
+    """DuckDB CTE chain mirroring text/classifier.logreg_fit iteration
+    by iteration: identical feature quantization (round-4), identical z
+    op order (left-assoc b + c1*x1 + ...), per-row gradient terms
+    rounded to 9 decimals and summed on DECIMAL(28,9) (order-free), and
+    the identical IEEE update w - lr*g/n — so the whole weight
+    trajectory is bit-identical to the Spark fit."""
+    xs = ["x1", "x2", "x3", "x4", "x5"]
+    cs = ["b"] + [f"c{i}" for i in range(1, 6)]
+    parts = [f"""
+    f AS MATERIALIZED (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             round(CAST(len(list_filter(w, x ->
+                     list_contains({_STOPWORDS!r}, x))) AS DOUBLE)
+                   / CAST(len(w) AS DOUBLE), 4) AS x1,
+             round(CAST(nc AS DOUBLE) / CAST(len(w) AS DOUBLE) / 10.0, 4)
+               AS x2,
+             round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                        AS DOUBLE) / greatest(CAST(nc AS DOUBLE), 1.0), 4)
+               AS x3,
+             round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                        AS DOUBLE) / greatest(CAST(nc AS DOUBLE), 1.0), 4)
+               AS x4,
+             round(least(CAST(len(w) AS DOUBLE) / 64.0, 1.0), 4) AS x5
+      FROM (SELECT lang, text, string_split(text, ' ') AS w,
+                   length(text) AS nc
+            FROM documents WHERE text IS NOT NULL) t0),
+    nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM f),
+    w0 AS (SELECT {', '.join(f'0.0 AS {c}' for c in cs)})"""]
+    z = "b + " + " + ".join(f"c{i}*x{i}" for i in range(1, 6))
+    for k in range(1, iters + 1):
+        gterms = ["CAST(sum(CAST(round(r, 9) AS DECIMAL(28,9))) AS DOUBLE)"
+                  " AS g0"]
+        gterms += [f"CAST(sum(CAST(round({x}*r, 9) AS DECIMAL(28,9)))"
+                   f" AS DOUBLE) AS g{i}" for i, x in enumerate(xs, 1)]
+        upd = [f"{c} - {lr!r}*g{i}/n AS {c}" for i, c in enumerate(cs)]
+        parts.append(f"""
+    r{k} AS (SELECT {', '.join(xs)},
+                    1.0/(1.0 + exp(-({z}))) - y AS r
+             FROM f, w{k-1}),
+    g{k} AS MATERIALIZED (SELECT {', '.join(gterms)} FROM r{k}),
+    w{k} AS MATERIALIZED (SELECT {', '.join(upd)} FROM g{k}, w{k-1}, nn)""")
+    names = ["b_intercept", "x1_stopword_ratio", "x2_scaled_token_len",
+             "x3_digit_ratio", "x4_upper_ratio", "x5_length_score"]
+    sel = " UNION ALL ".join(
+        f"SELECT '{nm}' AS feature, round({c}, 6) AS weight FROM w{iters}"
+        for nm, c in zip(names, cs))
+    return ("WITH" + ",".join(parts)
+            + f" SELECT * FROM ({sel}) ORDER BY feature")
+
+
+_LOGREG_ITERS, _LOGREG_LR = 8, 1.0
+
+
+@q("logreg_quality_weights", _logreg_cte(_LOGREG_ITERS, _LOGREG_LR))
+def logreg_quality_weights(spark, sf_dir):
+    """Distributed logistic-regression quality classifier
+    (text/classifier.logreg_fit, r4): the fasttext-style supervised
+    filter of the GPT-3/CCNet/RefinedWeb pipelines — label = (lang =
+    'en'), five round-4-quantized quality features, 8 full-batch GD
+    iterations where each gradient is ONE partial-agg shuffle with
+    per-row terms rounded to 9 decimals and summed on a DECIMAL(28,9)
+    carrier. The weight trajectory is therefore partition-order-free
+    and bit-identical to the DuckDB CTE-chain twin (same recipe as
+    kmeans_cluster_stats). Output: the fitted weights, round-6."""
+    from .text.classifier import (QUALITY_FEATURES, logreg_fit,
+                                  quality_classifier_features)
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    feats = quality_classifier_features(d).withColumn(
+        "y", F.when(F.col("lang") == "en", 1.0).otherwise(0.0)).persist()
+    try:
+        w = logreg_fit(feats, "y", iters=_LOGREG_ITERS, lr=_LOGREG_LR)
+    finally:
+        feats.unpersist()
+    names = ["b_intercept"] + [f"x{i+1}_{c}" for i, c in
+                               enumerate(QUALITY_FEATURES)]
+    rows = [(nm, float(round(wi, 6))) for nm, wi in zip(names, w)]
+    return (spark.createDataFrame(rows, "feature string, weight double")
+            .repartition(1).sortWithinPartitions("feature"))
+
+
 @q(
     "corpus_shuffle_head",
     """
@@ -5231,10 +5313,15 @@ _DRIVER_WINDOW = [
     # out: bit-exact pytest goldens and five codec siblings remain in
     # the window — png/gif/jpeg/progressive-jpeg/flac)
     "corpus_shuffle_head",
+    # logistic-regression quality classifier (audio_decode_abs_sum
+    # rotated out: plain-PCM WAV decode with bit-exact pytest goldens;
+    # the flac decode and audio resample siblings stay in the window)
+    "logreg_quality_weights",
 ]
 _DRIVER_WINDOW.remove("inscribed_circle_box")
 _DRIVER_WINDOW.remove("oriented_envelope_area")
 _DRIVER_WINDOW.remove("image_decode_webp_px_sum")
+_DRIVER_WINDOW.remove("audio_decode_abs_sum")
 _DRIVER_WINDOW.remove("split_segment_pieces")
 _DRIVER_WINDOW.remove("offset_curve_lengths")
 _DRIVER_WINDOW.remove("coverage_valid_grid")

@@ -388,3 +388,69 @@ def test_curation_stage_streaming_twin(spark, tmp_path):
     got = spark.sql("SELECT * FROM curation_twin").toPandas()
     key = lambda p: sorted(map(tuple, p.values.tolist()))  # noqa: E731
     assert key(got) == key(batch)
+
+
+# ---------------------------------------------------------------------------
+# distributed logistic-regression quality classifier
+# ---------------------------------------------------------------------------
+
+from shapely_spark.text.classifier import (  # noqa: E402
+    logreg_fit,
+    logreg_score,
+    quality_classifier_features,
+)
+
+
+@pytest.fixture(scope="module")
+def separable(spark):
+    # y=1 iff x1 large; x2 noise — linearly separable by construction
+    rows = [(i, 1.0 if i % 2 else 0.0,
+             round(0.8 + 0.01 * (i % 7), 4) if i % 2
+             else round(0.1 + 0.01 * (i % 7), 4),
+             round((i % 11) / 11.0, 4)) for i in range(80)]
+    return spark.createDataFrame(
+        rows, "doc_id long, y double, x1 double, x2 double")
+
+
+def test_logreg_fit_matches_python_reference_exactly(spark, separable):
+    w = logreg_fit(separable, "y", ["x1", "x2"], iters=6, lr=1.0)
+    pdf = separable.toPandas()
+    import math
+    ref = [0.0, 0.0, 0.0]
+    n = len(pdf)
+    for _ in range(6):
+        rs, g1s, g2s = [], [], []
+        for _, row in pdf.iterrows():
+            z = ref[0] + ref[1] * row.x1 + ref[2] * row.x2
+            r = 1.0 / (1.0 + math.exp(-z)) - row.y
+            rs.append(round(r, 9)); g1s.append(round(row.x1 * r, 9))
+            g2s.append(round(row.x2 * r, 9))
+        g = [math.fsum(rs), math.fsum(g1s), math.fsum(g2s)]
+        ref = [wi - 1.0 * gi / n for wi, gi in zip(ref, g)]
+    for a, b in zip(w, ref):
+        assert a == pytest.approx(b, abs=1e-12)
+
+
+def test_logreg_separates_and_is_partition_invariant(spark, separable):
+    w = logreg_fit(separable, "y", ["x1", "x2"], iters=40, lr=2.0)
+    assert w[1] > 1.0  # x1 is the separating direction
+    scored = logreg_score(separable, w, ["x1", "x2"]).toPandas()
+    acc = ((scored.prob > 0.5) == (scored.y > 0.5)).mean()
+    assert acc >= 0.95
+    w2 = logreg_fit(separable.repartition(13), "y", ["x1", "x2"],
+                    iters=40, lr=2.0)
+    assert w == w2  # decimal-carrier gradients: bit-identical trajectory
+
+
+def test_quality_features_bounded_and_null_safe(spark):
+    d = spark.createDataFrame(
+        [(1, "The 99 QUICK foxes jump over the lazy dog today"),
+         (2, None)],
+        "doc_id long, text string")
+    out = quality_classifier_features(d).toPandas()
+    assert list(out.doc_id) == [1]  # null text dropped
+    r = out.iloc[0]
+    for c in ("stopword_ratio", "scaled_token_len", "digit_ratio",
+              "upper_ratio", "length_score"):
+        assert 0.0 <= r[c] <= 1.0
+    assert r.digit_ratio > 0 and r.upper_ratio > 0
