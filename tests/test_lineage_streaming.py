@@ -418,3 +418,71 @@ def test_streaming_foreach_batch_asof_join(spark, tmp_path):
             .select("url", "snap_val").collect()}
     assert results == want and len(want) > 0
     assert any(v is not None for _, v in want)
+
+
+def test_streaming_neardup_candidates_match_batch(spark, tmp_path):
+    """Streaming MinHash-LSH twin: same signatures/bands as the batch
+    generator, so the deduped candidate pair set must be identical."""
+    import datetime as dt
+
+    from shapely_spark.streaming.stateful import neardup_candidates_stream
+    from shapely_spark.text.dedup import (minhash_lsh_candidates,
+                                          minhash_signatures)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    body = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    did = 0
+    for c in range(3):                       # 3 near-dup clusters of 4
+        for v in range(4):
+            text = " ".join(body[:-1] + [f"c{c}v{v}"] + [f"cl{c}"] * 3)
+            rows.append((did, text, t0 + dt.timedelta(seconds=did)))
+            did += 1
+    for u in range(6):                       # singletons
+        rows.append((did, " ".join(f"u{u}w{j}" for j in range(25)),
+                     t0 + dt.timedelta(seconds=did)))
+        did += 1
+    d = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+
+    sigs = minhash_signatures(d)
+    batch = {(r.doc_a, r.doc_b)
+             for r in minhash_lsh_candidates(sigs).collect()}
+    assert batch, "fixture must produce near-dup candidates"
+
+    path = str(tmp_path / "nd_docs")
+    d.write.mode("overwrite").parquet(path)
+    stream = neardup_candidates_stream(
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(path))
+    q = (stream.writeStream.format("memory").queryName("nd_twin")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.doc_a, r.doc_b)
+           for r in spark.sql("SELECT * FROM nd_twin").collect()}
+    assert got == batch
+
+
+def test_streaming_neardup_bucket_saturation(spark, tmp_path):
+    """Prospective cap: a bucket stops emitting once max_bucket members
+    have been admitted (boilerplate-flood guard, batch-contract analog)."""
+    import datetime as dt
+
+    from shapely_spark.streaming.stateful import neardup_candidates_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    text = " ".join(f"tok{j}" for j in range(30))  # identical docs
+    rows = [(i, text, t0 + dt.timedelta(seconds=i)) for i in range(8)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    path = str(tmp_path / "sat_docs")
+    d.write.mode("overwrite").parquet(path)
+    stream = neardup_candidates_stream(
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(path), max_bucket=3)
+    q = (stream.writeStream.format("memory").queryName("nd_sat")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.doc_a, r.doc_b)
+           for r in spark.sql("SELECT * FROM nd_sat").collect()}
+    # members admitted: 0,1,2 → pairs only among them
+    assert got == {(0, 1), (0, 2), (1, 2)}
