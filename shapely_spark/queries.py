@@ -1905,6 +1905,42 @@ def hash_split_counts(spark, sf_dir):
             .repartition(1).sortWithinPartitions("split"))
 
 
+@q(
+    "blocklist_filter_flags",
+    """
+    SELECT doc_id,
+           coalesce(list_has_any(string_split(lower(text), ' '),
+                                 ['dup', 'spark']), FALSE) AS blocked_word,
+           (lower(source) = 'src3'
+            OR ends_with(lower(source), '.src3')
+            OR lower(source) = 'src7'
+            OR ends_with(lower(source), '.src7')) AS blocked_domain,
+           (coalesce(list_has_any(string_split(lower(text), ' '),
+                                  ['dup', 'spark']), FALSE)
+            OR lower(source) = 'src3'
+            OR ends_with(lower(source), '.src3')
+            OR lower(source) = 'src7'
+            OR ends_with(lower(source), '.src7')) AS blocked
+    FROM documents ORDER BY doc_id
+    """,
+)
+def blocklist_filter_flags(spark, sf_dir):
+    """C4-style blocklist filtering (text/quality.blocklist_filter, r4):
+    badword gate (arrays_overlap against a broadcast literal list — the
+    C4 'bad words' filter) + UT1-style domain blocklist (exact name or
+    .domain subdomain suffix). Map-side only: no shuffle, no UDF;
+    flag-don't-drop so removal rates are auditable. Blocked words here
+    are real corpus vocabulary ('dup', 'spark') and two blocked source
+    domains, so all three flags fire on real rows at sf0.01."""
+    from .text.quality import blocklist_filter
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    out = blocklist_filter(d, word_blocklist=["dup", "spark"],
+                           domain_blocklist=["src3", "src7"])
+    return (out.select("doc_id", "blocked_word", "blocked_domain", "blocked")
+            .repartition(1).sortWithinPartitions("doc_id"))
+
+
 def _logreg_cte(iters: int, lr: float) -> str:
     """DuckDB CTE chain mirroring text/classifier.logreg_fit iteration
     by iteration: identical feature quantization (round-4), identical z
@@ -5317,7 +5353,12 @@ _DRIVER_WINDOW = [
     # rotated out: plain-PCM WAV decode with bit-exact pytest goldens;
     # the flac decode and audio resample siblings stay in the window)
     "logreg_quality_weights",
+    # C4 blocklist filtering (buffer_line_capsule_area rotated out: r3
+    # kernel with closed-form capsule pytest goldens; geo_buffer_area
+    # and buffer_polygon_ring_area keep the buffer family in-window)
+    "blocklist_filter_flags",
 ]
+_DRIVER_WINDOW.remove("buffer_line_capsule_area")
 _DRIVER_WINDOW.remove("inscribed_circle_box")
 _DRIVER_WINDOW.remove("oriented_envelope_area")
 _DRIVER_WINDOW.remove("image_decode_webp_px_sum")

@@ -521,3 +521,41 @@ def mixture_sample(
             .withColumn("copy", F.explode(F.sequence(
                 F.lit(0), F.col("__n") - 1)))
             .drop("__n"))
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    word_blocklist: list[str] | None = None,
+    domain_blocklist: list[str] | None = None,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """C4-style blocklist filtering: flag documents containing any
+    blocked word (C4's "bad words" gate) or originating from a blocked
+    domain / any of its subdomains (UT1-style domain blocklist; matched
+    on exact name or a ``.domain`` suffix). Pure JVM column math — the
+    word test is one arrays_overlap against a broadcast literal array,
+    the domain test an exists() over suffix matches; at 10^12 docs both
+    are map-side only, no shuffle, no UDF.
+
+    Adds ``blocked_word`` / ``blocked_domain`` / ``blocked`` booleans
+    (flag-don't-drop, so removal rates are auditable before the actual
+    filter — the same flags-first contract as gopher_quality_flags).
+    """
+    w = F.split(F.lower(F.col(text_col)), " ")
+    if word_blocklist:
+        barr = F.array(*[F.lit(b.lower()) for b in word_blocklist])
+        bw = F.arrays_overlap(w, barr)
+    else:
+        bw = F.lit(False)
+    if domain_blocklist:
+        src = F.lower(F.col(source_col))
+        darr = F.array(*[F.lit(d.lower()) for d in domain_blocklist])
+        bd = F.exists(darr, lambda d: (src == d)
+                      | src.endswith(F.concat(F.lit("."), d)))
+    else:
+        bd = F.lit(False)
+    return (docs.withColumn("blocked_word", F.coalesce(bw, F.lit(False)))
+            .withColumn("blocked_domain", bd)
+            .withColumn("blocked", F.col("blocked_word")
+                        | F.col("blocked_domain")))

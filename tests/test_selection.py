@@ -454,3 +454,37 @@ def test_quality_features_bounded_and_null_safe(spark):
               "upper_ratio", "length_score"):
         assert 0.0 <= r[c] <= 1.0
     assert r.digit_ratio > 0 and r.upper_ratio > 0
+
+
+# ---------------------------------------------------------------------------
+# blocklist filtering
+# ---------------------------------------------------------------------------
+
+from shapely_spark.text.quality import blocklist_filter  # noqa: E402
+
+
+def test_blocklist_word_and_domain_semantics(spark):
+    d = spark.createDataFrame(
+        [(1, "a perfectly Fine document", "news.example.com"),
+         (2, "contains BADWORD here", "ok.org"),
+         (3, "clean text", "ads.example.com"),
+         (4, "clean text", "sub.ads.example.com"),
+         (5, "clean text", "notads.example.com"),
+         (6, None, "ok.org")],
+        "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in blocklist_filter(
+        d, word_blocklist=["badword"],
+        domain_blocklist=["ads.example.com"]).collect()}
+    assert not out[1].blocked
+    assert out[2].blocked_word and out[2].blocked
+    assert out[3].blocked_domain                  # exact domain
+    assert out[4].blocked_domain                  # subdomain suffix
+    assert not out[5].blocked                     # no substring false-hit
+    assert not out[6].blocked                     # null text is not a hit
+
+
+def test_blocklist_empty_lists_pass_everything(spark):
+    d = spark.createDataFrame([(1, "x", "d")],
+                              "doc_id long, text string, source string")
+    r = blocklist_filter(d).head()
+    assert not r.blocked
