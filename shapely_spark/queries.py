@@ -1636,6 +1636,47 @@ def unigram_logprob_filter(spark, sf_dir):
 
 
 @q(
+    "ccnet_bucket_tertiles",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    v0 AS (SELECT word, count(*)::BIGINT AS cnt FROM t GROUP BY word),
+    s AS (SELECT sum(cnt)::DOUBLE AS total FROM v0),
+    lp AS (SELECT word, ln(cnt / total) AS logp FROM v0, s WHERE cnt >= 100),
+    d AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                 round(avg(coalesce(logp, ln(0.5 / total))), 6) AS avg_logp
+          FROM t LEFT JOIN lp USING (word), s GROUP BY doc_id),
+    j AS (SELECT d.doc_id, doc.lang, d.n_tokens, d.avg_logp
+          FROM d JOIN documents doc USING (doc_id)),
+    b AS (SELECT doc_id, lang, n_tokens, avg_logp,
+                 ntile(3) OVER (PARTITION BY lang
+                                ORDER BY avg_logp DESC, doc_id) AS nt
+          FROM j)
+    SELECT doc_id, lang, n_tokens, avg_logp,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+    FROM b ORDER BY doc_id
+    """,
+)
+def ccnet_bucket_tertiles(spark, sf_dir):
+    """CCNet-style per-language head/middle/tail bucketing
+    (text/quality.ccnet_bucket, r4; Wenzek et al. 2020 §4.4): unigram-LM
+    score per document, then exact NTILE(3) tertiles WITHIN each
+    language ordered by descending log-prob (doc_id tie-break) — the
+    deterministic gate twin of the production filter. min_count=100
+    matches unigram_logprob_filter so the OOV floor path stays
+    exercised. The approx method (percentile_approx cutoffs, no
+    per-language sort) is the 100-TB path, tested for agreement in
+    tests; the oracle pins the exact path verbatim."""
+    from .text.quality import ccnet_bucket
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    out = ccnet_bucket(d, min_count=100, method="ntile")
+    return (out.select("doc_id", "lang", "n_tokens", "avg_logp", "bucket")
+            .repartition(1).sortWithinPartitions("doc_id"))
+
+
+@q(
     "bloom_decontaminate_counts",
     """
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -5357,6 +5398,10 @@ _DRIVER_WINDOW = [
     # kernel with closed-form capsule pytest goldens; geo_buffer_area
     # and buffer_polygon_ring_area keep the buffer family in-window)
     "blocklist_filter_flags",
+    # CCNet per-language perplexity tertiles (tpch_q10_variant rotated
+    # out: plain Catalyst SQL, lowest-risk family, tpch_q1/tpch_q5 keep
+    # TPC-H in-window; it stays in the local gate)
+    "ccnet_bucket_tertiles",
 ]
 _DRIVER_WINDOW.remove("buffer_line_capsule_area")
 _DRIVER_WINDOW.remove("inscribed_circle_box")
@@ -5377,6 +5422,7 @@ _DRIVER_WINDOW.remove("mbc_radius_ngon")
 _DRIVER_WINDOW.remove("geojson_roundtrip_area")
 _DRIVER_WINDOW.remove("line_merge_chain")
 _DRIVER_WINDOW.remove("crosses_segments")
+_DRIVER_WINDOW.remove("tpch_q10_variant")
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

@@ -559,3 +559,71 @@ def blocklist_filter(
             .withColumn("blocked_domain", bd)
             .withColumn("blocked", F.col("blocked_word")
                         | F.col("blocked_domain")))
+
+
+def ccnet_bucket(
+    docs: DataFrame,
+    lm_corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    min_count: int = 1,
+    method: str = "ntile",
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020 §4.4): score every document under the LM, then split EACH
+    LANGUAGE into head / middle / tail tertiles — head = the third of
+    the language closest to the reference LM (highest mean log-prob =
+    lowest perplexity). Downstream mixtures train on head(+middle) and
+    drop tail; keeping the split per-language is what stops a
+    high-resource language's score scale from deciding another
+    language's fate.
+
+    The LM is `unigram_logprob` (the engine's Catalyst stand-in for
+    CCNet's KenLM 5-gram — same filter shape, unigram probabilities).
+
+    method="ntile" (gate path): exact tertiles via NTILE(3) OVER
+    (PARTITION BY lang ORDER BY avg_logp DESC, id) — deterministic
+    (id tie-break), integer bucket sizes differing by ≤1, and
+    reproducible verbatim by the SQL oracle. Costs one per-language
+    sort; at web scale the dominant language pins a reducer.
+    method="approx" (100-TB path): per-language 1/3 and 2/3 cutoffs
+    from percentile_approx (one partial-agg shuffle, mergeable
+    sketches), broadcast back as a tiny (lang, q_lo, q_hi) relation —
+    no global sort, no hot partition; bucket boundaries are then
+    approximate but every language still splits near-thirds.
+
+    Returns (id_col, lang_col, n_tokens, avg_logp, bucket) with bucket
+    in {'head','middle','tail'}.
+    """
+    scored = unigram_logprob(docs, lm_corpus, text_col=text_col,
+                             id_col=id_col, min_count=min_count)
+    j = scored.join(docs.select(id_col, lang_col), id_col)
+    if method == "ntile":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(lang_col).orderBy(
+            F.col("avg_logp").desc(), F.col(id_col))
+        nt = F.ntile(3).over(w)
+        bucket = (F.when(nt == 1, "head")
+                  .when(nt == 2, "middle").otherwise("tail"))
+        out = j.withColumn("bucket", bucket)
+    elif method == "approx":
+        cuts = (j.groupBy(lang_col)
+                .agg(F.percentile_approx("avg_logp",
+                                         F.array(F.lit(1.0 / 3.0),
+                                                 F.lit(2.0 / 3.0)),
+                                         10_000).alias("q")))
+        cuts = cuts.select(lang_col, F.col("q")[0].alias("__q_lo"),
+                           F.col("q")[1].alias("__q_hi"))
+        out = (j.join(F.broadcast(cuts), lang_col)
+               .withColumn("bucket",
+                           F.when(F.col("avg_logp") >= F.col("__q_hi"),
+                                  "head")
+                           .when(F.col("avg_logp") >= F.col("__q_lo"),
+                                 "middle")
+                           .otherwise("tail"))
+               .drop("__q_lo", "__q_hi"))
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return out.select(id_col, lang_col, "n_tokens", "avg_logp", "bucket")

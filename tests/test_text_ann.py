@@ -895,3 +895,80 @@ def test_unigram_logprob_oov_floor_and_external_lm(spark):
     want2 = round((math.log(3 / 4.0) + 2 * math.log(0.5 / 4.0)) / 3.0, 6)
     out2 = unigram_logprob(docs, lm_corpus=lm, min_count=2).collect()
     assert out2[0].avg_logp == pytest.approx(want2)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style per-language perplexity bucketing (text/quality.ccnet_bucket)
+# ---------------------------------------------------------------------------
+
+
+def _ccnet_corpus(spark, n_per_lang=9):
+    # per language: docs 0..n-1 where doc i repeats the common word i+1
+    # times and a unique rare word once -> avg_logp strictly increases
+    # with i (more common-word mass), so the expected tertiles are
+    # known by construction.
+    rows = []
+    did = 0
+    for lang in ("en", "de"):
+        common = f"w{lang}"
+        for i in range(n_per_lang):
+            text = " ".join([common] * (i + 1) + [f"rare{lang}{i}"])
+            rows.append((did, text, lang))
+            did += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_ccnet_bucket_exact_tertiles_per_language(spark):
+    from shapely_spark.text.quality import ccnet_bucket
+
+    docs = _ccnet_corpus(spark)
+    out = ccnet_bucket(docs, method="ntile").collect()
+    assert len(out) == 18
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        counts = {"head": 0, "middle": 0, "tail": 0}
+        for r in rs:
+            counts[r.bucket] += 1
+        assert counts == {"head": 3, "middle": 3, "tail": 3}, (lang, counts)
+        # head is the highest-logp third: every head score >= every
+        # middle score >= every tail score
+        hi = min(r.avg_logp for r in rs if r.bucket == "head")
+        mid = [r.avg_logp for r in rs if r.bucket == "middle"]
+        lo = max(r.avg_logp for r in rs if r.bucket == "tail")
+        assert hi >= max(mid) - 1e-12 and min(mid) >= lo - 1e-12
+
+
+def test_ccnet_bucket_approx_agrees_with_exact_on_distinct_scores(spark):
+    from shapely_spark.text.quality import ccnet_bucket
+
+    docs = _ccnet_corpus(spark)
+    exact = {r.doc_id: r.bucket
+             for r in ccnet_bucket(docs, method="ntile").collect()}
+    approx = {r.doc_id: r.bucket
+              for r in ccnet_bucket(docs, method="approx").collect()}
+    # scores are all distinct by construction; the only legal
+    # disagreement is AT a cutoff (quantile interpolation), i.e. a doc
+    # sliding one adjacent bucket — never head<->tail
+    for did, b in exact.items():
+        a = approx[did]
+        assert {a, b} != {"head", "tail"}, (did, a, b)
+    agree = sum(1 for d in exact if approx[d] == exact[d])
+    assert agree >= len(exact) - 4  # at most one slide per cutoff
+
+
+def test_ccnet_bucket_partition_invariant_and_bad_method(spark):
+    import pytest as _pytest
+
+    from shapely_spark.text.quality import ccnet_bucket
+
+    docs = _ccnet_corpus(spark)
+    a = sorted((r.doc_id, r.bucket)
+               for r in ccnet_bucket(docs, method="ntile").collect())
+    b = sorted((r.doc_id, r.bucket)
+               for r in ccnet_bucket(docs.repartition(7),
+                                     method="ntile").collect())
+    assert a == b
+    with _pytest.raises(ValueError):
+        ccnet_bucket(docs, method="nope")
