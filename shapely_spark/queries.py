@@ -1677,6 +1677,59 @@ def ccnet_bucket_tertiles(spark, sf_dir):
 
 
 @q(
+    "geoparquet_roundtrip_filter",
+    f"""
+    WITH p AS ({_PART_PARAMS_SQL})
+    SELECT gid, cx - r AS xmin, cy - r AS ymin,
+           round(((cx + r) - (cx - r)) * ((cy + r) - (cy - r)), 6) AS area
+    FROM p
+    WHERE cx - r <= 40 AND cx + r >= -40 AND cy - r <= 40 AND cy + r >= -40
+    ORDER BY gid
+    """,
+)
+def geoparquet_roundtrip_filter(spark, sf_dir):
+    """GeoParquet 1.1 sink/source gate (spark/geoparquet.py, r4): build
+    the part-derived boxes as WKB, WRITE them as a directory of
+    GeoParquet files (one per partition, executor-side pyarrow, per-file
+    'geo' footer + bbox covering column), READ them back with the plain
+    vectorized parquet scan, and apply the window filter ON THE COVERING
+    COLUMN — nested-field pushdown prunes row groups by bbox min/max
+    stats (BENCH/PLANS.md shows PushedFilters on bbox.*). The oracle is
+    the closed form over the same params: the gate proves the write →
+    footer → read → covering-filter path is lossless and the bbox
+    column equals the geometry bounds bit-for-bit (identical subtraction
+    order on both engines)."""
+    import tempfile
+
+    from .spark.geoparquet import (bbox_filter_col, read_geoparquet,
+                                   write_geoparquet)
+
+    params = _part_params(spark, sf_dir)
+
+    def gen(batches):
+        from .geo.geom import box as make_box
+        from .geo.wkb import to_wkb
+
+        for pdf in batches:
+            wkbs = [to_wkb(make_box(cx - r, cy - r, cx + r, cy + r))
+                    for cx, cy, r in zip(pdf.cx, pdf.cy, pdf.r)]
+            yield pd.DataFrame({"gid": pdf.gid, "geometry": wkbs})
+
+    boxes = params.mapInPandas(gen, "gid long, geometry binary")
+    path = tempfile.mkdtemp(prefix="shapely_spark_gpq_")
+    write_geoparquet(boxes, path, geometry_col="geometry")
+    back, _meta = read_geoparquet(spark, path)
+    out = (back.where(bbox_filter_col(-40.0, -40.0, 40.0, 40.0))
+           .select("gid",
+                   F.col("bbox.xmin").alias("xmin"),
+                   F.col("bbox.ymin").alias("ymin"),
+                   F.round((F.col("bbox.xmax") - F.col("bbox.xmin"))
+                           * (F.col("bbox.ymax") - F.col("bbox.ymin")),
+                           6).alias("area")))
+    return out.repartition(1).sortWithinPartitions("gid")
+
+
+@q(
     "bloom_decontaminate_counts",
     """
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -5402,6 +5455,10 @@ _DRIVER_WINDOW = [
     # out: plain Catalyst SQL, lowest-risk family, tpch_q1/tpch_q5 keep
     # TPC-H in-window; it stays in the local gate)
     "ccnet_bucket_tertiles",
+    # GeoParquet sink/source roundtrip + covering pushdown
+    # (image_decode_gif_px_sum rotated out: bit-exact pytest goldens and
+    # four codec siblings stay in-window — png/jpeg/prog-jpeg/flac)
+    "geoparquet_roundtrip_filter",
 ]
 _DRIVER_WINDOW.remove("buffer_line_capsule_area")
 _DRIVER_WINDOW.remove("inscribed_circle_box")
@@ -5423,6 +5480,7 @@ _DRIVER_WINDOW.remove("geojson_roundtrip_area")
 _DRIVER_WINDOW.remove("line_merge_chain")
 _DRIVER_WINDOW.remove("crosses_segments")
 _DRIVER_WINDOW.remove("tpch_q10_variant")
+_DRIVER_WINDOW.remove("image_decode_gif_px_sum")
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

@@ -123,6 +123,30 @@ def main():
                        n_buckets=256)),
     ]
 
+    from shapely_spark.spark.geoparquet import (bbox_filter_col,
+                                                read_geoparquet,
+                                                write_geoparquet)
+
+    gpq_path = "/tmp/shapely_spark_plans_gpq"
+    if not os.path.exists(gpq_path) or not os.listdir(gpq_path):
+        from shapely_spark.geo.geom import box as make_box
+        from shapely_spark.geo.wkb import to_wkb
+
+        rows = [(i, to_wkb(make_box(float(i), float(i), i + 2.0, i + 1.0)))
+                for i in range(1000)]
+        write_geoparquet(
+            spark.createDataFrame(rows, "id long, geometry binary")
+            .repartition(4), gpq_path)
+    gdf, _ = read_geoparquet(spark, gpq_path)
+    sections += [
+        ("GeoParquet read + covering filter: the window predicate on the "
+         "bbox struct reaches the scan as PushedFilters on bbox.xmin/… — "
+         "row groups outside the window are pruned by their min/max "
+         "stats; no UDF, no shuffle",
+         gdf.where(bbox_filter_col(0.0, 0.0, 50.0, 50.0))
+            .select("id", "bbox")),
+    ]
+
     out = ["# BENCH/PLANS — physical plans of the headline paths",
            "",
            "Generated by `python tools/dump_plans.py` (local[4], 10k-row "
