@@ -1676,6 +1676,71 @@ def ccnet_bucket_tertiles(spark, sf_dir):
             .repartition(1).sortWithinPartitions("doc_id"))
 
 
+# static BPE merge table for the tokenizer gate: topologically ordered
+# (every non-char input is produced by an EARLIER merge), so the
+# rank-based production encoder and the oracle's sequential per-merge
+# fold are provably equivalent; chosen to exercise multi-level merges
+# (t+a, ta+b, tab+le → table) on the corpus vocabulary
+_BPE_GATE_MERGES = [
+    ("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"),
+    ("a", "s"), ("f", "as"), ("fas", "t"),
+    ("t", "h"), ("th", "e"),
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
+]
+
+
+def _bpe_oracle_tok_expr() -> str:
+    """DuckDB expression: BPE-encode word `w` under _BPE_GATE_MERGES by
+    folding each merge left-to-right (list_reduce), sequentially in merge
+    order — Sennrich apply semantics for a topological merge list."""
+    e = "array_to_string(string_split(w, ''), ' ')"
+    for a, b in _BPE_GATE_MERGES:
+        e = (
+            f"list_reduce(string_split({e}, ' '), (acc, x) -> "
+            f"CASE WHEN regexp_extract(acc, '[^ ]*$') = '{a}' "
+            f"AND x = '{b}' "
+            f"THEN left(acc, len(acc) - {len(a)}) || '{a + b}' "
+            f"ELSE acc || ' ' || x END)"
+        )
+    return e
+
+
+@q(
+    "bpe_encode_checksums",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), w -> w <> '')
+                          AS ws
+               FROM documents),
+    e AS (SELECT doc_id,
+                 array_to_string(
+                     list_transform(ws, w -> {_bpe_oracle_tok_expr()}),
+                     ' ') AS ts
+          FROM d)
+    SELECT doc_id,
+           len(string_split(ts, ' '))::BIGINT AS n_tokens,
+           md5(ts) AS tokens_md5
+    FROM e ORDER BY doc_id
+    """,
+)
+def bpe_encode_checksums(spark, sf_dir):
+    """BPE tokenizer gate (text/bpe.py, r4): encode every document with
+    the production rank-based encoder (mapInPandas, per-worker word
+    cache, ranks in the closure) under the static topological merge
+    table, and check the FULL token stream — count + md5 of the
+    space-joined tokens — against DuckDB re-deriving BPE from scratch
+    as a per-merge left-to-right list_reduce fold. Training itself is
+    iterative (not SQL-expressible); it is pinned by tests instead:
+    collect-tier == distributed-tier merges bit-identically, and both
+    match a pure-python Sennrich reference (tests/test_bpe.py)."""
+    from .text.bpe import bpe_token_stats
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    out = bpe_token_stats(d, _BPE_GATE_MERGES)
+    return (out.select("doc_id", "n_tokens", "tokens_md5")
+            .repartition(1).sortWithinPartitions("doc_id"))
+
+
 @q(
     "geoparquet_roundtrip_filter",
     f"""
@@ -5459,6 +5524,11 @@ _DRIVER_WINDOW = [
     # (image_decode_gif_px_sum rotated out: bit-exact pytest goldens and
     # four codec siblings stay in-window — png/jpeg/prog-jpeg/flac)
     "geoparquet_roundtrip_filter",
+    # BPE tokenizer full-stream checksum gate (voronoi_two_cell_areas
+    # rotated out: r3 kernel with pytest goldens + local gate; the
+    # triangulation family's delaunay_hull_area carries an r3
+    # driver-green row)
+    "bpe_encode_checksums",
 ]
 _DRIVER_WINDOW.remove("buffer_line_capsule_area")
 _DRIVER_WINDOW.remove("inscribed_circle_box")
@@ -5481,6 +5551,7 @@ _DRIVER_WINDOW.remove("line_merge_chain")
 _DRIVER_WINDOW.remove("crosses_segments")
 _DRIVER_WINDOW.remove("tpch_q10_variant")
 _DRIVER_WINDOW.remove("image_decode_gif_px_sum")
+_DRIVER_WINDOW.remove("voronoi_two_cell_areas")
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))
