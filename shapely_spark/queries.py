@@ -1795,6 +1795,80 @@ def geoparquet_roundtrip_filter(spark, sf_dir):
 
 
 @q(
+    "snapshot_table_time_travel",
+    f"""
+    WITH p AS ({_PART_PARAMS_SQL}),
+    w AS (SELECT gid, cx - r AS bxmin, cx + r AS bxmax,
+                 cy - r AS bymin, cy + r AS bymax,
+                 round(((cx + r) - (cx - r)) * ((cy + r) - (cy - r)), 6)
+                     AS area
+          FROM p)
+    SELECT 0::BIGINT AS snap, gid, area FROM w
+    WHERE gid % 2 = 0 AND bxmin <= 40 AND bxmax >= -40
+      AND bymin <= 40 AND bymax >= -40
+    UNION ALL
+    SELECT 1::BIGINT AS snap, gid, area FROM w
+    WHERE bxmin <= 40 AND bxmax >= -40 AND bymin <= 40 AND bymax >= -40
+    ORDER BY snap, gid
+    """,
+)
+def snapshot_table_time_travel(spark, sf_dir):
+    """Snapshot-committed table gate (spark/table_format.py, r4 — the
+    Iceberg-shaped storage layer): commit the even-gid boxes as snapshot
+    0 and the odd-gid boxes as snapshot 1 (cumulative), each commit
+    hash-clustered into x-bands so per-file manifest bboxes are spatial;
+    then scan the window BOTH ways — time travel to snapshot 0 (sees
+    only commit 0's files) and the current snapshot (sees both) — with
+    manifest file pruning + covering row-group pruning + the exact bbox
+    filter. The function asserts files were actually PRUNED
+    (pruned_file_count < total) so a pruning regression fails the gate,
+    not just slows it. Oracle: closed form over the same params with the
+    parity and window predicates."""
+    import tempfile
+
+    from .spark.geoparquet import bbox_filter_col
+    from .spark.table_format import (commit_append, pruned_file_count,
+                                     read_snapshot)
+
+    params = _part_params(spark, sf_dir)
+
+    def gen(batches):
+        from .geo.geom import box as make_box
+        from .geo.wkb import to_wkb
+
+        for pdf in batches:
+            wkbs = [to_wkb(make_box(cx - r, cy - r, cx + r, cy + r))
+                    for cx, cy, r in zip(pdf.cx, pdf.cy, pdf.r)]
+            yield pd.DataFrame(
+                {"gid": pdf.gid, "cx": pdf.cx, "geometry": wkbs})
+
+    boxes = params.mapInPandas(gen, "gid long, cx double, geometry binary")
+    # hash-cluster on an x-band so file bboxes are spatially tight
+    # (repartitionByRange would sample — re-executing the upstream)
+    boxes = boxes.withColumn(
+        "band", F.floor((F.col("cx") + 151.0) / 38.0).cast("int"))
+    table = tempfile.mkdtemp(prefix="shapely_spark_snaptbl_")
+    commit_append(boxes.where(F.col("gid") % 2 == 0)
+                  .repartition(8, "band"), table)
+    commit_append(boxes.where(F.col("gid") % 2 == 1)
+                  .repartition(8, "band"), table)
+    win = (-40.0, -40.0, 40.0, 40.0)
+    surv, tot = pruned_file_count(table, win)
+    assert surv < tot, (surv, tot)  # manifest pruning must drop files
+    pred = bbox_filter_col(*win)
+    area = F.round((F.col("bbox.xmax") - F.col("bbox.xmin"))
+                   * (F.col("bbox.ymax") - F.col("bbox.ymin")), 6)
+    s0 = (read_snapshot(spark, table, snapshot_id=0, bbox=win).where(pred)
+          .select(F.lit(0).cast("long").alias("snap"), "gid",
+                  area.alias("area")))
+    s1 = (read_snapshot(spark, table, bbox=win).where(pred)
+          .select(F.lit(1).cast("long").alias("snap"), "gid",
+                  area.alias("area")))
+    return (s0.unionByName(s1)
+            .repartition(1).sortWithinPartitions("snap", "gid"))
+
+
+@q(
     "bloom_decontaminate_counts",
     """
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -5529,6 +5603,10 @@ _DRIVER_WINDOW = [
     # triangulation family's delaunay_hull_area carries an r3
     # driver-green row)
     "bpe_encode_checksums",
+    # snapshot-table commits + time travel + manifest pruning
+    # (image_decode_png_px_sum rotated out: bit-exact pytest goldens;
+    # jpeg/prog-jpeg/flac keep the codec family in-window)
+    "snapshot_table_time_travel",
 ]
 _DRIVER_WINDOW.remove("buffer_line_capsule_area")
 _DRIVER_WINDOW.remove("inscribed_circle_box")
@@ -5552,6 +5630,7 @@ _DRIVER_WINDOW.remove("crosses_segments")
 _DRIVER_WINDOW.remove("tpch_q10_variant")
 _DRIVER_WINDOW.remove("image_decode_gif_px_sum")
 _DRIVER_WINDOW.remove("voronoi_two_cell_areas")
+_DRIVER_WINDOW.remove("image_decode_png_px_sum")
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

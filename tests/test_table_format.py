@@ -1,0 +1,88 @@
+"""Snapshot-committed table format (spark/table_format.py): commits,
+time travel, manifest file pruning, and the compare-and-swap contract."""
+
+import os
+
+import pytest
+
+from shapely_spark.geo.geom import box
+from shapely_spark.geo.wkb import to_wkb
+from shapely_spark.spark.table_format import (
+    commit_append, current_snapshot_id, pruned_file_count, read_snapshot,
+    snapshot, snapshot_log,
+)
+
+
+def _boxes(spark, lo, n, parts=2):
+    rows = [(lo + i, to_wkb(box(float(lo + i), 0.0, lo + i + 1.0, 1.0)))
+            for i in range(n)]
+    return (spark.createDataFrame(rows, "id long, geometry binary")
+            .repartition(parts))
+
+
+def test_commit_read_and_cumulative_snapshots(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    assert current_snapshot_id(t) is None
+    s0 = commit_append(_boxes(spark, 0, 10), t)
+    s1 = commit_append(_boxes(spark, 100, 6), t)
+    assert (s0["id"], s0["parent"]) == (0, None)
+    assert (s1["id"], s1["parent"]) == (1, 0)
+    assert current_snapshot_id(t) == 1
+    assert read_snapshot(spark, t).count() == 16
+    ids = {r.id for r in read_snapshot(spark, t).collect()}
+    assert ids == set(range(10)) | set(range(100, 106))
+    log = snapshot_log(t)
+    assert [x["id"] for x in log] == [0, 1]
+    assert [x["n_rows"] for x in log] == [10, 16]
+
+
+def test_time_travel_is_immutable(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_append(_boxes(spark, 0, 10), t)
+    commit_append(_boxes(spark, 100, 6), t)
+    old = read_snapshot(spark, t, snapshot_id=0)
+    assert old.count() == 10
+    assert {r.id for r in old.collect()} == set(range(10))
+
+
+def test_manifest_file_pruning(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    # two spatially disjoint commits, 2 files each
+    commit_append(_boxes(spark, 0, 10), t)
+    commit_append(_boxes(spark, 100, 10), t)
+    surv, tot = pruned_file_count(t, (0, 0, 20, 1))
+    assert tot == 4 and surv == 2
+    df = read_snapshot(spark, t, bbox=(0, 0, 20, 1))
+    # the scan only received the surviving files
+    assert df.count() == 10
+    assert {r.id for r in df.collect()} == set(range(10))
+    with pytest.raises(ValueError, match="no files"):
+        read_snapshot(spark, t, bbox=(500, 500, 501, 501))
+
+
+def test_null_bbox_files_always_survive(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(0, None)], "id long, geometry binary")
+    commit_append(df.coalesce(1), t)
+    surv, tot = pruned_file_count(t, (500, 500, 501, 501))
+    assert (surv, tot) == (1, 1)  # stats prune, never filter
+    assert read_snapshot(spark, t, bbox=(500, 500, 501, 501)).count() == 1
+
+
+def test_concurrent_commit_raises_and_preserves_head(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_append(_boxes(spark, 0, 4), t)
+    commit_append(_boxes(spark, 10, 4), t)
+    # simulate a racer that read parent=0 before snapshot 1 landed
+    with open(os.path.join(t, "meta", "VERSION"), "w") as fh:
+        fh.write("0")
+    with pytest.raises(RuntimeError, match="concurrent"):
+        commit_append(_boxes(spark, 20, 2), t)
+    # the committed snapshot 1 is untouched
+    assert {r.id for r in read_snapshot(spark, t, snapshot_id=1).collect()
+            } == set(range(4)) | set(range(10, 14))
+
+
+def test_snapshot_missing_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        snapshot(str(tmp_path / "empty_tbl"))
