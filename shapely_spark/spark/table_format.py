@@ -158,6 +158,38 @@ def read_snapshot(
     return spark.read.parquet(*paths)
 
 
+def read_incremental(
+    spark: SparkSession,
+    table: str,
+    from_snapshot: int | None,
+    to_snapshot: int | None = None,
+    bbox: tuple[float, float, float, float] | None = None,
+) -> DataFrame:
+    """Scan only the files ADDED after ``from_snapshot`` up to
+    ``to_snapshot`` (default: current head) — the Iceberg
+    incremental-read analog, and the resume primitive: a pipeline that
+    recorded the snapshot id it last processed re-enters with exactly
+    the unseen data, no anti-join against the processed set needed
+    (file lists are append-only, so set difference is exact).
+    ``from_snapshot=None`` means "from before the first commit" (reads
+    everything). ``bbox`` applies the same manifest file pruning as
+    ``read_snapshot``."""
+    to = snapshot(table, to_snapshot)
+    seen = set() if from_snapshot is None else {
+        f["path"] for f in snapshot(table, from_snapshot)["files"]}
+    files = [f for f in to["files"] if f["path"] not in seen]
+    if bbox is not None:
+        xmin, ymin, xmax, ymax = bbox
+        files = [f for f in files
+                 if f["bbox"] is None
+                 or (f["bbox"][0] <= xmax and f["bbox"][2] >= xmin
+                     and f["bbox"][1] <= ymax and f["bbox"][3] >= ymin)]
+    if not files:
+        raise ValueError("no files in the incremental range")
+    paths = [os.path.join(table, f["path"]) for f in files]
+    return spark.read.parquet(*paths)
+
+
 def pruned_file_count(
     table: str,
     bbox: tuple[float, float, float, float],

@@ -158,3 +158,25 @@ def foreach_batch_decontaminate(eval_ngrams_df: DataFrame, n: int = 13):
         return decontaminate(batch_df, eval_ngrams_df, n=n)
 
     return fn
+
+
+def foreach_batch_commit_append(table: str, geometry_col: str = "geometry"):
+    """foreachBatch callback that commits each arriving micro-batch as a
+    NEW SNAPSHOT of the snapshot-committed table
+    (spark/table_format.commit_append) — streaming ingest into the
+    Iceberg-shaped storage layer. foreachBatch runs callbacks serially
+    per stream, so commits never race within one query; the snapshot
+    log then IS the ingest audit trail (one snapshot per micro-batch,
+    per-file stats included), downstream consumers resume with
+    read_incremental(from_snapshot=last_processed) — exactly-once at
+    the file-set level because file lists are append-only. The batch
+    twin is one commit_append of the whole input: same total rows, same
+    per-file stats discipline; only the snapshot granularity differs.
+    """
+    from ..spark.table_format import commit_append
+
+    def fn(batch_df: DataFrame, batch_id: int):
+        if len(batch_df.take(1)):
+            commit_append(batch_df, table, geometry_col=geometry_col)
+
+    return fn
