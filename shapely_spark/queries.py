@@ -1676,6 +1676,71 @@ def ccnet_bucket_tertiles(spark, sf_dir):
             .repartition(1).sortWithinPartitions("doc_id"))
 
 
+def _pagerank_oracle_sql(iters: int = 10) -> str:
+    """DuckDB twin of spark/graph.pagerank over the deterministic doc
+    graph: the same k synchronous iterations unrolled as chained CTEs,
+    identical arithmetic order ((1-0.85)/n + 0.85*(contrib + dang/n))."""
+    # every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and
+    # r_k is referenced three times by round k+1 — inlining would expand
+    # the base scan 3^k times (measured: fd exhaustion at k=10)
+    head = """
+    WITH nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
+    e AS MATERIALIZED (SELECT DISTINCT doc_id AS src,
+                 (doc_id * 1103515245 + (j + 1) * 12345) % n AS tgt
+          FROM documents, nn, unnest(range(0, 3)) t(j)
+          WHERE j < doc_id % 4),
+    odeg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+    r0 AS MATERIALIZED (SELECT doc_id AS node, 1.0 / n AS rank FROM documents, nn)"""
+    steps = []
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        steps.append(f""",
+    d{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS m FROM {p} r
+             LEFT JOIN odeg o ON r.node = o.src WHERE o.src IS NULL),
+    c{k} AS MATERIALIZED (SELECT e.tgt AS node, sum(r.rank / o.deg) AS contrib
+             FROM e JOIN {p} r ON e.src = r.node
+             JOIN odeg o ON e.src = o.src GROUP BY e.tgt),
+    r{k} AS MATERIALIZED (SELECT p.node,
+                    (1 - 0.85) / nn.n
+                    + 0.85 * (coalesce(c.contrib, 0.0) + d{k}.m / nn.n)
+                        AS rank
+             FROM {p} p LEFT JOIN c{k} c ON p.node = c.node, nn, d{k})""")
+    tail = f"""
+    SELECT node, round(rank, 6) AS rank
+    FROM r{iters} ORDER BY node"""
+    return head + "".join(steps) + tail
+
+
+@q("pagerank_doc_graph", _pagerank_oracle_sql(10))
+def pagerank_doc_graph(spark, sf_dir):
+    """Distributed PageRank gate (spark/graph.py, r4): 10 synchronous
+    power iterations with damping 0.85 and dangling-mass redistribution
+    over a deterministic doc-level link graph (out-degree doc_id % 4 —
+    a quarter of the nodes DANGLING — targets by LCG arithmetic both
+    engines reproduce exactly). One contribution join + partial-agg
+    shuffle per iteration, one scalar (dangling mass) to the driver,
+    localCheckpoint lineage truncation — the k-means/components
+    iteration pattern. Oracle: the same 10 iterations unrolled as
+    chained DuckDB CTEs with identical arithmetic order; round-6 ranks
+    hash-match."""
+    from .spark.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    docs = _spread(d.select("doc_id"))
+    j = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j")
+    ed = (docs.select("doc_id", j)
+          .where(F.col("j") < F.col("doc_id") % 4)
+          .select(F.col("doc_id").alias("src"),
+                  ((F.col("doc_id") * 1103515245
+                    + (F.col("j") + 1) * 12345) % n).alias("tgt"))
+          .distinct())
+    ranks = pagerank(ed, num_iters=10, damping=0.85,
+                     nodes=docs.select("doc_id"))
+    return (ranks.select(F.col("node"), F.round("rank", 6).alias("rank"))
+            .repartition(1).sortWithinPartitions("node"))
+
+
 # static BPE merge table for the tokenizer gate: topologically ordered
 # (every non-char input is produced by an EARLIER merge), so the
 # rank-based production encoder and the oracle's sequential per-merge
@@ -5607,6 +5672,11 @@ _DRIVER_WINDOW = [
     # (image_decode_png_px_sum rotated out: bit-exact pytest goldens;
     # jpeg/prog-jpeg/flac keep the codec family in-window)
     "snapshot_table_time_travel",
+    # distributed PageRank, 10 unrolled-oracle iterations
+    # (url_canonical_dedup rotated out: pure-JVM string canonicalization
+    # with pytest goldens, local-green since r3; the text-JVM family
+    # keeps a dozen siblings in-window)
+    "pagerank_doc_graph",
 ]
 _DRIVER_WINDOW.remove("buffer_line_capsule_area")
 _DRIVER_WINDOW.remove("inscribed_circle_box")
@@ -5631,6 +5701,7 @@ _DRIVER_WINDOW.remove("tpch_q10_variant")
 _DRIVER_WINDOW.remove("image_decode_gif_px_sum")
 _DRIVER_WINDOW.remove("voronoi_two_cell_areas")
 _DRIVER_WINDOW.remove("image_decode_png_px_sum")
+_DRIVER_WINDOW.remove("url_canonical_dedup")
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))
