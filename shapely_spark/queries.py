@@ -1807,6 +1807,51 @@ def bpe_encode_checksums(spark, sf_dir):
 
 
 @q(
+    "bpe_pack_pipeline",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), w -> w <> '')
+                          AS ws
+               FROM documents),
+    t AS (SELECT doc_id,
+                 len(string_split(array_to_string(
+                     list_transform(ws, w -> {_bpe_oracle_tok_expr()}),
+                     ' '), ' '))::BIGINT AS n_tokens
+          FROM d),
+    c AS (SELECT doc_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0)::BIGINT AS start_tok
+          FROM t)
+    SELECT doc_id, n_tokens, start_tok,
+           (start_tok // 128)::BIGINT AS first_chunk,
+           ((start_tok + n_tokens - 1) // 128
+            - start_tok // 128 + 1)::BIGINT AS n_chunks
+    FROM c ORDER BY doc_id
+    """,
+)
+def bpe_pack_pipeline(spark, sf_dir):
+    """Composed tokenize→pack gate (r4): BPE-encode every document under
+    the static merge table (text/bpe.bpe_token_stats — the production
+    mapInPandas encoder), then lay the BPE token stream out into
+    seq_len=128 training chunks via the two-level prefix-sum packer
+    (text/packing.pack_sequences(n_tokens_col=...)) — tokenize → pack
+    as ONE plan, the real LM data-prep denomination. The oracle
+    re-derives the BPE token counts with the list_reduce fold and packs
+    them with the single-window cumsum the scale path must reproduce."""
+    from .text.bpe import bpe_token_stats
+    from .text.packing import pack_sequences
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    counts = bpe_token_stats(d, _BPE_GATE_MERGES)
+    out = pack_sequences(counts, seq_len=128, bucket=64,
+                         n_tokens_col="n_tokens")
+    return (out.select("doc_id", "n_tokens", "start_tok",
+                       "first_chunk", "n_chunks")
+            .repartition(1).sortWithinPartitions("doc_id"))
+
+
+@q(
     "geoparquet_roundtrip_filter",
     f"""
     WITH p AS ({_PART_PARAMS_SQL})
@@ -5677,6 +5722,11 @@ _DRIVER_WINDOW = [
     # with pytest goldens, local-green since r3; the text-JVM family
     # keeps a dozen siblings in-window)
     "pagerank_doc_graph",
+    # composed BPE tokenize → sequence-pack pipeline
+    # (duplicate_spans_counts rotated out: its sibling
+    # remove_duplicate_spans_clean — the stronger end-to-end excision
+    # gate — stays in-window; pytest + local gate keep the counting op)
+    "bpe_pack_pipeline",
 ]
 _DRIVER_WINDOW.remove("buffer_line_capsule_area")
 _DRIVER_WINDOW.remove("inscribed_circle_box")
@@ -5702,6 +5752,7 @@ _DRIVER_WINDOW.remove("image_decode_gif_px_sum")
 _DRIVER_WINDOW.remove("voronoi_two_cell_areas")
 _DRIVER_WINDOW.remove("image_decode_png_px_sum")
 _DRIVER_WINDOW.remove("url_canonical_dedup")
+_DRIVER_WINDOW.remove("duplicate_spans_counts")
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

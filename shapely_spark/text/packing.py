@@ -39,6 +39,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     bucket: int = 4096,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign every document its packed position: (id_col, n_tokens,
     start_tok, first_chunk, n_chunks). Stream order is ascending
@@ -47,12 +48,16 @@ def pack_sequences(
     n_tokens is the whitespace token count (swap in
     quality.bpe_token_count_col for the BPE-ish pre-tokenizer);
     empty-string docs count 1 token (split('') == ['']), matching the
-    oracle's len(string_split(...)).
+    oracle's len(string_split(...)). Pass ``n_tokens_col`` to pack a
+    PRE-TOKENIZED stream instead — e.g. bpe.bpe_token_stats counts, the
+    real LM denomination (text_col is then ignored).
     """
     L = F.lit(seq_len).cast("long")
+    ntok = (F.col(n_tokens_col).cast("long") if n_tokens_col
+            else F.size(F.split(F.col(text_col), " ")).cast("long"))
     t = docs.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        ntok.alias("n_tokens"),
         F.floor(F.col(id_col) / bucket).cast("long").alias("__bkt"),
     )
     btot = t.groupBy("__bkt").agg(F.sum("n_tokens").alias("__btot"))

@@ -129,3 +129,37 @@ def test_train_stops_when_no_pairs_left(spark):
     m = bpe_train(word_freqs(docs), 50)
     assert m == [("a", "b")]  # after the merge every word is one symbol
     assert bpe_train_distributed(word_freqs(docs), 50) == m
+
+
+def test_pack_sequences_n_tokens_col_matches_whitespace_path(spark):
+    from shapely_spark.text.packing import pack_sequences
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    base = {(r.doc_id, r.n_tokens, r.start_tok, r.first_chunk, r.n_chunks)
+            for r in pack_sequences(docs, seq_len=4, bucket=2).collect()}
+    pre = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("cnt"))
+    got = {(r.doc_id, r.n_tokens, r.start_tok, r.first_chunk, r.n_chunks)
+           for r in pack_sequences(pre, seq_len=4, bucket=2,
+                                   n_tokens_col="cnt").collect()}
+    assert got == base
+
+
+def test_bpe_pack_composition_consistent(spark):
+    from shapely_spark.text.packing import pack_sequences
+
+    docs = _docs(spark)
+    merges = bpe_train(word_freqs(docs), 10)
+    counts = bpe_token_stats(docs, merges)
+    packed = pack_sequences(counts, seq_len=8, bucket=2,
+                            n_tokens_col="n_tokens").collect()
+    want = {r.doc_id: r.n_tokens for r in counts.collect()}
+    rows = sorted(packed, key=lambda r: r.doc_id)
+    # starts are the exclusive prefix sum of the BPE counts in id order
+    acc = 0
+    for r in rows:
+        assert r.n_tokens == want[r.doc_id]
+        assert r.start_tok == acc
+        acc += r.n_tokens
