@@ -49,12 +49,21 @@ def _snap_path(table: str, sid: int) -> str:
 
 
 def current_snapshot_id(table: str) -> int | None:
-    """The committed snapshot id, or None for an empty/new table."""
-    vp = os.path.join(_meta_dir(table), "VERSION")
-    if not os.path.exists(vp):
+    """The committed snapshot id, or None for an empty/new table.
+
+    Derived from the snapshot FILES (max snap-N.json), not the VERSION
+    pointer: the exclusive create of the snapshot file is the commit
+    itself, so a writer that crashed between creating it and refreshing
+    the pointer has still committed — deriving the head from the files
+    makes recovery automatic, where trusting a stale pointer would make
+    every later commit collide with the "orphan" forever. VERSION is
+    maintained as a fast-path cache only."""
+    meta = _meta_dir(table)
+    if not os.path.isdir(meta):
         return None
-    with open(vp) as fh:
-        return int(fh.read().strip())
+    ids = [int(f[5:-5]) for f in os.listdir(meta)
+           if f.startswith("snap-") and f.endswith(".json")]
+    return max(ids) if ids else None
 
 
 def snapshot(table: str, snapshot_id: int | None = None) -> dict:

@@ -69,18 +69,38 @@ def test_null_bbox_files_always_survive(spark, tmp_path):
     assert read_snapshot(spark, t, bbox=(500, 500, 501, 501)).count() == 1
 
 
-def test_concurrent_commit_raises_and_preserves_head(spark, tmp_path):
+def test_concurrent_commit_raises_and_preserves_head(spark, tmp_path,
+                                                     monkeypatch):
+    import shapely_spark.spark.table_format as tf
+
     t = str(tmp_path / "tbl")
     commit_append(_boxes(spark, 0, 4), t)
     commit_append(_boxes(spark, 10, 4), t)
-    # simulate a racer that read parent=0 before snapshot 1 landed
-    with open(os.path.join(t, "meta", "VERSION"), "w") as fh:
-        fh.write("0")
+    # simulate the race window: the loser read parent=0 before
+    # snapshot 1 landed, then tries to exclusive-create snap-1
+    monkeypatch.setattr(tf, "current_snapshot_id", lambda table: 0)
     with pytest.raises(RuntimeError, match="concurrent"):
-        commit_append(_boxes(spark, 20, 2), t)
+        tf.commit_append(_boxes(spark, 20, 2), t)
+    monkeypatch.undo()
     # the committed snapshot 1 is untouched
     assert {r.id for r in read_snapshot(spark, t, snapshot_id=1).collect()
             } == set(range(4)) | set(range(10, 14))
+
+
+def test_crashed_commit_recovers_without_pointer(spark, tmp_path):
+    # a writer that crashed AFTER exclusive-creating its snapshot file
+    # but BEFORE refreshing the VERSION cache has still committed: the
+    # head derives from the snapshot files, so the next commit builds on
+    # it instead of colliding forever
+    t = str(tmp_path / "tbl")
+    commit_append(_boxes(spark, 0, 4), t)  # snap 0
+    commit_append(_boxes(spark, 10, 2), t)  # snap 1
+    with open(os.path.join(t, "meta", "VERSION"), "w") as fh:
+        fh.write("0")  # stale cache — as if the snap-1 writer crashed
+    assert current_snapshot_id(t) == 1
+    s2 = commit_append(_boxes(spark, 20, 2), t)
+    assert (s2["id"], s2["parent"]) == (2, 1)
+    assert read_snapshot(spark, t).count() == 8
 
 
 def test_snapshot_missing_raises(tmp_path):
