@@ -1711,6 +1711,74 @@ def _pagerank_oracle_sql(iters: int = 10) -> str:
     return head + "".join(steps) + tail
 
 
+def _ppr_oracle_sql(iters: int = 6) -> str:
+    """DuckDB twin of the PERSONALIZED walk (teleport to doc_id%10==0
+    seeds): same unrolled-CTE shape as _pagerank_oracle_sql with the
+    update (1-0.85)*tele + 0.85*(contrib + dang*tele)."""
+    head = """
+    WITH nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
+    e AS MATERIALIZED (SELECT DISTINCT doc_id AS src,
+                 (doc_id * 1103515245 + (j + 1) * 12345) % n AS tgt
+          FROM documents, nn, unnest(range(0, 3)) t(j)
+          WHERE j < doc_id % 4),
+    odeg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+    ns AS MATERIALIZED (SELECT sum(CASE WHEN doc_id % 10 = 0 THEN 1.0
+                                   ELSE 0.0 END) AS s FROM documents),
+    tl AS MATERIALIZED (SELECT doc_id AS node,
+                 CASE WHEN doc_id % 10 = 0 THEN 1.0 / ns.s
+                      ELSE 0.0 END AS t
+          FROM documents, ns),
+    r0 AS MATERIALIZED (SELECT node, t AS rank FROM tl)"""
+    steps = []
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        steps.append(f""",
+    d{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS m FROM {p} r
+             LEFT JOIN odeg o ON r.node = o.src WHERE o.src IS NULL),
+    c{k} AS MATERIALIZED (SELECT e.tgt AS node, sum(r.rank / o.deg) AS contrib
+             FROM e JOIN {p} r ON e.src = r.node
+             JOIN odeg o ON e.src = o.src GROUP BY e.tgt),
+    r{k} AS MATERIALIZED (SELECT p.node,
+                    (1 - 0.85) * tl.t
+                    + 0.85 * (coalesce(c.contrib, 0.0) + d{k}.m * tl.t)
+                        AS rank
+             FROM {p} p LEFT JOIN c{k} c ON p.node = c.node
+             JOIN tl ON p.node = tl.node, d{k})""")
+    tail = f"""
+    SELECT node, round(rank, 6) AS rank
+    FROM r{iters} ORDER BY node"""
+    return head + "".join(steps) + tail
+
+
+@q("pagerank_personalized_seeds", _ppr_oracle_sql(6))
+def pagerank_personalized_seeds(spark, sf_dir):
+    """Personalized PageRank gate (spark/graph.pagerank(teleport=), r4):
+    the random surfer restarts at the doc_id%10==0 seed set (uniform
+    over seeds), and dangling mass lands on the seeds too — the crawl
+    seeding / topic-authority variant. Six iterations over the same
+    deterministic LCG doc graph as pagerank_doc_graph; oracle = the
+    unrolled CTEs with the personalized update, round-6 hash-match.
+    Non-seed nodes with no in-links provably decay to rank 0."""
+    from .spark.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    docs = _spread(d.select("doc_id"))
+    j = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j")
+    ed = (docs.select("doc_id", j)
+          .where(F.col("j") < F.col("doc_id") % 4)
+          .select(F.col("doc_id").alias("src"),
+                  ((F.col("doc_id") * 1103515245
+                    + (F.col("j") + 1) * 12345) % n).alias("tgt"))
+          .distinct())
+    seeds = (docs.where(F.col("doc_id") % 10 == 0)
+             .select("doc_id", F.lit(1.0).alias("w")))
+    ranks = pagerank(ed, num_iters=6, damping=0.85,
+                     nodes=docs.select("doc_id"), teleport=seeds)
+    return (ranks.select(F.col("node"), F.round("rank", 6).alias("rank"))
+            .repartition(1).sortWithinPartitions("node"))
+
+
 @q("pagerank_doc_graph", _pagerank_oracle_sql(10))
 def pagerank_doc_graph(spark, sf_dir):
     """Distributed PageRank gate (spark/graph.py, r4): 10 synchronous
@@ -5727,6 +5795,10 @@ _DRIVER_WINDOW = [
     # remove_duplicate_spans_clean — the stronger end-to-end excision
     # gate — stays in-window; pytest + local gate keep the counting op)
     "bpe_pack_pipeline",
+    # personalized PageRank (sequence_pack_chunks rotated out:
+    # bpe_pack_pipeline runs the SAME two-level prefix-sum packer on a
+    # stronger composed plan; the plain query stays in the local gate)
+    "pagerank_personalized_seeds",
 ]
 _DRIVER_WINDOW.remove("buffer_line_capsule_area")
 _DRIVER_WINDOW.remove("inscribed_circle_box")
@@ -5753,6 +5825,7 @@ _DRIVER_WINDOW.remove("voronoi_two_cell_areas")
 _DRIVER_WINDOW.remove("image_decode_png_px_sum")
 _DRIVER_WINDOW.remove("url_canonical_dedup")
 _DRIVER_WINDOW.remove("duplicate_spans_counts")
+_DRIVER_WINDOW.remove("sequence_pack_chunks")
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

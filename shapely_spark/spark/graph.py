@@ -33,12 +33,20 @@ def pagerank(
     tgt: str = "tgt",
     nodes: DataFrame | None = None,
     checkpoint_every: int = 1,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) after ``num_iters`` synchronous power iterations with
     uniform init 1/n and dangling-mass redistribution (rank of
     out-degree-0 nodes is spread uniformly, the standard stochastic
     fix-up). ``nodes`` defaults to distinct(src ∪ tgt); pass it
-    explicitly to include isolated nodes (no edges at all)."""
+    explicitly to include isolated nodes (no edges at all).
+
+    ``teleport`` personalizes the walk (PPR — crawl seeding, topic
+    authority): a (node, weight) relation, normalized here; the random
+    surfer restarts — and dangling mass lands — proportionally to it
+    instead of uniformly. Nodes absent from it get weight 0 and can
+    only earn rank through in-links. The uniform path keeps its own
+    arithmetic ((1-d)/n, dm/n) so existing results are bit-stable."""
     e = edges.select(F.col(src).alias("src"), F.col(tgt).alias("tgt"))
     if nodes is None:
         nodes = (e.select(F.col("src").alias("node"))
@@ -53,11 +61,24 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         raise ValueError("empty graph")
+    if teleport is not None:
+        tcols = teleport.columns
+        tw = teleport.select(F.col(tcols[0]).alias("node"),
+                             F.col(tcols[1]).cast("double").alias("w"))
+        tot = tw.agg(F.sum("w").alias("tot"))
+        nodes = (nodes.join(tw, "node", "left")
+                 .crossJoin(F.broadcast(tot))
+                 .select("node",
+                         (F.coalesce(F.col("w"), F.lit(0.0))
+                          / F.col("tot")).alias("tele"))
+                 .repartition("node").persist())
     outdeg = (e.groupBy("src").agg(F.count("*").cast("double")
                                    .alias("deg")).persist())
     e = e.persist()
     base = (1.0 - damping) / float(n)
-    ranks = nodes.withColumn("rank", F.lit(1.0 / float(n)))
+    init = (F.col("tele") if teleport is not None
+            else F.lit(1.0 / float(n)))
+    ranks = nodes.withColumn("rank", init)
     for it in range(num_iters):
         rd = ranks.join(outdeg, ranks.node == outdeg.src, "left")
         # the dangling mass stays a 1-row DataFrame broadcast into the
@@ -73,14 +94,19 @@ def pagerank(
                     .groupBy("tgt")
                     .agg(F.sum(F.col("rank") / F.col("deg"))
                          .alias("contrib")))
+        if teleport is not None:
+            upd = (F.lit(1.0 - damping) * F.col("tele")
+                   + F.lit(damping)
+                   * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                      + F.col("dm") * F.col("tele")))
+        else:
+            upd = (F.lit(base) + F.lit(damping)
+                   * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                      + F.col("dm") / F.lit(float(n))))
+        keep = ["node"] + (["tele"] if teleport is not None else [])
         ranks = (nodes.join(contribs, nodes.node == contribs.tgt, "left")
                  .crossJoin(F.broadcast(dang))
-                 .select(
-                     "node",
-                     (F.lit(base) + F.lit(damping)
-                      * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                         + F.col("dm") / F.lit(float(n))))
-                     .alias("rank")))
+                 .select(*keep, upd.alias("rank")))
         if (it + 1) % checkpoint_every == 0 and it + 1 < num_iters:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.select("node", "rank")

@@ -77,3 +77,63 @@ def test_empty_graph_raises(spark):
     edf = spark.createDataFrame([], "src long, tgt long")
     with pytest.raises(ValueError, match="empty"):
         pagerank(edf, num_iters=2)
+
+
+def _np_ppr(n, edges, tele, iters=6, d=0.85):
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[s] += 1
+    t = np.asarray(tele, dtype=float)
+    t = t / t.sum()
+    r = t.copy()
+    for _ in range(iters):
+        dang = r[deg == 0].sum()
+        contrib = np.zeros(n)
+        for s, tt in edges:
+            contrib[tt] += r[s] / deg[s]
+        r = (1 - d) * t + d * (contrib + dang * t)
+    return r
+
+
+def test_personalized_matches_numpy_reference(spark):
+    n = 40
+    edges = sorted({(i, (i * 7 + j * 13) % n) for i in range(n)
+                    for j in range(1 + i % 3)})
+    tele = [1.0 if i % 5 == 0 else 0.0 for i in range(n)]
+    edf = spark.createDataFrame(edges, "src long, tgt long")
+    nodes = spark.range(n).withColumnRenamed("id", "node")
+    seeds = spark.createDataFrame(
+        [(i, 1.0) for i in range(n) if i % 5 == 0], "node long, w double")
+    got = {r.node: r.rank for r in pagerank(
+        edf, num_iters=6, nodes=nodes, teleport=seeds).collect()}
+    want = _np_ppr(n, edges, tele, 6)
+    for i in range(n):
+        assert got[i] == pytest.approx(want[i], abs=1e-12), i
+
+
+def test_personalized_unreachable_nonseed_decays_to_zero(spark):
+    # 0 -> 1 (seed 0 only); node 2 has no in-links and is not a seed
+    edf = spark.createDataFrame([(0, 1)], "src long, tgt long")
+    nodes = spark.range(3).withColumnRenamed("id", "node")
+    seeds = spark.createDataFrame([(0, 1.0)], "node long, w double")
+    out = {r.node: r.rank for r in pagerank(
+        edf, num_iters=8, nodes=nodes, teleport=seeds).collect()}
+    assert out[2] == 0.0
+    assert out[0] > out[1] > 0.0
+    # mass still conserved (dangling node 1's rank returns to the seed)
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_personalized_weights_normalize(spark):
+    # weights 2.0/6.0 normalize to 0.25/0.75
+    edf = spark.createDataFrame([(0, 1), (1, 0)], "src long, tgt long")
+    seeds = spark.createDataFrame(
+        [(0, 2.0), (1, 6.0)], "node long, w double")
+    a = {r.node: r.rank for r in pagerank(
+        edf, num_iters=4, teleport=seeds).collect()}
+    seeds2 = spark.createDataFrame(
+        [(0, 0.25), (1, 0.75)], "node long, w double")
+    b = {r.node: r.rank for r in pagerank(
+        edf, num_iters=4, teleport=seeds2).collect()}
+    assert a == pytest.approx(b)
+    assert a[1] > a[0]
