@@ -1711,6 +1711,57 @@ def _pagerank_oracle_sql(iters: int = 10) -> str:
     return head + "".join(steps) + tail
 
 
+@q(
+    "triangle_counts_graph",
+    """
+    WITH nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
+    raw AS (SELECT doc_id AS x, (doc_id + 1) % n AS y FROM documents, nn
+            UNION ALL
+            SELECT doc_id, (doc_id + 2) % n FROM documents, nn
+            UNION ALL
+            SELECT doc_id, (doc_id * 1103515245 + 12345) % n
+            FROM documents, nn WHERE doc_id % 3 = 0),
+    und AS MATERIALIZED (
+        SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+        FROM raw WHERE x <> y),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM und e1
+            JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+            JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v)
+    SELECT node, count(*)::BIGINT AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS node FROM tri) t
+    GROUP BY node ORDER BY node
+    """,
+)
+def triangle_counts_graph(spark, sf_dir):
+    """Exact per-node triangle counts (spark/graph.triangles, r4) over a
+    deterministic ring+chord graph (i→i+1, i→i+2 rings guarantee n
+    triangles; LCG chords on every third node add irregular closures).
+    The Spark side lists triangles via DEGREE-ordered orientation (wedge
+    fan-out bounded by degeneracy — the celebrity-node skew fix); the
+    oracle lists them via plain id-ordered joins. Both enumerate the
+    identical triangle SET (orientation changes the counting vertex,
+    never the set), and counts are integers — engine-exact, no float
+    concerns."""
+    from .spark.graph import node_triangle_counts
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    docs = _spread(d.select("doc_id"))
+    ring1 = docs.select(F.col("doc_id").alias("src"),
+                        ((F.col("doc_id") + 1) % n).alias("tgt"))
+    ring2 = docs.select(F.col("doc_id").alias("src"),
+                        ((F.col("doc_id") + 2) % n).alias("tgt"))
+    chords = (docs.where(F.col("doc_id") % 3 == 0)
+              .select(F.col("doc_id").alias("src"),
+                      ((F.col("doc_id") * 1103515245 + 12345) % n)
+                      .alias("tgt")))
+    ed = ring1.unionByName(ring2).unionByName(chords)
+    out = node_triangle_counts(ed)
+    return (out.select("node", "n_triangles")
+            .repartition(1).sortWithinPartitions("node"))
+
+
 def _ppr_oracle_sql(iters: int = 6) -> str:
     """DuckDB twin of the PERSONALIZED walk (teleport to doc_id%10==0
     seeds): same unrolled-CTE shape as _pagerank_oracle_sql with the
@@ -5799,6 +5850,10 @@ _DRIVER_WINDOW = [
     # bpe_pack_pipeline runs the SAME two-level prefix-sum packer on a
     # stronger composed plan; the plain query stays in the local gate)
     "pagerank_personalized_seeds",
+    # degree-oriented triangle counting (decontaminate_eval_overlap
+    # rotated out: bloom_decontaminate_counts gates the SAME exact-join
+    # contract through the stronger two-stage path and stays in-window)
+    "triangle_counts_graph",
 ]
 _DRIVER_WINDOW.remove("buffer_line_capsule_area")
 _DRIVER_WINDOW.remove("inscribed_circle_box")
@@ -5826,6 +5881,7 @@ _DRIVER_WINDOW.remove("image_decode_png_px_sum")
 _DRIVER_WINDOW.remove("url_canonical_dedup")
 _DRIVER_WINDOW.remove("duplicate_spans_counts")
 _DRIVER_WINDOW.remove("sequence_pack_chunks")
+_DRIVER_WINDOW.remove("decontaminate_eval_overlap")
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

@@ -110,3 +110,63 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 and it + 1 < num_iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
+
+
+def triangles(
+    edges: DataFrame,
+    src: str = "src",
+    tgt: str = "tgt",
+) -> DataFrame:
+    """Exact triangle listing over the UNDIRECTED simple graph (self
+    loops dropped, parallel/reverse edges collapsed): one row per
+    triangle, vertices sorted ascending (a < b < c).
+
+    Scale shape: the standard degree-ordered orientation (each edge
+    points lower-(degree, id) → higher-(degree, id)) makes every
+    triangle countable at exactly one vertex AND bounds the wedge
+    fan-out per center by the graph's degeneracy (~sqrt(m) on web/social
+    graphs) — the skew fix that keeps a celebrity node from exploding
+    the self-join. Two shuffles total: the wedge build (self-join on the
+    center) and the closing-edge semi-join; counts are integers, so the
+    result is engine-exact (no float summation concerns)."""
+    e = edges.select(F.col(src).alias("x"), F.col(tgt).alias("y"))
+    und = (e.where(F.col("x") != F.col("y"))
+           .select(F.least("x", "y").alias("u"),
+                   F.greatest("x", "y").alias("v"))
+           .distinct().persist())  # reused: degrees, orientation, closing
+    deg = (und.select(F.col("u").alias("n"))
+           .union(und.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("d")))
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    # orient lower (degree, id) -> higher (degree, id)
+    j = und.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    o = j.select(F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+                 F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"))
+    # wedges centered at the vertex with two out-edges (every triangle
+    # has exactly one such vertex under an acyclic orientation); the
+    # closing edge is looked up in the canonical undirected set
+    w1 = o.select(F.col("a").alias("ctr"), F.col("b").alias("u"))
+    w2 = o.select(F.col("a").alias("ctr"), F.col("b").alias("v"))
+    wedges = (w1.join(w2, "ctr")
+              .where(F.col("u") < F.col("v")))  # unordered pair, once
+    tri = wedges.join(und, ["u", "v"])
+    return tri.select(
+        F.least("ctr", "u", "v").alias("a"),
+        (F.col("ctr") + F.col("u") + F.col("v")
+         - F.least("ctr", "u", "v")
+         - F.greatest("ctr", "u", "v")).alias("b"),
+        F.greatest("ctr", "u", "v").alias("c"))
+
+
+def node_triangle_counts(edges: DataFrame, src: str = "src",
+                         tgt: str = "tgt") -> DataFrame:
+    """(node, n_triangles) for every node in ≥1 triangle — the local
+    clustering numerator. One explode + partial-agg shuffle over the
+    triangle list."""
+    t = triangles(edges, src, tgt)
+    return (t.select(F.explode(F.array("a", "b", "c")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").cast("long").alias("n_triangles")))

@@ -137,3 +137,58 @@ def test_personalized_weights_normalize(spark):
         edf, num_iters=4, teleport=seeds2).collect()}
     assert a == pytest.approx(b)
     assert a[1] > a[0]
+
+
+def _brute_triangles(edges):
+    adj = {}
+    for x, y in edges:
+        if x == y:
+            continue
+        a, b = min(x, y), max(x, y)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    tris = set()
+    for a in nodes:
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    tris.add((a, b, c))
+    return tris
+
+
+def test_triangles_match_bruteforce(spark):
+    from shapely_spark.spark.graph import triangles
+
+    n = 30
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    edges += [(i, (i + 2) % n) for i in range(n)]
+    edges += [(i, (i * 7 + 3) % n) for i in range(0, n, 3)]
+    got = {(r.a, r.b, r.c) for r in triangles(
+        spark.createDataFrame(edges, "src long, tgt long")).collect()}
+    assert got == _brute_triangles(edges)
+    assert len(got) >= n  # the two rings alone close n triangles
+
+
+def test_triangles_dedupe_direction_and_self_loops(spark):
+    from shapely_spark.spark.graph import triangles
+
+    # duplicate, reversed, and self-loop edges must not multiply counts
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (1, 2)]
+    got = [(r.a, r.b, r.c) for r in triangles(
+        spark.createDataFrame(edges, "src long, tgt long")).collect()]
+    assert got == [(0, 1, 2)]
+
+
+def test_node_triangle_counts_star_plus_ring(spark):
+    from shapely_spark.spark.graph import node_triangle_counts
+
+    # hub 0 connected to 1..4, ring 1-2-3-4-1: triangles (0,1,2),
+    # (0,2,3), (0,3,4), (0,1,4)
+    edges = [(0, i) for i in range(1, 5)]
+    edges += [(1, 2), (2, 3), (3, 4), (4, 1)]
+    out = {r.node: r.n_triangles for r in node_triangle_counts(
+        spark.createDataFrame(edges, "src long, tgt long")).collect()}
+    assert out == {0: 4, 1: 2, 2: 2, 3: 2, 4: 2}
