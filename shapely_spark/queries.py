@@ -2024,6 +2024,53 @@ def geoparquet_roundtrip_filter(spark, sf_dir):
 
 
 @q(
+    "warc_roundtrip_text",
+    """
+    SELECT doc_id, md5(text) AS text_md5,
+           epoch_us(TIMESTAMP '2026-01-01 00:00:00'
+                    + doc_id * INTERVAL 1 SECOND) AS ts_us
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def warc_roundtrip_text(spark, sf_dir):
+    """WARC sink/source gate (spark/warc.py, r4 — the Common Crawl
+    container format): wrap every document as a page (deterministic url
+    + timestamp, html = <p>-wrapped text bytes), WRITE the pages table
+    as per-record-gzip-member ``*.warc.gz`` files, READ them back via
+    the binaryFile member walk, re-extract the text with the engine's
+    JVM extraction expression, and emit md5(text) + the microsecond
+    timestamp per doc. The oracle computes both straight from the
+    documents table — hash-match proves the input contract's per-row
+    invariant (BASELINE.json input_hint): byte-identical extracted text
+    per url through a full container roundtrip, timestamps to the
+    microsecond."""
+    import tempfile
+
+    from .spark.extract import extract_text
+    from .spark.warc import read_warc, write_warc
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    pages = d.select(
+        F.concat(F.lit("https://crawl.example.org/doc/"),
+                 F.col("doc_id")).alias("url"),
+        (F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+         + F.make_interval(secs=F.col("doc_id").cast("double"))
+         ).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body><p>"), F.col("text"),
+                          F.lit("</p></body></html>")), "UTF-8").alias("html"))
+    path = tempfile.mkdtemp(prefix="shapely_spark_warc_")
+    write_warc(pages, path)
+    back = read_warc(spark, path)
+    out = back.select(
+        F.substring_index("url", "/", -1).cast("long").alias("doc_id"),
+        F.md5(F.encode(extract_text(F.col("html")), "UTF-8")
+              ).alias("text_md5"),
+        F.unix_micros("warc_ts").alias("ts_us"))
+    return out.repartition(1).sortWithinPartitions("doc_id")
+
+
+@q(
     "snapshot_table_time_travel",
     f"""
     WITH p AS ({_PART_PARAMS_SQL}),
@@ -5854,7 +5901,15 @@ _DRIVER_WINDOW = [
     # rotated out: bloom_decontaminate_counts gates the SAME exact-join
     # contract through the stronger two-stage path and stays in-window)
     "triangle_counts_graph",
+    # WARC container roundtrip — the input contract's byte-identical
+    # text invariant through the Common Crawl file format
+    # (image_decode_jpeg_px_sum rotated out: image_decode_jpeg_prog_px_sum
+    # pins progressive pixel-IDENTICAL to baseline, so the baseline
+    # decoder stays transitively gated in-window; plus bit-exact pytest
+    # goldens and the local gate)
+    "warc_roundtrip_text",
 ]
+_DRIVER_WINDOW.remove("image_decode_jpeg_px_sum")
 _DRIVER_WINDOW.remove("buffer_line_capsule_area")
 _DRIVER_WINDOW.remove("inscribed_circle_box")
 _DRIVER_WINDOW.remove("oriented_envelope_area")

@@ -1,0 +1,254 @@
+"""WARC sink/source — the Common Crawl container format (ISO 28500 /
+WARC 1.1) for the pages table (url, warc_ts, html binary, ...).
+
+Common Crawl ships its 10^12-page corpus as ``*.warc.gz`` files where
+EVERY record is its own gzip member; the CDX index maps url ->
+(file, member offset, member length) so a single record is fetched with
+one ranged read + one member inflate. This module reproduces that
+layout with the stdlib only:
+
+- ``write_warc``: ``mapInPandas`` sink — each Spark partition becomes
+  one ``part-NNNNN.warc.gz`` written executor-side (no driver
+  collect): a leading ``warcinfo`` member, then one gzip member per
+  ``response`` record (WARC headers + an HTTP/1.1 response envelope
+  around the html payload, Content-Length framed — binary payloads
+  containing CRLFCRLF survive). ``mtime=0`` in every member makes the
+  bytes a pure function of the rows: re-runs are byte-identical, so a
+  file-level resume can compare checksums.
+- ``read_warc``: ``binaryFile`` scan -> Arrow-batched member walk
+  (zlib ``unused_data`` gives exact member boundaries without
+  recompressing) -> one row per response record, carrying
+  (warc_file, warc_offset, warc_length) — the CDX triple.
+- ``cdx_index``: the url -> (file, offset, length) projection of a
+  read, i.e. the index Common Crawl publishes next to the crawl.
+- ``read_warc_record``: the random-access path — seek(offset),
+  read(length), inflate ONE member, parse ONE record. At 100 TB this
+  is how a url lookup costs O(record) instead of O(file).
+
+Scale notes: parallelism is per-file (Common Crawl caps files at ~1 GB
+for exactly this reason); ``binaryFile`` holds one file per row, so
+file size — not corpus size — bounds task memory. Timestamps keep
+microseconds (WARC 1.1 allows fractional seconds in WARC-Date).
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import os
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_VERSION = "WARC/1.1"
+
+_READ_DT = ("url string, warc_ts timestamp, html binary, "
+            "warc_file string, warc_offset long, warc_length long")
+_MANIFEST_DT = "file string, records long, bytes long"
+
+_TS_FMT = "%Y-%m-%dT%H:%M:%S.%fZ"
+
+
+# ---------------------------------------------------------------------------
+# record encode (pure bytes -> bytes, shared by sink and tests)
+# ---------------------------------------------------------------------------
+
+def _record_id(url: str, ts_iso: str) -> str:
+    """Deterministic record id (sha1 of url+date) — the uuid the spec
+    suggests would break byte-reproducible re-runs."""
+    h = hashlib.sha1((url + "|" + ts_iso).encode()).hexdigest()
+    return f"<urn:sha1:{h}>"
+
+
+def encode_warc_response(url: str, ts_iso: str, html: bytes) -> bytes:
+    """One uncompressed WARC response record: WARC header block, an
+    HTTP/1.1 200 envelope, the payload, and the record-terminating
+    CRLF CRLF. Content-Length framing on both layers."""
+    http = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n"
+            b"Content-Length: " + str(len(html)).encode() + b"\r\n\r\n"
+            + html)
+    hdr = (f"{WARC_VERSION}\r\n"
+           f"WARC-Type: response\r\n"
+           f"WARC-Target-URI: {url}\r\n"
+           f"WARC-Date: {ts_iso}\r\n"
+           f"WARC-Record-ID: {_record_id(url, ts_iso)}\r\n"
+           f"Content-Type: application/http; msgtype=response\r\n"
+           f"Content-Length: {len(http)}\r\n\r\n").encode()
+    return hdr + http + b"\r\n\r\n"
+
+
+def _encode_warcinfo(filename: str) -> bytes:
+    body = (b"software: shapely_spark warc sink\r\n"
+            b"format: WARC File Format 1.1\r\n")
+    hdr = (f"{WARC_VERSION}\r\n"
+           f"WARC-Type: warcinfo\r\n"
+           f"WARC-Filename: {filename}\r\n"
+           f"WARC-Date: 2026-01-01T00:00:00.000000Z\r\n"
+           f"WARC-Record-ID: {_record_id(filename, 'warcinfo')}\r\n"
+           f"Content-Type: application/warc-fields\r\n"
+           f"Content-Length: {len(body)}\r\n\r\n").encode()
+    return hdr + body + b"\r\n\r\n"
+
+
+def _gzip_member(data: bytes) -> bytes:
+    """One deterministic gzip member (mtime=0, no filename)."""
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+        g.write(data)
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# record decode
+# ---------------------------------------------------------------------------
+
+def iter_warc_members(raw: bytes):
+    """Yield (offset, compressed_length, inflated_bytes) per gzip member.
+    zlib with wbits=47 stops at the member boundary; ``unused_data`` is
+    the start of the next member — exact offsets, no guessing."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        d = zlib.decompressobj(47)
+        out = d.decompress(raw[pos:])
+        out += d.flush()
+        consumed = n - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError(f"corrupt gzip member at offset {pos}")
+        yield pos, consumed, out
+        pos += consumed
+
+
+def parse_warc_record(rec: bytes) -> dict:
+    """One inflated record -> dict of WARC headers + ``payload`` (for
+    response records: the HTTP body, envelope stripped)."""
+    head_end = rec.find(b"\r\n\r\n")
+    if head_end < 0 or not rec.startswith(b"WARC/"):
+        raise ValueError("not a WARC record")
+    lines = rec[:head_end].decode("utf-8").split("\r\n")
+    headers = {}
+    for ln in lines[1:]:
+        k, _, v = ln.partition(":")
+        headers[k.strip()] = v.strip()
+    clen = int(headers["Content-Length"])
+    block = rec[head_end + 4:head_end + 4 + clen]
+    payload = block
+    if headers.get("WARC-Type") == "response":
+        http_end = block.find(b"\r\n\r\n")
+        if http_end >= 0:
+            payload = block[http_end + 4:]
+    headers["payload"] = payload
+    return headers
+
+
+def _parse_ts(iso: str):
+    ts = pd.to_datetime(iso.rstrip("Z"), format="%Y-%m-%dT%H:%M:%S.%f"
+                        if "." in iso else "%Y-%m-%dT%H:%M:%S")
+    return ts
+
+
+# ---------------------------------------------------------------------------
+# Spark sink / source
+# ---------------------------------------------------------------------------
+
+def write_warc(
+    pages: DataFrame,
+    path: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> list:
+    """Write the pages DataFrame as a directory of ``part-NNNNN.warc.gz``
+    files, one per Spark partition, one gzip member per record (the
+    Common Crawl layout). Returns the manifest: one Row per file
+    (file, records, bytes) — the natural input for a snapshot-table
+    commit. Executor-side stdlib gzip; the driver sees only the
+    manifest."""
+    os.makedirs(path, exist_ok=True)
+    cols = (pages.select(F.col(url_col).alias("url"),
+                         F.date_format(ts_col,
+                                       "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+                                       ).alias("ts_iso"),
+                         F.col(html_col).alias("html")))
+
+    def _write(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = f"part-{pid:05d}.warc.gz"
+        chunks = []
+        nrec = 0
+        for pdf in batches:
+            for url, ts_iso, html in zip(pdf["url"], pdf["ts_iso"],
+                                         pdf["html"]):
+                rec = encode_warc_response(
+                    url, ts_iso, bytes(html) if html is not None else b"")
+                chunks.append(_gzip_member(rec))
+                nrec += 1
+        if not nrec:
+            return
+        data = _gzip_member(_encode_warcinfo(fname)) + b"".join(chunks)
+        with open(os.path.join(path, fname), "wb") as f:
+            f.write(data)
+        yield pd.DataFrame({"file": [fname], "records": [nrec],
+                            "bytes": [len(data)]})
+
+    return cols.mapInPandas(_write, _MANIFEST_DT).collect()
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a directory (or glob) of ``*.warc.gz`` files into the pages
+    shape plus the CDX triple (warc_file, warc_offset, warc_length).
+    One task per file (``binaryFile``); the member walk is a single
+    inflate pass per file. warcinfo/request/metadata records are
+    dropped — only ``response`` records carry pages."""
+    reader = spark.read.format("binaryFile")
+    if os.path.isdir(path):
+        reader = reader.option("pathGlobFilter", "*.warc.gz")
+    files = reader.load(path)
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("url", "warc_ts", "html", "warc_file",
+                                    "warc_offset", "warc_length")}
+            for fpath, raw in zip(pdf["path"], pdf["content"]):
+                fname = os.path.basename(fpath)
+                for off, ln, rec in iter_warc_members(bytes(raw)):
+                    h = parse_warc_record(rec)
+                    if h.get("WARC-Type") != "response":
+                        continue
+                    rows["url"].append(h["WARC-Target-URI"])
+                    rows["warc_ts"].append(_parse_ts(h["WARC-Date"]))
+                    rows["html"].append(h["payload"])
+                    rows["warc_file"].append(fname)
+                    rows["warc_offset"].append(off)
+                    rows["warc_length"].append(ln)
+            yield pd.DataFrame(rows)
+
+    return files.select("path", "content").mapInPandas(_parse, _READ_DT)
+
+
+def cdx_index(warc_df: DataFrame) -> DataFrame:
+    """The CDX projection of a ``read_warc`` frame: url ->
+    (warc_file, warc_offset, warc_length). Written next to the crawl,
+    this is the url-lookup index — ``read_warc_record`` consumes one
+    row of it."""
+    return warc_df.select("url", "warc_file", "warc_offset", "warc_length")
+
+
+def read_warc_record(path: str, offset: int, length: int) -> dict:
+    """Random access: one ranged read + one member inflate -> one parsed
+    record (headers + payload). The 100-TB lookup path — cost is
+    O(record), independent of file and corpus size."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        raw = f.read(length)
+    _, consumed, rec = next(iter_warc_members(raw))
+    if consumed != length:
+        raise ValueError(f"member at {offset} has length {consumed}, "
+                         f"index said {length}")
+    return parse_warc_record(rec)

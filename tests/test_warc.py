@@ -1,0 +1,117 @@
+"""WARC sink/source (spark/warc.py): roundtrip, member offsets, random
+access, determinism. The format contract is ISO 28500 / WARC 1.1 as
+Common Crawl applies it (per-record gzip members; reference layout
+described in the module docstring)."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from shapely_spark.spark.warc import (cdx_index, encode_warc_response,
+                                      iter_warc_members, parse_warc_record,
+                                      read_warc, read_warc_record, write_warc)
+
+
+def _pages(spark, n=20, parts=3):
+    return spark.range(n).select(
+        F.concat(F.lit("https://example.org/doc/"), F.col("id")).alias("url"),
+        (F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+         + F.make_interval(secs=F.col("id").cast("double"))).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><p>doc "), F.col("id"),
+                          F.lit(" body</p></html>")), "UTF-8").alias("html"),
+    ).repartition(parts)
+
+
+def test_roundtrip_bytes_urls_timestamps(spark, tmp_path):
+    df = _pages(spark)
+    man = write_warc(df, str(tmp_path))
+    assert sum(r.records for r in man) == 20
+    back = read_warc(spark, str(tmp_path))
+    orig = {r.url: (r.warc_ts, bytes(r.html)) for r in df.collect()}
+    got = back.collect()
+    assert len(got) == 20
+    for r in got:
+        ts, html = orig[r.url]
+        assert bytes(r.html) == html
+        assert r.warc_ts == ts
+
+
+def test_binary_payload_with_crlfcrlf_survives(spark, tmp_path):
+    # Content-Length framing, not delimiter scanning: a payload that
+    # CONTAINS the record separator must come back byte-identical.
+    evil = b"<html>\r\n\r\nWARC/1.1\r\n\x00\xffContent-Length: 7\r\n\r\n</html>"
+    df = spark.createDataFrame(
+        [("https://e.org/x", evil)], "url string, html binary"
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2026-02-03 04:05:06.123456")))
+    write_warc(df, str(tmp_path))
+    r = read_warc(spark, str(tmp_path)).collect()[0]
+    assert bytes(r.html) == evil
+    assert str(r.warc_ts) == "2026-02-03 04:05:06.123456"
+
+
+def test_member_offsets_random_access(spark, tmp_path):
+    df = _pages(spark, n=12, parts=2)
+    write_warc(df, str(tmp_path))
+    back = read_warc(spark, str(tmp_path))
+    expect = {r.url: bytes(r.html) for r in back.collect()}
+    for row in cdx_index(back).collect():
+        rec = read_warc_record(os.path.join(str(tmp_path), row.warc_file),
+                               row.warc_offset, row.warc_length)
+        assert rec["WARC-Target-URI"] == row.url
+        assert rec["payload"] == expect[row.url]
+
+
+def test_random_access_length_mismatch_raises(spark, tmp_path):
+    write_warc(_pages(spark, n=3, parts=1), str(tmp_path))
+    row = cdx_index(read_warc(spark, str(tmp_path))).collect()[0]
+    with pytest.raises(ValueError, match="length"):
+        read_warc_record(os.path.join(str(tmp_path), row.warc_file),
+                         row.warc_offset, row.warc_length + 40)
+
+
+def test_warcinfo_member_present_but_not_a_page(spark, tmp_path):
+    write_warc(_pages(spark, n=5, parts=1), str(tmp_path))
+    f = glob.glob(str(tmp_path / "*.warc.gz"))[0]
+    raw = open(f, "rb").read()
+    members = list(iter_warc_members(raw))
+    assert len(members) == 6  # warcinfo + 5 responses
+    first = parse_warc_record(members[0][2])
+    assert first["WARC-Type"] == "warcinfo"
+    # offsets tile the file exactly
+    assert members[0][0] == 0
+    for (o1, l1, _), (o2, _, _) in zip(members, members[1:]):
+        assert o1 + l1 == o2
+    assert members[-1][0] + members[-1][1] == len(raw)
+    assert read_warc(spark, str(tmp_path)).count() == 5
+
+
+def test_write_deterministic_bytes(spark, tmp_path):
+    a, b = tmp_path / "a", tmp_path / "b"
+    df = _pages(spark, n=10, parts=1)
+    write_warc(df, str(a))
+    write_warc(df, str(b))
+    fa = glob.glob(str(a / "*.warc.gz"))
+    fb = glob.glob(str(b / "*.warc.gz"))
+    assert [os.path.basename(p) for p in fa] == \
+           [os.path.basename(p) for p in fb]
+    for pa, pb in zip(sorted(fa), sorted(fb)):
+        assert open(pa, "rb").read() == open(pb, "rb").read()
+
+
+def test_empty_partitions_write_no_files(spark, tmp_path):
+    df = _pages(spark, n=2, parts=8)
+    man = write_warc(df, str(tmp_path))
+    files = glob.glob(str(tmp_path / "*.warc.gz"))
+    assert len(files) == len(man) <= 2
+    assert read_warc(spark, str(tmp_path)).count() == 2
+
+
+def test_record_encode_parse_unit():
+    rec = encode_warc_response("https://u", "2026-01-01T00:00:00.000000Z",
+                               b"payload-bytes")
+    h = parse_warc_record(rec)
+    assert h["WARC-Type"] == "response"
+    assert h["WARC-Target-URI"] == "https://u"
+    assert h["payload"] == b"payload-bytes"
