@@ -1860,6 +1860,130 @@ def pagerank_doc_graph(spark, sf_dir):
             .repartition(1).sortWithinPartitions("node"))
 
 
+_HOST_EDGE_SQL = """
+    SELECT 'h' || (doc_id % 16) || '.example.org' AS src,
+           'h' || (((doc_id * 1103515245 + (j + 1) * 12345) % n) % 16)
+               || '.example.org' AS tgt
+    FROM documents, nn, unnest(range(0, 3)) t(j)
+    WHERE j < doc_id % 4"""
+
+
+def _synth_linked_pages(spark, sf_dir):
+    """documents → a pages frame whose html embeds real <a href> anchors
+    to deterministic LCG targets (out-degree doc_id % 4, hosts = target
+    id mod 16) — the fixture every link-graph gate extracts from with
+    the PRODUCTION regex/parse_url path."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    n = _t(spark, sf_dir, "documents").count()
+
+    def _anchor(j):
+        dst = (F.col("doc_id") * 1103515245 + (j + F.lit(1)) * 12345) % n
+        return F.concat(F.lit('<a href="https://h'),
+                        (dst % 16).cast("string"),
+                        F.lit(".example.org/doc/"),
+                        dst.cast("string"), F.lit('">x</a>'))
+
+    links = F.filter(F.sequence(F.lit(0), F.lit(2)),
+                     lambda j: j < F.col("doc_id") % 4)
+    anchors = F.concat_ws("", F.transform(links, _anchor))
+    return d.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 16).cast("string"),
+                 F.lit(".example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(F.concat(F.lit("<html><body><p>"), F.col("text"),
+                          F.lit("</p>"), anchors,
+                          F.lit("</body></html>")), "UTF-8").alias("html"))
+
+
+@q(
+    "outlink_host_edges_counts",
+    f"""
+    WITH nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
+    lk AS MATERIALIZED ({_HOST_EDGE_SQL})
+    SELECT src AS src_host, tgt AS dst_host, count(*)::BIGINT AS n_links
+    FROM lk GROUP BY src, tgt
+    ORDER BY src_host, dst_host
+    """,
+)
+def outlink_host_edges_counts(spark, sf_dir):
+    """Host-level link-graph construction gate (spark/extract.py
+    extract_links/outlink_host_edges, r4): pages with REAL embedded
+    anchors → JVM regexp_extract_all href extraction → explode →
+    parse_url host on both endpoints → one partial-agg count shuffle.
+    The oracle re-derives the same (src_host, dst_host) multiset closed
+    form from the LCG arithmetic — multiplicities included, so a
+    dropped or duplicated anchor anywhere in the extraction path breaks
+    the hash."""
+    from .spark.extract import outlink_host_edges
+
+    pages = _synth_linked_pages(spark, sf_dir)
+    out = outlink_host_edges(pages)
+    return (out.select("src_host", "dst_host",
+                       F.col("n_links").cast("long").alias("n_links"))
+            .repartition(1).sortWithinPartitions("src_host", "dst_host"))
+
+
+def _host_pr_oracle_sql(iters: int = 6) -> str:
+    """DuckDB twin of the host-graph PageRank: closed-form host edges
+    (DISTINCT — the graph grain), then the same unrolled-CTE iteration
+    shape as _pagerank_oracle_sql over string host nodes."""
+    head = f"""
+    WITH nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
+    he AS MATERIALIZED (SELECT DISTINCT src, tgt FROM ({_HOST_EDGE_SQL}) q),
+    hn AS MATERIALIZED (SELECT DISTINCT 'h' || (doc_id % 16)
+                 || '.example.org' AS node FROM documents),
+    hc AS MATERIALIZED (SELECT count(*)::BIGINT AS c FROM hn),
+    odeg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS deg
+                          FROM he GROUP BY src),
+    r0 AS MATERIALIZED (SELECT node, 1.0 / c AS rank FROM hn, hc)"""
+    steps = []
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        steps.append(f""",
+    d{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS m FROM {p} r
+             LEFT JOIN odeg o ON r.node = o.src WHERE o.src IS NULL),
+    c{k} AS MATERIALIZED (SELECT he.tgt AS node, sum(r.rank / o.deg) AS contrib
+             FROM he JOIN {p} r ON he.src = r.node
+             JOIN odeg o ON he.src = o.src GROUP BY he.tgt),
+    r{k} AS MATERIALIZED (SELECT p.node,
+                    (1 - 0.85) / hc.c
+                    + 0.85 * (coalesce(c.contrib, 0.0) + d{k}.m / hc.c)
+                        AS rank
+             FROM {p} p LEFT JOIN c{k} c ON p.node = c.node, hc, d{k})""")
+    tail = f"""
+    SELECT node AS host, round(rank, 6) AS rank
+    FROM r{iters} ORDER BY host"""
+    return head + "".join(steps) + tail
+
+
+@q("host_graph_pagerank", _host_pr_oracle_sql(6))
+def host_graph_pagerank(spark, sf_dir):
+    """The composed Common-Crawl authority pipeline as ONE plan: html →
+    href extraction → host parse → DISTINCT host graph → 6 distributed
+    PageRank iterations (spark/extract.py + spark/graph.py, r4). This
+    is exactly how CC's public host-level ranks are produced at 10^12
+    pages: the page table is read once, hosts reduce the graph ~10^4×
+    before the iterative stage, and each iteration is one join + one
+    partial-agg shuffle. Oracle: closed-form host edges + the unrolled
+    CTE iterations, round-6 hash-match."""
+    from .spark.extract import outlink_host_edges
+    from .spark.graph import pagerank
+
+    pages = _synth_linked_pages(spark, sf_dir)
+    edges = (outlink_host_edges(pages)
+             .select(F.col("src_host").alias("src"),
+                     F.col("dst_host").alias("tgt")).distinct())
+    d = _spread(_t(spark, sf_dir, "documents"))
+    hosts = (d.select(F.concat(F.lit("h"),
+                               (F.col("doc_id") % 16).cast("string"),
+                               F.lit(".example.org")).alias("node"))
+             .distinct())
+    ranks = pagerank(edges, num_iters=6, damping=0.85, nodes=hosts)
+    return (ranks.select(F.col("node").alias("host"),
+                         F.round("rank", 6).alias("rank"))
+            .repartition(1).sortWithinPartitions("host"))
+
+
 # static BPE merge table for the tokenizer gate: topologically ordered
 # (every non-char input is produced by an EARLIER merge), so the
 # rank-based production encoder and the oracle's sequential per-merge
@@ -5908,8 +6032,16 @@ _DRIVER_WINDOW = [
     # decoder stays transitively gated in-window; plus bit-exact pytest
     # goldens and the local gate)
     "warc_roundtrip_text",
+    # link-graph pipeline: anchor extraction → host edges, and the
+    # composed html→hosts→PageRank flagship (tpch_q5 rotated out: plain
+    # Catalyst SQL, the lowest-risk family, tpch_q1 keeps TPC-H
+    # in-window; ann_cosine_ivf_probe2 rotated out: its two IVF
+    # siblings ann_cosine_ivf_top1 / ann_cosine_ivf_dist_top1 stay)
+    "outlink_host_edges_counts", "host_graph_pagerank",
 ]
 _DRIVER_WINDOW.remove("image_decode_jpeg_px_sum")
+_DRIVER_WINDOW.remove("tpch_q5")
+_DRIVER_WINDOW.remove("ann_cosine_ivf_probe2")
 _DRIVER_WINDOW.remove("buffer_line_capsule_area")
 _DRIVER_WINDOW.remove("inscribed_circle_box")
 _DRIVER_WINDOW.remove("oriented_envelope_area")

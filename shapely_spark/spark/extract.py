@@ -111,3 +111,42 @@ def with_geo(pages: DataFrame, res: int = DEFAULT_RES, pin_extract: bool = True)
         .drop("__geo_content")
     )
 
+
+
+_HREF_RE = r'href="([^"]*)"'
+
+
+def extract_links(html: Column) -> Column:
+    """All href targets in the page, in document order —
+    array<string>, JVM regexp_extract_all over the decoded html (no
+    Python in this path). The raw-outlink primitive the link-graph
+    pipeline starts from."""
+    return F.regexp_extract_all(F.decode(html, "UTF-8"),
+                                F.lit(_HREF_RE), F.lit(1))
+
+
+def host_of(url: Column) -> Column:
+    """The lowercased host of a url (JVM parse_url; NULL for relative /
+    malformed links). Host — not full url — is the node grain of the
+    Common-Crawl-style web graph."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def outlink_host_edges(pages: DataFrame,
+                       url_col: str = "url",
+                       html_col: str = "html") -> DataFrame:
+    """(src_host, dst_host, n_links) — the host-level link graph of a
+    pages table, built entirely JVM-side: regex href extraction →
+    explode → parse_url on both endpoints → one partial-aggregated
+    count shuffle. Relative links (no host) drop out via the NULL
+    filter. At 10^12 pages the explode fan-out is bounded by per-page
+    link counts and the aggregate combines map-side, so the shuffle
+    moves (host, host, count) partials — not one row per anchor."""
+    src = host_of(F.col(url_col)).alias("src_host")
+    link = F.explode(extract_links(F.col(html_col))).alias("link")
+    pairs = (pages.select(src, link)
+             .select("src_host", host_of(F.col("link")).alias("dst_host"))
+             .where(F.col("dst_host").isNotNull()
+                    & F.col("src_host").isNotNull()))
+    return pairs.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_links"))
