@@ -1860,6 +1860,132 @@ def pagerank_doc_graph(spark, sf_dir):
             .repartition(1).sortWithinPartitions("node"))
 
 
+@q(
+    "clustering_coeff_graph",
+    """
+    WITH nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
+    raw AS (SELECT doc_id AS x, (doc_id + 1) % n AS y FROM documents, nn
+            UNION ALL
+            SELECT doc_id, (doc_id + 2) % n FROM documents, nn
+            UNION ALL
+            SELECT doc_id, (doc_id * 1103515245 + 12345) % n
+            FROM documents, nn WHERE doc_id % 3 = 0),
+    und AS MATERIALIZED (
+        SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+        FROM raw WHERE x <> y),
+    deg AS MATERIALIZED (
+        SELECT node, count(*)::BIGINT AS degree
+        FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und) q
+        GROUP BY node),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM und e1
+            JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+            JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+    tcnt AS (SELECT node, count(*)::BIGINT AS n_triangles
+             FROM (SELECT unnest([a, b, c]) AS node FROM tri) t
+             GROUP BY node)
+    SELECT d.node, d.degree,
+           coalesce(t.n_triangles, 0)::BIGINT AS n_triangles,
+           round(CASE WHEN d.degree >= 2
+                      THEN 2.0 * coalesce(t.n_triangles, 0)::DOUBLE
+                           / (d.degree::DOUBLE * (d.degree::DOUBLE - 1.0))
+                      ELSE 0.0 END, 6) AS coeff
+    FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+    ORDER BY d.node
+    """,
+)
+def clustering_coeff_graph(spark, sf_dir):
+    """Local clustering coefficient gate (spark/graph.
+    clustering_coefficients, r4): 2T/(d(d−1)) per node over the same
+    ring+chord graph as triangle_counts_graph — degree joins the
+    degree-oriented triangle counts, division is map-side. The oracle
+    recomputes degree + triangles via plain id-ordered joins; identical
+    division order, round-6 hash-match (the ratios are small-integer
+    quotients, exact in doubles)."""
+    from .spark.graph import clustering_coefficients
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    docs = _spread(d.select("doc_id"))
+    ring1 = docs.select(F.col("doc_id").alias("src"),
+                        ((F.col("doc_id") + 1) % n).alias("tgt"))
+    ring2 = docs.select(F.col("doc_id").alias("src"),
+                        ((F.col("doc_id") + 2) % n).alias("tgt"))
+    chords = (docs.where(F.col("doc_id") % 3 == 0)
+              .select(F.col("doc_id").alias("src"),
+                      ((F.col("doc_id") * 1103515245 + 12345) % n)
+                      .alias("tgt")))
+    ed = ring1.unionByName(ring2).unionByName(chords)
+    out = clustering_coefficients(ed)
+    return (out.select("node", "degree", "n_triangles",
+                       F.round("coeff", 6).alias("coeff"))
+            .repartition(1).sortWithinPartitions("node"))
+
+
+def _hits_oracle_sql(iters: int = 5) -> str:
+    """DuckDB twin of spark/graph.hits over the deterministic LCG doc
+    graph: each iteration unrolls to four CTEs (auth raw/total, hub
+    raw/total), identical L1-normalization arithmetic."""
+    head = """
+    WITH nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
+    e AS MATERIALIZED (SELECT DISTINCT doc_id AS src,
+                 (doc_id * 1103515245 + (j + 1) * 12345) % n AS tgt
+          FROM documents, nn, unnest(range(0, 3)) t(j)
+          WHERE j < doc_id % 4
+            AND doc_id <> (doc_id * 1103515245 + (j + 1) * 12345) % n),
+    h0 AS MATERIALIZED (SELECT doc_id AS node, 1.0 / n AS hub
+                        FROM documents, nn)"""
+    steps = []
+    for k in range(1, iters + 1):
+        p = f"h{k - 1}"
+        steps.append(f""",
+    ar{k} AS MATERIALIZED (SELECT d.doc_id AS node, coalesce(s.c, 0.0) AS raw
+             FROM documents d LEFT JOIN
+               (SELECT e.tgt AS t, sum(h.hub) AS c FROM e
+                JOIN {p} h ON e.src = h.node GROUP BY e.tgt) s
+             ON d.doc_id = s.t),
+    at{k} AS MATERIALIZED (SELECT sum(raw) AS tot FROM ar{k}),
+    a{k} AS MATERIALIZED (SELECT node, raw / t.tot AS auth
+                          FROM ar{k}, at{k} t),
+    hr{k} AS MATERIALIZED (SELECT d.doc_id AS node, coalesce(s.c, 0.0) AS raw
+             FROM documents d LEFT JOIN
+               (SELECT e.src AS s, sum(a.auth) AS c FROM e
+                JOIN a{k} a ON e.tgt = a.node GROUP BY e.src) s
+             ON d.doc_id = s.s),
+    ht{k} AS MATERIALIZED (SELECT sum(raw) AS tot FROM hr{k}),
+    h{k} AS MATERIALIZED (SELECT node, raw / t.tot AS hub
+                          FROM hr{k}, ht{k} t)""")
+    tail = f"""
+    SELECT a.node, round(a.auth, 6) AS auth, round(h.hub, 6) AS hub
+    FROM a{iters} a JOIN h{iters} h ON a.node = h.node
+    ORDER BY a.node"""
+    return head + "".join(steps) + tail
+
+
+@q("hits_doc_graph", _hits_oracle_sql(5))
+def hits_doc_graph(spark, sf_dir):
+    """HITS hubs-and-authorities gate (spark/graph.hits, r4): 5
+    L1-normalized iterations over the LCG doc graph (self-loops
+    dropped on both engines). One contribution join + partial-agg
+    shuffle per half-step, norms as broadcast 1-row relations. Oracle:
+    the same iterations unrolled four CTEs each, round-6 hash-match."""
+    from .spark.graph import hits
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    docs = _spread(d.select("doc_id"))
+    j = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j")
+    ed = (docs.select("doc_id", j)
+          .where(F.col("j") < F.col("doc_id") % 4)
+          .select(F.col("doc_id").alias("src"),
+                  ((F.col("doc_id") * 1103515245
+                    + (F.col("j") + 1) * 12345) % n).alias("tgt")))
+    out = hits(ed, num_iters=5, nodes=docs.select("doc_id"))
+    return (out.select("node", F.round("auth", 6).alias("auth"),
+                       F.round("hub", 6).alias("hub"))
+            .repartition(1).sortWithinPartitions("node"))
+
+
 _HOST_EDGE_SQL = """
     SELECT 'h' || (doc_id % 16) || '.example.org' AS src,
            'h' || (((doc_id * 1103515245 + (j + 1) * 12345) % n) % 16)

@@ -170,3 +170,89 @@ def node_triangle_counts(edges: DataFrame, src: str = "src",
     return (t.select(F.explode(F.array("a", "b", "c")).alias("node"))
             .groupBy("node")
             .agg(F.count("*").cast("long").alias("n_triangles")))
+
+
+def clustering_coefficients(edges: DataFrame, src: str = "src",
+                            tgt: str = "tgt") -> DataFrame:
+    """(node, degree, n_triangles, coeff) — the local clustering
+    coefficient 2·T(v) / (d(v)·(d(v)−1)) over the undirected simple
+    graph; nodes of degree < 2 get coeff 0. Degree is one partial-agg
+    shuffle over the canonical undirected edge set, the triangle
+    numerator rides ``node_triangle_counts`` (degree-oriented, skew
+    bounded by degeneracy), and the division is a map-side expression —
+    only the integer (degree, triangle) relations ever shuffle."""
+    e = edges.select(F.col(src).alias("x"), F.col(tgt).alias("y"))
+    und = (e.where(F.col("x") != F.col("y"))
+           .select(F.least("x", "y").alias("u"),
+                   F.greatest("x", "y").alias("v"))
+           .distinct())
+    deg = (und.select(F.col("u").alias("node"))
+           .union(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("degree")))
+    tri = node_triangle_counts(edges, src, tgt)
+    d = F.col("degree").cast("double")
+    return (deg.join(tri, "node", "left")
+            .select("node", "degree",
+                    F.coalesce(F.col("n_triangles"), F.lit(0).cast("long"))
+                    .alias("n_triangles"))
+            .withColumn(
+                "coeff",
+                F.when(F.col("degree") >= 2,
+                       2.0 * F.col("n_triangles").cast("double")
+                       / (d * (d - 1.0))).otherwise(F.lit(0.0))))
+
+
+def hits(
+    edges: DataFrame,
+    num_iters: int = 8,
+    src: str = "src",
+    tgt: str = "tgt",
+    nodes: DataFrame | None = None,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """(node, auth, hub) after ``num_iters`` HITS iterations (Kleinberg
+    1999, the hubs-and-authorities companion to PageRank): each
+    iteration pulls authority from in-edge hubs then hub from out-edge
+    authorities, L1-normalizing after each half-step (sum-to-1 — keeps
+    every quantity a plain double sum both engines reproduce, unlike
+    the L2 norm's sqrt).
+
+    Scale shape mirrors ``pagerank``: per half-step ONE edge⋈score
+    contribution join with per-target partial aggregation, the norm
+    stays a broadcast 1-row relation (no per-iteration driver action),
+    and lineage is truncated by localCheckpoint. The directed edge set
+    is deduplicated — a parallel edge is one endorsement."""
+    e = (edges.select(F.col(src).alias("src"), F.col(tgt).alias("tgt"))
+         .where(F.col("src") != F.col("tgt")).distinct().persist())
+    if nodes is None:
+        nodes = (e.select(F.col("src").alias("node"))
+                 .union(e.select(F.col("tgt").alias("node"))).distinct())
+    else:
+        cols = nodes.columns
+        nodes = nodes.select(F.col(cols[0]).alias("node"))
+    nodes = nodes.repartition("node").persist()
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("empty graph")
+    scores = nodes.select("node", F.lit(1.0 / float(n)).alias("hub"))
+
+    def _pull(sc, score_col, edge_from, edge_to, out_col):
+        contribs = (e.join(sc.select(F.col("node"), F.col(score_col)),
+                           F.col(edge_from) == F.col("node"))
+                    .groupBy(edge_to)
+                    .agg(F.sum(score_col).alias("contrib")))
+        raw = (nodes.join(contribs, nodes.node == F.col(edge_to), "left")
+               .select("node", F.coalesce(F.col("contrib"), F.lit(0.0))
+                       .alias("raw")))
+        tot = raw.agg(F.sum("raw").alias("tot"))
+        return (raw.crossJoin(F.broadcast(tot))
+                .select("node", (F.col("raw") / F.col("tot"))
+                        .alias(out_col)))
+
+    for it in range(num_iters):
+        auth = _pull(scores, "hub", "src", "tgt", "auth")
+        hub = _pull(auth, "auth", "tgt", "src", "hub")
+        scores = auth.join(hub, "node")
+        if (it + 1) % checkpoint_every == 0 and it + 1 < num_iters:
+            scores = scores.localCheckpoint(eager=True)
+    return scores.select("node", "auth", "hub")

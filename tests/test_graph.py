@@ -192,3 +192,101 @@ def test_node_triangle_counts_star_plus_ring(spark):
     out = {r.node: r.n_triangles for r in node_triangle_counts(
         spark.createDataFrame(edges, "src long, tgt long")).collect()}
     assert out == {0: 4, 1: 2, 2: 2, 3: 2, 4: 2}
+
+
+# ---------------------------------------------------------------------------
+# clustering coefficients + HITS
+# ---------------------------------------------------------------------------
+
+def _np_hits(n, edges, iters):
+    import numpy as np
+
+    e = sorted({(s, t) for s, t in edges if s != t})
+    hub = np.full(n, 1.0 / n)
+    auth = np.zeros(n)
+    for _ in range(iters):
+        auth = np.zeros(n)
+        for s, t in e:
+            auth[t] += hub[s]
+        auth /= auth.sum()
+        hub = np.zeros(n)
+        for s, t in e:
+            hub[s] += auth[t]
+        hub /= hub.sum()
+    return auth, hub
+
+
+def test_hits_matches_numpy_reference(spark):
+    from shapely_spark.spark.graph import hits
+
+    n = 40
+    edges = [(i, (i * 11 + j * 17) % n) for i in range(n)
+             for j in range(1 + i % 3)]
+    edf = spark.createDataFrame(edges, "src long, tgt long")
+    nodes = spark.range(n).withColumnRenamed("id", "node")
+    got = {r.node: (r.auth, r.hub)
+           for r in hits(edf, num_iters=6, nodes=nodes).collect()}
+    a, h = _np_hits(n, edges, 6)
+    for i in range(n):
+        assert got[i][0] == pytest.approx(a[i], abs=1e-12), i
+        assert got[i][1] == pytest.approx(h[i], abs=1e-12), i
+
+
+def test_hits_l1_normalized_and_star_shape(spark):
+    from shapely_spark.spark.graph import hits
+
+    # star: 1..4 all point at 0 — node 0 is the pure authority, the
+    # leaves are equal pure hubs, at every iteration count
+    edf = spark.createDataFrame([(i, 0) for i in range(1, 5)],
+                                "src long, tgt long")
+    out = {r.node: (r.auth, r.hub) for r in hits(edf, num_iters=3).collect()}
+    assert sum(v[0] for v in out.values()) == pytest.approx(1.0, abs=1e-12)
+    assert sum(v[1] for v in out.values()) == pytest.approx(1.0, abs=1e-12)
+    assert out[0][0] == pytest.approx(1.0)
+    assert out[0][1] == pytest.approx(0.0)
+    for i in range(1, 5):
+        assert out[i][1] == pytest.approx(0.25)
+
+
+def test_hits_parallel_and_reverse_edges_dedupe(spark):
+    from shapely_spark.spark.graph import hits
+
+    a = spark.createDataFrame([(0, 1), (0, 1), (1, 0), (2, 1), (2, 2)],
+                              "src long, tgt long")
+    b = spark.createDataFrame([(0, 1), (1, 0), (2, 1)],
+                              "src long, tgt long")
+    ga = {r.node: (r.auth, r.hub) for r in hits(a, num_iters=4).collect()}
+    gb = {r.node: (r.auth, r.hub) for r in hits(b, num_iters=4).collect()}
+    assert set(ga) == set(gb) | {2} or set(ga) == set(gb)
+    for k in gb:
+        assert ga[k][0] == pytest.approx(gb[k][0], abs=1e-12)
+        assert ga[k][1] == pytest.approx(gb[k][1], abs=1e-12)
+
+
+def test_clustering_coefficients_hand_graph(spark):
+    from shapely_spark.spark.graph import clustering_coefficients
+
+    # triangle 0-1-2 plus pendant 3 attached to 2
+    edf = spark.createDataFrame([(0, 1), (1, 2), (2, 0), (2, 3)],
+                                "src long, tgt long")
+    out = {r.node: r for r in clustering_coefficients(edf).collect()}
+    assert out[0].coeff == pytest.approx(1.0)   # deg 2, 1 triangle
+    assert out[1].coeff == pytest.approx(1.0)
+    assert out[2].coeff == pytest.approx(1.0 / 3.0)  # deg 3, 1 of 3 pairs
+    assert out[3].coeff == 0.0 and out[3].degree == 1
+    assert out[2].n_triangles == 1 and out[3].n_triangles == 0
+
+
+def test_clustering_coefficients_complete_graph(spark):
+    from shapely_spark.spark.graph import clustering_coefficients
+
+    k = 6
+    edf = spark.createDataFrame(
+        [(i, j) for i in range(k) for j in range(k) if i < j],
+        "src long, tgt long")
+    out = clustering_coefficients(edf).collect()
+    assert len(out) == k
+    for r in out:
+        assert r.coeff == pytest.approx(1.0)
+        assert r.degree == k - 1
+        assert r.n_triangles == (k - 1) * (k - 2) // 2
