@@ -76,16 +76,68 @@ def snapshot(table: str, snapshot_id: int | None = None) -> dict:
 
 
 def snapshot_log(table: str) -> list[dict]:
-    """All snapshots, oldest first (id, parent, file/row counts)."""
+    """All retained snapshots, oldest first (id, parent, file/row
+    counts). The walk stops at the first EXPIRED ancestor — after
+    ``expire_snapshots`` the history is intentionally truncated, not
+    broken."""
     sid = current_snapshot_id(table)
     out = []
     while sid is not None:
-        s = snapshot(table, sid)
+        try:
+            s = snapshot(table, sid)
+        except FileNotFoundError:
+            break
         out.append({"id": s["id"], "parent": s["parent"],
                     "n_files": len(s["files"]),
                     "n_rows": sum(f["rows"] for f in s["files"])})
         sid = s["parent"]
     return list(reversed(out))
+
+
+def _write_attempt(df: DataFrame, table: str, sid: int,
+                   geometry_col: str, crs: dict | None) -> list[dict]:
+    """Stage data files under a unique ATTEMPT prefix — two racers both
+    computing sid = parent+1 must never write into the same directory
+    (the loser's attempt dir stays orphaned; the winner's is the one
+    its snapshot file references). Returns manifest entries."""
+    import uuid
+
+    attempt = f"snap-{sid}-{uuid.uuid4().hex[:8]}"
+    subdir = os.path.join(table, "data", attempt)
+    manifest = write_geoparquet(df, subdir, geometry_col=geometry_col,
+                                crs=crs)
+    return [{"path": os.path.join("data", attempt, m.file),
+             "rows": m.rows,
+             "bbox": None if m.xmin is None
+             else [m.xmin, m.ymin, m.xmax, m.ymax]}
+            for m in manifest]
+
+
+def _commit(table: str, parent: int | None, files: list[dict],
+            geometry_col: str, operation: str) -> dict:
+    """Compare-and-swap commit of a fully-built file list: both racers
+    compute sid = parent+1, and exclusive-create ('x') of
+    snap-<sid>.json lets exactly ONE win — the loser raises and its
+    staged data files stay unreferenced (the Iceberg orphan-file
+    analog). The VERSION pointer is then advanced by atomic rename;
+    only the snap-file winner ever writes it."""
+    meta = _meta_dir(table)
+    os.makedirs(meta, exist_ok=True)
+    sid = 0 if parent is None else parent + 1
+    snap = {"id": sid, "parent": parent, "files": files,
+            "geometry_col": geometry_col, "operation": operation}
+    try:
+        with open(_snap_path(table, sid), "x") as fh:
+            json.dump(snap, fh)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent commit: snapshot {sid} already committed "
+            f"on top of parent {parent}") from None
+    staged = os.path.join(meta, f"VERSION.stage-{sid}")
+    with open(staged, "w") as fh:
+        fh.write(str(sid))
+    os.replace(staged, os.path.join(meta, "VERSION"))
+    return snap
 
 
 def commit_append(
@@ -100,46 +152,11 @@ def commit_append(
     RuntimeError if another commit won the race (retry by re-running —
     the data files of the losing attempt are unreferenced, an Iceberg
     orphan-file analog)."""
-    data = os.path.join(table, "data")
-    meta = _meta_dir(table)
-    os.makedirs(meta, exist_ok=True)
     parent = current_snapshot_id(table)
     sid = 0 if parent is None else parent + 1
-    # stage data files under a unique ATTEMPT prefix — two racers both
-    # computing sid = parent+1 must never write into the same directory
-    # (the loser's attempt dir stays orphaned; the winner's is the one
-    # its snapshot file references)
-    import uuid
-
-    attempt = f"snap-{sid}-{uuid.uuid4().hex[:8]}"
-    subdir = os.path.join(data, attempt)
-    manifest = write_geoparquet(df, subdir, geometry_col=geometry_col,
-                                crs=crs)
+    new = _write_attempt(df, table, sid, geometry_col, crs)
     files = [] if parent is None else snapshot(table, parent)["files"]
-    new = [{"path": os.path.join("data", attempt, m.file),
-            "rows": m.rows,
-            "bbox": None if m.xmin is None
-            else [m.xmin, m.ymin, m.xmax, m.ymax]}
-           for m in manifest]
-    snap = {"id": sid, "parent": parent, "files": files + new,
-            "geometry_col": geometry_col}
-    # compare-and-swap: both racers compute sid = parent+1, and
-    # exclusive-create ('x') of snap-<sid>.json lets exactly ONE win —
-    # the loser raises and its staged data files stay unreferenced (the
-    # Iceberg orphan-file analog). The VERSION pointer is then advanced
-    # by atomic rename; only the snap-file winner ever writes it.
-    try:
-        with open(_snap_path(table, sid), "x") as fh:
-            json.dump(snap, fh)
-    except FileExistsError:
-        raise RuntimeError(
-            f"concurrent commit: snapshot {sid} already committed "
-            f"on top of parent {parent}") from None
-    staged = os.path.join(meta, f"VERSION.stage-{sid}")
-    with open(staged, "w") as fh:
-        fh.write(str(sid))
-    os.replace(staged, os.path.join(meta, "VERSION"))
-    return snap
+    return _commit(table, parent, files + new, geometry_col, "append")
 
 
 def read_snapshot(
@@ -214,3 +231,96 @@ def pruned_file_count(
         or (f["bbox"][0] <= xmax and f["bbox"][2] >= xmin
             and f["bbox"][1] <= ymax and f["bbox"][3] >= ymin))
     return surv, len(s["files"])
+
+
+# ---------------------------------------------------------------------------
+# maintenance: compaction, snapshot expiry, orphan cleanup
+# ---------------------------------------------------------------------------
+
+def compact_files(
+    spark: SparkSession,
+    table: str,
+    small_file_rows: int = 100_000,
+    target_file_rows: int = 1_000_000,
+) -> dict:
+    """The Iceberg ``rewriteDataFiles`` analog: rewrite the current
+    snapshot's SMALL files (rows < ``small_file_rows`` — the debris a
+    per-micro-batch streaming ingest leaves behind) into files of
+    ~``target_file_rows``, and commit a ``compact`` snapshot whose file
+    list is (untouched big files) + (rewritten files). The row multiset
+    is unchanged; per-file manifest stats (rows + bbox) are regenerated
+    by the GeoParquet writer, so window pruning stays exact. Old files
+    are NOT deleted — time travel to pre-compaction snapshots still
+    reads them; reclaim space afterwards with ``expire_snapshots`` +
+    ``remove_orphan_files``.
+
+    Returns the new snapshot dict (no-op: returns the current one
+    unchanged when fewer than two small files exist). At 10^12 pages
+    this runs per table partition / time window; the rewrite itself is
+    one pruned scan + one repartition write, no shuffle beyond the
+    repartition."""
+    s = snapshot(table)
+    small = [f for f in s["files"] if f["rows"] < small_file_rows]
+    if len(small) < 2:
+        return s
+    big = [f for f in s["files"] if f["rows"] >= small_file_rows]
+    total = sum(f["rows"] for f in small)
+    n_out = max(1, -(-total // target_file_rows))
+    df = spark.read.parquet(*[os.path.join(table, f["path"])
+                              for f in small]).repartition(n_out)
+    sid = s["id"] + 1
+    rewritten = _write_attempt(df, table, sid, s["geometry_col"], None)
+    return _commit(table, s["id"], big + rewritten,
+                   s["geometry_col"], "compact")
+
+
+def expire_snapshots(table: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest ``keep_last`` snapshot files (metadata
+    only — the Iceberg ``expireSnapshots`` analog). Time travel to an
+    expired id then raises; data files the expired snapshots referenced
+    exclusively become orphans for ``remove_orphan_files``. Returns the
+    expired ids, oldest first."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    meta = _meta_dir(table)
+    ids = sorted(int(f[5:-5]) for f in os.listdir(meta)
+                 if f.startswith("snap-") and f.endswith(".json"))
+    drop = ids[:-keep_last]
+    for sid in drop:
+        os.remove(_snap_path(table, sid))
+    return drop
+
+
+def orphan_files(table: str) -> list[str]:
+    """Data files on disk that NO retained snapshot references —
+    compacted-away rewrites after expiry, plus the staged attempts of
+    lost commit races. Table-relative paths, sorted."""
+    meta = _meta_dir(table)
+    live = set()
+    for f in os.listdir(meta):
+        if f.startswith("snap-") and f.endswith(".json"):
+            live.update(e["path"] for e in
+                        snapshot(table, int(f[5:-5]))["files"])
+    found = []
+    data = os.path.join(table, "data")
+    for root, _dirs, names in os.walk(data):
+        for name in names:
+            rel = os.path.relpath(os.path.join(root, name), table)
+            if rel not in live:
+                found.append(rel)
+    return sorted(found)
+
+
+def remove_orphan_files(table: str) -> list[str]:
+    """Delete every orphan data file (and any emptied attempt
+    directory). Safe by construction: a file referenced by ANY retained
+    snapshot is never touched. Returns the deleted table-relative
+    paths."""
+    gone = orphan_files(table)
+    for rel in gone:
+        os.remove(os.path.join(table, rel))
+    data = os.path.join(table, "data")
+    for root, dirs, names in list(os.walk(data, topdown=False)):
+        if root != data and not dirs and not names:
+            os.rmdir(root)
+    return gone

@@ -162,3 +162,99 @@ def test_streaming_ingest_commits_match_batch(spark, tmp_path):
     first = snapshot_log(table)[0]["n_rows"]
     rest = read_incremental(spark, table, from_snapshot=0).count()
     assert first + rest == 40
+
+
+# ---------------------------------------------------------------------------
+# maintenance: compaction, snapshot expiry, orphan cleanup
+# ---------------------------------------------------------------------------
+
+def test_compact_merges_small_files_preserving_rows(spark, tmp_path):
+    from shapely_spark.spark.table_format import compact_files
+
+    t = str(tmp_path / "tbl")
+    for k in range(4):  # streaming-ingest debris: 4 commits × 2 tiny files
+        commit_append(_boxes(spark, 100 * k, 6), t)
+    before = snapshot(t)
+    assert len(before["files"]) == 8
+    s = compact_files(spark, t, small_file_rows=10, target_file_rows=50)
+    assert s["operation"] == "compact" and s["id"] == before["id"] + 1
+    assert len(s["files"]) == 1
+    assert sum(f["rows"] for f in s["files"]) == 24
+    ids = {r.id for r in read_snapshot(spark, t).collect()}
+    assert ids == {100 * k + i for k in range(4) for i in range(6)}
+    # manifest bbox stats regenerated: window pruning still exact
+    surv, tot = pruned_file_count(t, (0, 0, 10, 1))
+    assert tot == 1 and surv == 1
+    # time travel to the pre-compaction snapshot still reads old files
+    assert read_snapshot(spark, t, snapshot_id=before["id"]).count() == 24
+
+
+def test_compact_leaves_big_files_alone(spark, tmp_path):
+    from shapely_spark.spark.table_format import compact_files
+
+    t = str(tmp_path / "tbl")
+    commit_append(_boxes(spark, 0, 40, parts=1), t)       # 1 big file
+    commit_append(_boxes(spark, 100, 4, parts=2), t)      # 2 small files
+    commit_append(_boxes(spark, 200, 4, parts=2), t)      # 2 small files
+    big_paths = {f["path"] for f in snapshot(t)["files"] if f["rows"] >= 10}
+    s = compact_files(spark, t, small_file_rows=10, target_file_rows=100)
+    assert {f["path"] for f in s["files"] if f["rows"] >= 10} >= big_paths
+    assert len(s["files"]) == 2  # big survivor + one rewritten file
+    assert read_snapshot(spark, t).count() == 48
+
+
+def test_compact_noop_below_two_small_files(spark, tmp_path):
+    from shapely_spark.spark.table_format import compact_files
+
+    t = str(tmp_path / "tbl")
+    commit_append(_boxes(spark, 0, 10, parts=1), t)
+    s = compact_files(spark, t, small_file_rows=5)
+    assert s["id"] == 0 and current_snapshot_id(t) == 0
+
+
+def test_expire_then_orphans_reclaimed(spark, tmp_path):
+    from shapely_spark.spark.table_format import (
+        compact_files, expire_snapshots, orphan_files, remove_orphan_files)
+
+    t = str(tmp_path / "tbl")
+    commit_append(_boxes(spark, 0, 6), t)
+    commit_append(_boxes(spark, 100, 6), t)
+    compact_files(spark, t, small_file_rows=10, target_file_rows=100)
+    # all pre-compaction files still referenced by snaps 0/1 → no orphans
+    assert orphan_files(t) == []
+    dropped = expire_snapshots(t, keep_last=1)
+    assert dropped == [0, 1]
+    orphans = orphan_files(t)
+    assert len(orphans) == 4  # the four compacted-away small files
+    gone = remove_orphan_files(t)
+    assert gone == orphans and orphan_files(t) == []
+    # the retained head is untouched and fully readable
+    assert read_snapshot(spark, t).count() == 12
+    assert [x["id"] for x in snapshot_log(t)] == [2]
+    with pytest.raises(FileNotFoundError):
+        snapshot(t, 0)
+
+
+def test_expire_keeps_lost_race_attempts_out_of_live_set(spark, tmp_path,
+                                                         monkeypatch):
+    from shapely_spark.spark import table_format as tf
+
+    t = str(tmp_path / "tbl")
+    commit_append(_boxes(spark, 0, 6), t)
+    # simulate a lost commit race: stage data files, then fail the CAS
+    real_commit = tf._commit
+
+    def losing_commit(table, parent, files, geometry_col, operation):
+        real_commit(table, parent, files, geometry_col, operation)
+        raise RuntimeError("simulated race loss after staging")
+
+    monkeypatch.setattr(tf, "_commit", losing_commit)
+    with pytest.raises(RuntimeError, match="race"):
+        commit_append(_boxes(spark, 100, 6), t)
+    monkeypatch.setattr(tf, "_commit", real_commit)
+    # loser's snapshot exists here (we failed AFTER CAS for simplicity);
+    # expire everything but the head, then reclaim
+    commit_append(_boxes(spark, 200, 6), t)
+    tf.expire_snapshots(t, keep_last=1)
+    tf.remove_orphan_files(t)
+    assert read_snapshot(spark, t).count() == 18
