@@ -208,7 +208,7 @@ def hits(
     src: str = "src",
     tgt: str = "tgt",
     nodes: DataFrame | None = None,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(node, auth, hub) after ``num_iters`` HITS iterations (Kleinberg
     1999, the hubs-and-authorities companion to PageRank): each
@@ -241,16 +241,23 @@ def hits(
                            F.col(edge_from) == F.col("node"))
                     .groupBy(edge_to)
                     .agg(F.sum(score_col).alias("contrib")))
+        # persist: raw feeds BOTH the norm aggregate and the divide —
+        # un-persisted, the whole contribution join re-executes per
+        # reference, and the duplication compounds across half-steps
+        # (measured 2× wall on the 5-iteration gate)
         raw = (nodes.join(contribs, nodes.node == F.col(edge_to), "left")
                .select("node", F.coalesce(F.col("contrib"), F.lit(0.0))
-                       .alias("raw")))
+                       .alias("raw"))
+               .persist())
         tot = raw.agg(F.sum("raw").alias("tot"))
         return (raw.crossJoin(F.broadcast(tot))
                 .select("node", (F.col("raw") / F.col("tot"))
                         .alias(out_col)))
 
     for it in range(num_iters):
-        auth = _pull(scores, "hub", "src", "tgt", "auth")
+        # auth is referenced twice (the hub pull + the scores join) —
+        # persist so the half-step executes once
+        auth = _pull(scores, "hub", "src", "tgt", "auth").persist()
         hub = _pull(auth, "auth", "tgt", "src", "hub")
         scores = auth.join(hub, "node")
         if (it + 1) % checkpoint_every == 0 and it + 1 < num_iters:
