@@ -252,3 +252,102 @@ def read_warc_record(path: str, offset: int, length: int) -> dict:
         raise ValueError(f"member at {offset} has length {consumed}, "
                          f"index said {length}")
     return parse_warc_record(rec)
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text conversion records) — the *.warc.wet.gz sidecar
+# ---------------------------------------------------------------------------
+
+def encode_wet_record(url: str, ts_iso: str, text: str) -> bytes:
+    """One uncompressed WET ``conversion`` record (the Common Crawl
+    extracted-text sidecar): text/plain payload, WARC-Refers-To points
+    at the response record the text was extracted from (same
+    deterministic id scheme)."""
+    body = text.encode("utf-8")
+    hdr = (f"{WARC_VERSION}\r\n"
+           f"WARC-Type: conversion\r\n"
+           f"WARC-Target-URI: {url}\r\n"
+           f"WARC-Date: {ts_iso}\r\n"
+           f"WARC-Record-ID: {_record_id(url + '#wet', ts_iso)}\r\n"
+           f"WARC-Refers-To: {_record_id(url, ts_iso)}\r\n"
+           f"Content-Type: text/plain\r\n"
+           f"Content-Length: {len(body)}\r\n\r\n").encode()
+    return hdr + body + b"\r\n\r\n"
+
+
+def write_wet(
+    pages: DataFrame,
+    path: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> list:
+    """Write extracted text as ``part-NNNNN.warc.wet.gz`` files —
+    same layout discipline as ``write_warc`` (one file per partition,
+    one gzip member per record, deterministic bytes), conversion
+    records instead of responses. Returns the (file, records, bytes)
+    manifest."""
+    os.makedirs(path, exist_ok=True)
+    cols = (pages.select(F.col(url_col).alias("url"),
+                         F.date_format(ts_col,
+                                       "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+                                       ).alias("ts_iso"),
+                         F.col(text_col).alias("text")))
+
+    def _write(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = f"part-{pid:05d}.warc.wet.gz"
+        chunks = []
+        nrec = 0
+        for pdf in batches:
+            for url, ts_iso, text in zip(pdf["url"], pdf["ts_iso"],
+                                         pdf["text"]):
+                rec = encode_wet_record(url, ts_iso,
+                                        text if text is not None else "")
+                chunks.append(_gzip_member(rec))
+                nrec += 1
+        if not nrec:
+            return
+        data = _gzip_member(_encode_warcinfo(fname)) + b"".join(chunks)
+        with open(os.path.join(path, fname), "wb") as f:
+            f.write(data)
+        yield pd.DataFrame({"file": [fname], "records": [nrec],
+                            "bytes": [len(data)]})
+
+    return cols.mapInPandas(_write, _MANIFEST_DT).collect()
+
+
+_WET_DT = ("url string, warc_ts timestamp, text string, "
+           "warc_file string, warc_offset long, warc_length long")
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Scan ``*.warc.wet.gz`` conversion records back into
+    (url, warc_ts, text) plus the CDX triple. Same member walk as
+    ``read_warc``."""
+    reader = spark.read.format("binaryFile")
+    if os.path.isdir(path):
+        reader = reader.option("pathGlobFilter", "*.warc.wet.gz")
+    files = reader.load(path)
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("url", "warc_ts", "text", "warc_file",
+                                    "warc_offset", "warc_length")}
+            for fpath, raw in zip(pdf["path"], pdf["content"]):
+                fname = os.path.basename(fpath)
+                for off, ln, rec in iter_warc_members(bytes(raw)):
+                    h = parse_warc_record(rec)
+                    if h.get("WARC-Type") != "conversion":
+                        continue
+                    rows["url"].append(h["WARC-Target-URI"])
+                    rows["warc_ts"].append(_parse_ts(h["WARC-Date"]))
+                    rows["text"].append(h["payload"].decode("utf-8"))
+                    rows["warc_file"].append(fname)
+                    rows["warc_offset"].append(off)
+                    rows["warc_length"].append(ln)
+            yield pd.DataFrame(rows)
+
+    return files.select("path", "content").mapInPandas(_parse, _WET_DT)

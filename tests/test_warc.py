@@ -115,3 +115,52 @@ def test_record_encode_parse_unit():
     assert h["WARC-Type"] == "response"
     assert h["WARC-Target-URI"] == "https://u"
     assert h["payload"] == b"payload-bytes"
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text conversion records)
+# ---------------------------------------------------------------------------
+
+def test_wet_roundtrip_text_and_unicode(spark, tmp_path):
+    from shapely_spark.spark.warc import read_wet, write_wet
+
+    rows = [("https://e.org/a", "plain ascii text"),
+            ("https://e.org/b", "unicodé — ß∂ƒ 中文 🚀"),
+            ("https://e.org/c", "text with\r\n\r\nembedded separators"),
+            ("https://e.org/d", "")]
+    df = (spark.createDataFrame(rows, "url string, text string")
+          .withColumn("warc_ts",
+                      F.to_timestamp(F.lit("2026-03-01 12:00:00.5"))))
+    man = write_wet(df, str(tmp_path))
+    assert sum(r.records for r in man) == 4
+    got = {r.url: r.text for r in read_wet(spark, str(tmp_path)).collect()}
+    assert got == dict(rows)
+
+
+def test_wet_refers_to_response_record_id(spark, tmp_path):
+    from shapely_spark.spark.warc import (_record_id, encode_wet_record,
+                                          parse_warc_record)
+
+    rec = parse_warc_record(
+        encode_wet_record("https://u", "2026-01-01T00:00:00.000000Z", "t"))
+    assert rec["WARC-Type"] == "conversion"
+    assert rec["WARC-Refers-To"] == _record_id(
+        "https://u", "2026-01-01T00:00:00.000000Z")
+    assert rec["WARC-Record-ID"] != rec["WARC-Refers-To"]
+
+
+def test_warc_and_wet_coexist_in_one_dir(spark, tmp_path):
+    from shapely_spark.spark.warc import (read_warc, read_wet, write_warc,
+                                          write_wet)
+
+    pages = _pages(spark, n=6, parts=1)
+    write_warc(pages, str(tmp_path))
+    wet = pages.withColumn("text", F.decode("html", "UTF-8")).drop("html")
+    write_wet(wet, str(tmp_path))
+    assert read_warc(spark, str(tmp_path)).count() == 6
+    assert read_wet(spark, str(tmp_path)).count() == 6
+    # the full warc -> extract -> wet chain reproduces the text bytes
+    back = read_wet(spark, str(tmp_path)).select("url", "text")
+    orig = {r.url: r.text for r in wet.select("url", "text").collect()}
+    for r in back.collect():
+        assert r.text == orig[r.url]
