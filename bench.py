@@ -176,6 +176,29 @@ def run_headline(spark, n_pages: int, n_regions: int, times: dict, extras: dict,
     knn_join(pages, targets, k=1, point_id="url", stats=knn_stats).count()
     extras["knn_cell_unsafe_fraction"] = knn_stats.get("unsafe_fraction")
 
+    # ---- WARC container parse throughput (the Common Crawl source) --------
+    # write once (untimed): a slice of the pages table as per-record-gzip
+    # warc files, 64 files so the member walk uses every core
+    from shapely_spark.spark.warc import read_warc, write_warc
+
+    n_warc = min(n, 200_000)
+    wpath = os.path.join(BENCH_TMP, f"warc_{n_warc}")
+    marker = os.path.join(wpath, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(wpath, ignore_errors=True)
+        src = spark.read.parquet(pages_path).limit(n_warc).repartition(64)
+        write_warc(src, wpath)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    read_warc(spark, wpath).agg(F.sum(F.length("html"))).collect()  # warm
+    wbytes = timed(
+        "warc_parse",
+        lambda: read_warc(spark, wpath).agg(
+            F.sum(F.length("html"))).collect()[0][0])
+    extras["warc_rows_per_sec"] = round(n_warc / times["warc_parse"], 1)
+    extras["warc_payload_mb_per_sec"] = round(
+        wbytes / 1e6 / times["warc_parse"], 1)
+
     pages.unpersist()
     return n
 

@@ -200,16 +200,10 @@ def write_warc(
     return cols.mapInPandas(_write, _MANIFEST_DT).collect()
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Scan a directory (or glob) of ``*.warc.gz`` files into the pages
-    shape plus the CDX triple (warc_file, warc_offset, warc_length).
-    One task per file (``binaryFile``); the member walk is a single
-    inflate pass per file. warcinfo/request/metadata records are
-    dropped — only ``response`` records carry pages."""
-    reader = spark.read.format("binaryFile")
-    if os.path.isdir(path):
-        reader = reader.option("pathGlobFilter", "*.warc.gz")
-    files = reader.load(path)
+def parse_warc_files(files: DataFrame) -> DataFrame:
+    """(path, content) file rows -> one row per ``response`` record.
+    Works identically on a batch ``binaryFile`` scan and a streaming
+    one (``read_warc_stream``) — the parse is stateless per file."""
 
     def _parse(batches):
         for pdf in batches:
@@ -222,14 +216,48 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     if h.get("WARC-Type") != "response":
                         continue
                     rows["url"].append(h["WARC-Target-URI"])
-                    rows["warc_ts"].append(_parse_ts(h["WARC-Date"]))
+                    rows["warc_ts"].append(h["WARC-Date"])
                     rows["html"].append(h["payload"])
                     rows["warc_file"].append(fname)
                     rows["warc_offset"].append(off)
                     rows["warc_length"].append(ln)
+            # ONE vectorized timestamp parse per Arrow batch — a
+            # per-record pd.to_datetime was ~40% of parse wall
+            rows["warc_ts"] = pd.to_datetime(
+                pd.Series(rows["warc_ts"], dtype="object").str.rstrip("Z"),
+                format="ISO8601")
             yield pd.DataFrame(rows)
 
     return files.select("path", "content").mapInPandas(_parse, _READ_DT)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a directory (or glob) of ``*.warc.gz`` files into the pages
+    shape plus the CDX triple (warc_file, warc_offset, warc_length).
+    One task per file (``binaryFile``); the member walk is a single
+    inflate pass per file. warcinfo/request/metadata records are
+    dropped — only ``response`` records carry pages."""
+    reader = spark.read.format("binaryFile")
+    if os.path.isdir(path):
+        reader = reader.option("pathGlobFilter", "*.warc.gz")
+    return parse_warc_files(reader.load(path))
+
+
+def read_warc_stream(spark: SparkSession, path: str,
+                     max_files: int = 10) -> DataFrame:
+    """Streaming twin of ``read_warc`` — the crawl landing zone: new
+    ``*.warc.gz`` files appearing under ``path`` stream in
+    (``binaryFile`` file source, ``maxFilesPerTrigger`` bounds batch
+    memory since each row holds one whole file) and run the SAME
+    stateless member-walk parse. Compose with foreachBatch for ingest
+    commits."""
+    files = (spark.readStream.format("binaryFile")
+             .schema("path string, modificationTime timestamp, "
+                     "length long, content binary")
+             .option("pathGlobFilter", "*.warc.gz")
+             .option("maxFilesPerTrigger", max_files)
+             .load(path))
+    return parse_warc_files(files)
 
 
 def cdx_index(warc_df: DataFrame) -> DataFrame:
@@ -343,11 +371,14 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
                     if h.get("WARC-Type") != "conversion":
                         continue
                     rows["url"].append(h["WARC-Target-URI"])
-                    rows["warc_ts"].append(_parse_ts(h["WARC-Date"]))
+                    rows["warc_ts"].append(h["WARC-Date"])
                     rows["text"].append(h["payload"].decode("utf-8"))
                     rows["warc_file"].append(fname)
                     rows["warc_offset"].append(off)
                     rows["warc_length"].append(ln)
+            rows["warc_ts"] = pd.to_datetime(
+                pd.Series(rows["warc_ts"], dtype="object").str.rstrip("Z"),
+                format="ISO8601")
             yield pd.DataFrame(rows)
 
     return files.select("path", "content").mapInPandas(_parse, _WET_DT)

@@ -147,6 +147,21 @@ def main():
             .select("id", "bbox")),
     ]
 
+    from shapely_spark.spark.extract import outlink_host_edges
+
+    lp = spark.createDataFrame(
+        pd.DataFrame({
+            "url": [f"https://h{i % 4}.example.org/p{i}" for i in range(50)],
+            "body": ['<a href="https://h1.example.org/x">.</a>'] * 50})
+    ).select("url", F.encode("body", "UTF-8").alias("html"))
+    sections += [
+        ("outlink host edges (link-graph construction): regexp_extract_all "
+         "+ Generate (explode) + parse_url all inside WholeStageCodegen, "
+         "then partial+final HashAggregate — the only shuffle moves "
+         "(host, host, count) partials, no UDF anywhere",
+         outlink_host_edges(lp)),
+    ]
+
     out = ["# BENCH/PLANS — physical plans of the headline paths",
            "",
            "Generated by `python tools/dump_plans.py` (local[4], 10k-row "
