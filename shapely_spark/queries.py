@@ -2049,6 +2049,55 @@ def outlink_host_edges_counts(spark, sf_dir):
             .repartition(1).sortWithinPartitions("src_host", "dst_host"))
 
 
+@q(
+    "robots_filter_flags",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 16 = 0 THEN TRUE
+                WHEN (doc_id % 16) % 2 = 0
+                     THEN (CAST(doc_id AS VARCHAR) LIKE '1%')
+                ELSE NOT (CAST(doc_id AS VARCHAR) LIKE '%7')
+           END AS robots_allowed
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def robots_filter_flags(spark, sf_dir):
+    """RFC 9309 robots.txt crawl-politeness gate (text/robots.py, r4):
+    per-host robots files — host 0 blocks nothing (stays on the pure-JVM
+    prefilter path), even hosts Disallow /doc/ with a longer Allow
+    /doc/1* (most-specific-match precedence), odd hosts Disallow /*7$
+    (wildcard + end anchor). Every file also carries a decoy
+    'User-agent: ccbot / Disallow: /' group that would block EVERYTHING
+    if group selection leaked across groups. The Spark side runs the
+    real parser + broadcast-compiled vectorized matcher over urls built
+    from doc_id; the oracle states the closed-form truth of those rules
+    per doc_id."""
+    from .text.robots import robots_filter
+
+    decoy = "User-agent: ccbot\nDisallow: /\n\n"
+    robots_rows = []
+    for i in range(16):
+        if i == 0:
+            body = "User-agent: *\nDisallow:\n"
+        elif i % 2 == 0:
+            body = "User-agent: *\nDisallow: /doc/\nAllow: /doc/1*\n"
+        else:
+            body = "User-agent: *\nDisallow: /*7$\n"
+        robots_rows.append((f"h{i}.example.org", decoy + body))
+    robots = spark.createDataFrame(robots_rows,
+                                   "host string, robots_txt string")
+    d = _spread(_t(spark, sf_dir, "documents"))
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 16).cast("string"),
+                 F.lit(".example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    out = robots_filter(pages, robots)
+    return (out.select("doc_id", "robots_allowed")
+            .repartition(1).sortWithinPartitions("doc_id"))
+
+
 def _host_pr_oracle_sql(iters: int = 6) -> str:
     """DuckDB twin of the host-graph PageRank: closed-form host edges
     (DISTINCT — the graph grain), then the same unrolled-CTE iteration

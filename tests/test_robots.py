@@ -1,0 +1,107 @@
+"""robots.txt parsing + distributed crawl-politeness filter
+(text/robots.py). Semantics pinned to RFC 9309's own examples."""
+
+from pyspark.sql import functions as F
+
+from shapely_spark.text.robots import (is_allowed, parse_robots,
+                                       robots_filter, url_path_col)
+
+EXAMPLE = """
+# comment line
+User-agent: *
+Disallow: /private/
+Allow: /private/public.html
+Disallow: /tmp
+Disallow: /*.pdf$
+
+User-agent: examplebot
+User-agent: otherbot
+Disallow: /only-for-others/
+Allow: /
+"""
+
+
+def test_group_selection_longest_agent_prefix():
+    star = parse_robots(EXAMPLE, "somebot")
+    assert ("/private/" in [p for _a, p in star])
+    ex = parse_robots(EXAMPLE, "examplebot/2.1")
+    assert [p for _a, p in ex] == ["/only-for-others/", "/"]
+    # second agent of the same group gets the same rules
+    assert parse_robots(EXAMPLE, "otherbot") == ex
+
+
+def test_most_specific_match_and_allow_tie():
+    rules = parse_robots(EXAMPLE, "somebot")
+    assert not is_allowed(rules, "/private/secret.html")
+    assert is_allowed(rules, "/private/public.html")  # longer allow wins
+    assert not is_allowed(rules, "/tmpfile")          # prefix, no slash
+    assert is_allowed(rules, "/other/page.html")
+    # RFC tie rule: equal-length allow and disallow -> allow
+    tie = [(False, "/page"), (True, "/page")]
+    assert is_allowed(tie, "/page.html")
+
+
+def test_wildcard_and_end_anchor():
+    rules = parse_robots(EXAMPLE, "somebot")
+    assert not is_allowed(rules, "/docs/report.pdf")
+    assert is_allowed(rules, "/docs/report.pdf.html")  # $ anchors the end
+    w = [(False, "/a/*/c")]
+    assert not is_allowed(w, "/a/b/c/d")
+    assert is_allowed(w, "/a/bc")
+
+
+def test_empty_disallow_allows_everything():
+    rules = parse_robots("User-agent: *\nDisallow:\n", "bot")
+    assert is_allowed(rules, "/anything")
+    assert parse_robots("", "bot") == []
+    assert is_allowed([], "/anything")
+
+
+def test_robots_filter_matches_scalar_reference(spark):
+    robots = spark.createDataFrame(
+        [("blocked.org", EXAMPLE),
+         ("open.org", "User-agent: *\nDisallow:\n")],
+        "host string, robots_txt string")
+    urls = [
+        "https://blocked.org/private/secret.html",
+        "https://blocked.org/private/public.html",
+        "https://blocked.org/docs/x.pdf",
+        "https://blocked.org/ok/page",
+        "https://blocked.org/",
+        "https://open.org/private/secret.html",
+        "https://norobots.org/anything",
+        "https://BLOCKED.org/tmp/y",       # host case-folded
+    ]
+    pages = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = {r.url: r.robots_allowed
+           for r in robots_filter(pages, robots).collect()}
+    rules = parse_robots(EXAMPLE, "*")
+    import urllib.parse as up
+
+    for u in urls:
+        host = up.urlparse(u).hostname
+        want = (is_allowed(rules, up.urlparse(u).path or "/")
+                if host == "blocked.org" else True)
+        assert out[u] == want, u
+    assert out["https://blocked.org/private/secret.html"] is False
+    assert out["https://blocked.org/private/public.html"] is True
+    assert out["https://norobots.org/anything"] is True
+
+
+def test_filter_without_blocking_hosts_is_pure_jvm(spark):
+    robots = spark.createDataFrame(
+        [("open.org", "User-agent: *\nAllow: /\n")],
+        "host string, robots_txt string")
+    pages = spark.createDataFrame([("https://open.org/x",)], "url string")
+    out = robots_filter(pages, robots)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert out.collect()[0].robots_allowed is True
+
+
+def test_url_path_col_root_fallback(spark):
+    df = spark.createDataFrame(
+        [("https://a.org",), ("https://a.org/p/q?x=1",)], "u string")
+    got = [r.p for r in df.select(
+        url_path_col(F.col("u")).alias("p")).collect()]
+    assert got == ["/", "/p/q"]
