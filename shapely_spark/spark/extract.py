@@ -12,7 +12,7 @@ html column out of any plan that doesn't call these.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..index.cells import DEFAULT_RES
@@ -130,6 +130,68 @@ def host_of(url: Column) -> Column:
     malformed links). Host — not full url — is the node grain of the
     Common-Crawl-style web graph."""
     return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+_ANCHOR_TAG_RE = r'<a href="[^"]*"[^>]*>[^<]*</a>'
+_ANCHOR_PARTS_RE = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def extract_anchor_pairs(html: Column) -> Column:
+    """All (href, anchor) pairs in document order —
+    array<struct<href:string, anchor:string>>, built with two JVM regex
+    passes (tag extraction, then per-tag group capture inside a
+    transform lambda over the already-materialized tag array — the tag
+    strings are attribute reads, so the decode chain runs once per row,
+    not per anchor)."""
+    tags = F.regexp_extract_all(F.decode(html, "UTF-8"),
+                                F.lit(_ANCHOR_TAG_RE), F.lit(0))
+    return F.transform(
+        tags,
+        lambda t: F.struct(
+            F.regexp_extract(t, _ANCHOR_PARTS_RE, 1).alias("href"),
+            F.regexp_extract(t, _ANCHOR_PARTS_RE, 2).alias("anchor"),
+        ),
+    )
+
+
+def anchor_text_summary(pages: DataFrame,
+                        url_col: str = "url",
+                        html_col: str = "html") -> DataFrame:
+    """Inbound anchor-text profile per target host:
+
+    (dst_host, n_anchors, n_src_hosts, top_anchor, top_anchor_n)
+
+    — the classic web-corpus relevance signal (anchor text describes the
+    TARGET; reference ecosystem: the Common-Crawl host-level link
+    metadata). `top_anchor` is the most frequent inbound anchor string,
+    ties broken lexicographically.
+
+    Plan: one JVM extraction + explode to (src_host, dst_host, anchor),
+    then two partial-aggregated rollups — (dst, anchor) term counts and
+    (dst) totals with a distinct-source count — joined at dst grain (the
+    join inputs are host-grain, ~10^7 rows at 10^12 pages; the anchor
+    relation itself shuffles as map-side partials, never one row per
+    raw anchor). The exploded projection is scanned twice; at 10^12
+    pages persist/checkpoint it (or pre-bucket pages by url) so the html
+    decode does not run twice — the decode, not the shuffle, is the
+    dominant cost of a double scan."""
+    pair = F.explode(extract_anchor_pairs(F.col(html_col))).alias("pair")
+    a = (pages.select(host_of(F.col(url_col)).alias("src_host"), pair)
+         .select("src_host",
+                 host_of(F.col("pair.href")).alias("dst_host"),
+                 F.col("pair.anchor").alias("anchor"))
+         .where(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull()))
+    per_term = a.groupBy("dst_host", "anchor").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n").desc(), F.col("anchor").asc())
+    top = (per_term.withColumn("__rk", F.row_number().over(w))
+           .where(F.col("__rk") == 1)
+           .select("dst_host", F.col("anchor").alias("top_anchor"),
+                   F.col("n").alias("top_anchor_n")))
+    per_dst = a.groupBy("dst_host").agg(
+        F.count("*").alias("n_anchors"),
+        F.count_distinct("src_host").alias("n_src_hosts"))
+    return per_dst.join(top, "dst_host")
 
 
 def outlink_host_edges(pages: DataFrame,

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "inverted_index", "term_stats", "phrase_search"]
 
 
 def bm25_topk(
@@ -86,3 +86,96 @@ def bm25_topk(
             .withColumn("rank", F.row_number().over(
                 Window.partitionBy().orderBy(F.desc("score"), id_col)))
             .select("rank", id_col, "score"))
+
+
+# ---------------------------------------------------------------------------
+# positional inverted index + phrase search
+# ---------------------------------------------------------------------------
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The corpus as a positional postings relation:
+
+    (term, doc_id, tf, positions array<int>)
+
+    — one row per (term, document), positions 0-based token offsets in
+    ascending order. This is the persistent artifact a crawl-scale
+    search tier materializes once per snapshot (Lucene's postings
+    format, re-expressed relationally); BM25 (`bm25_topk`) and phrase
+    search (`phrase_search`) both read it instead of re-tokenizing.
+
+    Plan: posexplode(split) → one hash shuffle on (term, doc) with
+    map-side partial collect. Writing it bucketed by term makes every
+    downstream term lookup a pruned scan with no shuffle. Posting-list
+    skew (stopwords at 10^12 docs) stays bounded because the grain is
+    (term, doc), never one row per term."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"))
+    return (toks.groupBy("term", id_col)
+            .agg(F.count("*").cast("long").alias("tf"),
+                 F.sort_array(F.collect_list("pos")).alias("positions")))
+
+
+def term_stats(index: DataFrame) -> DataFrame:
+    """(term, df, cf): document frequency and collection frequency per
+    term — the dictionary side of the index (one partial-agg shuffle
+    over the postings relation)."""
+    return index.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"))
+
+
+def phrase_search(
+    index: DataFrame,
+    phrase: str | list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact consecutive-token phrase match over the positional index:
+
+    (doc_id, n_matches, first_pos)
+
+    for every document containing the phrase, counting OVERLAPPING
+    occurrences (the token-adjacency semantics of a positional search
+    engine, not substring replace()).
+
+    Algorithm: for phrase terms t0..tk, take t0's posting rows and
+    equi-join each ti's rows on doc, intersecting t0's positions with
+    ti's positions shifted by -i — all array math JVM-side
+    (`array_intersect` over `transform`); surviving positions after the
+    last join are exactly the phrase start offsets. Repeated terms in
+    the phrase are self-joins of the same posting list under different
+    shifts, which the position distinctness makes exact.
+
+    Scale: k-1 joins on doc_id over posting lists already filtered to
+    the phrase's terms — the relation sizes are the terms' document
+    frequencies, not the corpus; rare-term-first ordering would shrink
+    intermediate sizes further but is deliberately NOT applied so the
+    intersection base stays t0 (first_pos must be the phrase START)."""
+    terms = phrase.split(" ") if isinstance(phrase, str) else list(phrase)
+    if not terms:
+        raise ValueError("phrase must be non-empty")
+    # NB: the shift lambda must come from a factory — a 2-parameter
+    # transform lambda binds (element, ARRAY_INDEX), silently turning a
+    # default-arg closure salt into the element index (CLAUDE.md rule).
+    def _shift_by(k: int):
+        return lambda x: x - k
+
+    cur = (index.where(F.col("term") == terms[0])
+           .select(id_col, F.col("positions").alias("__p")))
+    for i, t in enumerate(terms[1:], start=1):
+        shifted = (index.where(F.col("term") == t)
+                   .select(id_col,
+                           F.transform("positions",
+                                       _shift_by(i)).alias("__q")))
+        cur = (cur.join(shifted, id_col)
+               .select(id_col,
+                       F.array_intersect("__p", "__q").alias("__p"))
+               .where(F.size("__p") > 0))
+    return cur.select(
+        id_col,
+        F.size("__p").cast("long").alias("n_matches"),
+        F.array_min("__p").cast("long").alias("first_pos"))
