@@ -67,7 +67,10 @@ def _geom_to_obj(g: Geometry) -> dict:
 
 
 def to_geojson(geom: Geometry | None, indent: int | None = None) -> str | None:
-    """reference: shapely/io.py:206."""
+    """reference: shapely/io.py:206. Geometry or 1-D array_like."""
+    if isinstance(geom, (list, tuple, np.ndarray)):
+        from .wkb import _broadcast
+        return _broadcast(lambda g: to_geojson(g, indent), geom)
     if geom is None:
         return None
     return json.dumps(_geom_to_obj(geom), indent=indent)
@@ -122,7 +125,11 @@ def _obj_to_geom(obj: dict) -> Geometry:
 
 
 def from_geojson(text: str | bytes | None, on_invalid: str = "raise") -> Geometry | None:
-    """reference: shapely/io.py:362; on_invalid ∈ raise/warn/ignore."""
+    """reference: shapely/io.py:362; on_invalid ∈ raise/warn/ignore.
+    str/bytes or 1-D array_like."""
+    if isinstance(text, (list, tuple, np.ndarray)):
+        from .wkb import _broadcast
+        return _broadcast(lambda t: from_geojson(t, on_invalid), text)
     if text is None:
         return None
     try:

@@ -41,6 +41,19 @@ class WKBError(ValueError):
     pass
 
 
+def _broadcast(fn, seq):
+    """Reference ufunc semantics ('Geometry or array_like',
+    shapely/io.py): map a scalar codec over a 1-D array_like, returning
+    an object ndarray. Built via empty+fill so a (hypothetically)
+    sequence-like element can never trigger np.array's nested-iteration
+    guessing."""
+    items = [fn(x) for x in seq]
+    out = np.empty(len(items), dtype=object)
+    for i, v in enumerate(items):
+        out[i] = v
+    return out
+
+
 # --------------------------------------------------------------------------
 # Writer
 # --------------------------------------------------------------------------
@@ -65,7 +78,14 @@ def to_wkb(
     None resolves to 4 because M is supported here, mirroring the
     reference on GEOS >= 3.12. For 2-D SRID-less geometries (the engine's
     internal hot path) extended and iso bytes are identical.
+
+    Accepts a Geometry or a 1-D array_like of them (reference ufunc
+    broadcasting) — array input returns an object ndarray of bytes/hex.
     """
+    if isinstance(geom, (list, tuple, np.ndarray)):
+        return _broadcast(
+            lambda g: to_wkb(g, hex, output_dimension, byte_order,
+                             include_srid, flavor), geom)
     if geom is None:
         return None
     if output_dimension is None:
@@ -173,10 +193,22 @@ def _write_geom(out, geom, bo, include_srid, flavor, top=False):
 def from_wkb(data: bytes | None, on_invalid: str = "raise") -> Geometry | None:
     """WKB bytes → Geometry. on_invalid ∈ raise|warn|ignore|fix
     (shapely/io.py:313). 'fix': unparseable bytes → None; parseable but
-    topologically invalid geometry → make_valid repair."""
+    topologically invalid geometry → make_valid repair.
+
+    Accepts bytes/hex-str or a 1-D array_like of them (reference ufunc
+    broadcasting) — array input returns an object ndarray of
+    Geometry/None (previously a list input fell into the scalar
+    bytes() coercion and, under non-raise modes, silently returned a
+    single None)."""
+    if isinstance(data, (list, tuple, np.ndarray)):
+        return _broadcast(lambda d: from_wkb(d, on_invalid), data)
     if data is None:
         return None
     try:
+        if isinstance(data, str):
+            # reference from_wkb accepts hex-encoded strings
+            # (shapely/io.py:313 "bytes object or hexadecimal string")
+            data = bytes.fromhex(data)
         geom, _ = _read_geom(memoryview(bytes(data)), 0)
     except Exception as exc:
         if on_invalid == "raise":

@@ -47,6 +47,9 @@ def _fmt(v: float, precision: int, trim: bool) -> str:
 
 
 def to_wkt(geom: Geometry | None, rounding_precision: int = 6, trim: bool = True) -> str | None:
+    if isinstance(geom, (list, tuple, np.ndarray)):
+        from .wkb import _broadcast
+        return _broadcast(lambda g: to_wkt(g, rounding_precision, trim), geom)
     if geom is None:
         return None
 
@@ -99,6 +102,9 @@ _TOKEN = re.compile(r"[A-Za-z]+|\(|\)|,|[-+0-9.eE]+")
 
 
 def from_wkt(text: str | None, on_invalid: str = "raise") -> Geometry | None:
+    if isinstance(text, (list, tuple, np.ndarray)):
+        from .wkb import _broadcast
+        return _broadcast(lambda t: from_wkt(t, on_invalid), text)
     if text is None:
         return None
     try:

@@ -330,3 +330,46 @@ class TestOpsModule:
         assert OPS.operator.linemerge is not None
         u = OPS.unary_union([box(0, 0, 1, 1), box(1, 0, 2, 1)])
         assert K.area(u) == pytest.approx(2.0)
+
+
+class TestCodecArrayBroadcast:
+    """reference: shapely/io.py — every codec accepts 'Geometry or
+    array_like' and broadcasts elementwise (ufunc semantics). The scalar
+    engine paths are unchanged; array input returns an object ndarray."""
+
+    def test_wkt_wkb_roundtrip_array(self):
+        import numpy as np
+
+        from shapely_spark.geo.wkb import from_wkb, to_wkb
+        from shapely_spark.geo.wkt import from_wkt as fwkt
+
+        gs = fwkt(["POINT (1 2)", "LINESTRING (0 0, 1 1)", None])
+        assert isinstance(gs, np.ndarray) and gs.dtype == object
+        assert gs[2] is None
+        back = from_wkb(to_wkb(gs))
+        assert [None if g is None else to_wkt(g) for g in back] == [
+            "POINT (1 2)", "LINESTRING (0 0, 1 1)", None]
+
+    def test_from_wkb_hex_string(self):
+        from shapely_spark.geo.wkb import from_wkb, to_wkb
+
+        h = to_wkb(point(1, 2), hex=True)
+        assert isinstance(h, str)
+        assert to_wkt(from_wkb(h)) == "POINT (1 2)"
+
+    def test_array_on_invalid_per_element(self):
+        from shapely_spark.geo.wkb import from_wkb, to_wkb
+        from shapely_spark.geo.wkt import from_wkt as fwkt
+
+        ok = to_wkb(point(3, 4))
+        r = from_wkb([b"\x00", ok], on_invalid="ignore")
+        assert r[0] is None and to_wkt(r[1]) == "POINT (3 4)"
+        r2 = fwkt(["POINT (1 2)", "NOPE(("], on_invalid="ignore")
+        assert r2[1] is None and r2[0] is not None
+
+    def test_geojson_array(self):
+        from shapely_spark.geo.geojson import from_geojson, to_geojson
+
+        js = to_geojson([point(1, 2), None])
+        assert js[1] is None
+        assert to_wkt(from_geojson(js)[0]) == "POINT (1 2)"
