@@ -6312,6 +6312,40 @@ def latest_snapshot_urls(spark, sf_dir):
             .repartition(1).sortWithinPartitions("host"))
 
 
+@q(
+    "redirect_resolve_final",
+    """
+    SELECT doc_id AS src,
+           CASE WHEN doc_id % 100 BETWEEN 11 AND 14 THEN NULL
+                ELSE (doc_id // 5) * 5 END AS final_url,
+           CASE WHEN doc_id % 100 BETWEEN 11 AND 14 THEN NULL
+                ELSE doc_id % 5 END AS hops
+    FROM documents WHERE doc_id % 5 <> 0
+    ORDER BY src
+    """,
+)
+def redirect_resolve_final(spark, sf_dir):
+    """Redirect-chain resolution gate (spark/crawl.py resolve_redirects,
+    r4 pointer doubling): every doc_id not divisible by 5 redirects to
+    doc_id-1 (descending chains terminating at multiples of 5), EXCEPT
+    doc_id%100==11 which redirects UP to 12 — creating an 11↔12 loop
+    every 100 ids that nodes 13 and 14 feed into. The engine must
+    resolve normal chains to exactly (5·⌊id/5⌋, id mod 5 hops) and
+    return NULL for the four loop-trapped ids per century — the oracle
+    states that truth closed form, so a mis-saturated doubling round, a
+    wrong hop sum, or an undetected cycle all break the hash."""
+    from .spark.crawl import resolve_redirects
+
+    d = _spread(_t(spark, sf_dir, "documents")).select("doc_id")
+    e = (d.where(F.col("doc_id") % 5 != 0)
+         .select(F.col("doc_id").alias("src"),
+                 F.when(F.col("doc_id") % 100 == 11, F.col("doc_id") + 1)
+                 .otherwise(F.col("doc_id") - 1).alias("dst")))
+    out = resolve_redirects(e, max_hops=16)
+    return (out.select("src", "final_url", "hops")
+            .repartition(1).sortWithinPartitions("src"))
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation (r3 verdict item 4): the correctness driver
 # samples the FIRST 50 of queries(), so long-stable kernels rotate out and
@@ -6456,7 +6490,12 @@ _DRIVER_WINDOW = [
     # image_resize + video_frame_sample; all five stay in the local gate)
     "anchor_text_top_terms", "phrase_search_hits", "inverted_index_topdf",
     "recrawl_change_stats", "latest_snapshot_urls",
+    # redirect-chain resolution (range_join_error_windows rotated out:
+    # the temporal family keeps asof_join_purchases in-window and both
+    # have pytest goldens + the local gate)
+    "redirect_resolve_final",
 ]
+_DRIVER_WINDOW.remove("range_join_error_windows")
 _DRIVER_WINDOW.remove("spatial_join_geom_boxes")
 _DRIVER_WINDOW.remove("ann_cosine_ivf_top1")
 _DRIVER_WINDOW.remove("pagerank_personalized_seeds")

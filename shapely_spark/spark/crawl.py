@@ -25,6 +25,8 @@ same tradeoff the WARC revisit-by-digest convention makes.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -32,6 +34,7 @@ __all__ = [
     "latest_snapshot",
     "version_changes",
     "host_change_stats",
+    "resolve_redirects",
 ]
 
 
@@ -111,3 +114,65 @@ def host_change_stats(
                  F.sum(F.col("changed").cast("long")).alias("n_changed"))
             .withColumn("change_rate",
                         F.round(F.try_divide("n_changed", "n_refetches"), 6)))
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 32,
+) -> DataFrame:
+    """Follow each redirect chain to its terminal url:
+
+    (src, final_url, hops)
+
+    for every redirect SOURCE — `final_url` is the first reached url
+    with no outgoing redirect, `hops` the exact chain length. Chains
+    that do not terminate within `max_hops` (redirect loops, or paths
+    into one) resolve to (NULL, NULL), mirroring how a crawler abandons
+    a loop after its hop budget.
+
+    Algorithm: pointer doubling on the functional graph (out-degree ≤ 1
+    per source; duplicate source rows are dropped deterministically by
+    keeping the min target). Round k's mapping sends a → the node
+    reached in min(2^k, dist-to-terminal) steps: one self equi-join per
+    round with saturation (a row whose pointer has no outgoing edge
+    keeps its pointer and step count), so ⌈log2(max_hops)⌉ shuffles
+    total — the transitive-closure shape of connected_components
+    (text/components.py), with per-round localCheckpoint lineage
+    truncation. After the last round any pointer that still has an
+    outgoing edge is unresolved → NULL.
+
+    At 10^10 redirect edges each round is one hash equi-join of the
+    mapping with itself; real-world chains are short (≤10), so 5 rounds
+    cover max_hops=32 and late rounds join mostly-saturated rows."""
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    one = (edges.select(F.col(src).cast("long").alias("a"),
+                        F.col(dst).cast("long").alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .groupBy("a").agg(F.min("b").alias("b"))
+           .withColumn("s", F.lit(1).cast("long"))
+           .localCheckpoint(eager=True))
+    f = one
+    rounds = max(1, int(math.ceil(math.log2(max_hops))))
+    for _ in range(rounds):
+        x, y = f.alias("x"), f.alias("y")
+        f = (x.join(y, F.col("x.b") == F.col("y.a"), "left")
+             .select(F.col("x.a").alias("a"),
+                     F.coalesce(F.col("y.b"), F.col("x.b")).alias("b"),
+                     (F.col("x.s")
+                      + F.coalesce(F.col("y.s"), F.lit(0))).alias("s"))
+             .localCheckpoint(eager=True))
+    # unresolved = pointer still redirects somewhere (loop / over budget)
+    open_b = one.select(F.col("a").alias("b"))
+    out = (f.join(open_b, "b", "left_anti")
+           .select(F.col("a").alias(src), F.col("b").alias("final_url"),
+                   F.col("s").alias("hops"))
+           .where(F.col("hops") <= max_hops))
+    resolved_src = out.select(F.col(src).alias("a"))
+    nulls = (one.join(resolved_src, "a", "left_anti")
+             .select(F.col("a").alias(src),
+                     F.lit(None).cast("long").alias("final_url"),
+                     F.lit(None).cast("long").alias("hops")))
+    return out.unionByName(nulls)

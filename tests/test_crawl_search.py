@@ -134,3 +134,38 @@ def test_phrase_search_trigram_and_missing(docs):
     assert phrase_search(idx, ["c", "b", "c"]).collect()[0].doc_id == 2
     with pytest.raises(ValueError):
         phrase_search(idx, [])
+
+
+class TestResolveRedirects:
+    def _resolve(self, spark, rows, **kw):
+        from shapely_spark.spark.crawl import resolve_redirects
+        e = spark.createDataFrame(rows, "src long, dst long")
+        return {r.src: (r.final_url, r.hops)
+                for r in resolve_redirects(e, **kw).collect()}
+
+    def test_chain_resolves_with_exact_hops(self, spark):
+        got = self._resolve(spark, [(3, 2), (2, 1), (1, 0)])
+        assert got == {3: (0, 3), 2: (0, 2), 1: (0, 1)}
+
+    def test_cycle_and_feeder_null(self, spark):
+        got = self._resolve(spark, [(10, 11), (11, 10), (12, 10), (5, 4)])
+        assert got[10] == (None, None) and got[11] == (None, None)
+        assert got[12] == (None, None)          # feeds into the loop
+        assert got[5] == (4, 1)                 # unaffected chain
+
+    def test_max_hops_budget(self, spark):
+        rows = [(i, i - 1) for i in range(1, 9)]  # chain of length 8
+        got = self._resolve(spark, rows, max_hops=4)
+        assert got[4] == (0, 4)
+        assert got[8] == (None, None)           # 8 hops > budget
+
+    def test_duplicate_source_min_target(self, spark):
+        got = self._resolve(spark, [(7, 3), (7, 5)])
+        assert got == {7: (3, 1)}
+
+    def test_self_loop_dropped(self, spark):
+        from shapely_spark.spark.crawl import resolve_redirects
+        e = spark.createDataFrame([(4, 4), (2, 1)], "src long, dst long")
+        got = {r.src: (r.final_url, r.hops)
+               for r in resolve_redirects(e).collect()}
+        assert got == {2: (1, 1)}
