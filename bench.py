@@ -199,6 +199,46 @@ def run_headline(spark, n_pages: int, n_regions: int, times: dict, extras: dict,
     extras["warc_payload_mb_per_sec"] = round(
         wbytes / 1e6 / times["warc_parse"], 1)
 
+    # ---- crawl-archive analytics (url-window + pointer doubling) ----------
+    # Re-key the pages table into a ~3-fetches-per-url archive (hash of the
+    # original url → n/3 virtual urls) and run the full recrawl rollup:
+    # digest lag over the url window → host change rates. One url shuffle +
+    # one host rollup — the per-url window is the path that must hold at
+    # 10^12 fetches.
+    from shapely_spark.spark.crawl import host_change_stats, resolve_redirects
+
+    nv = max(n // 3, 1)
+
+    def archive(path):
+        b = spark.read.parquet(path)
+        return b.select(
+            F.concat(
+                F.lit("https://site"),
+                F.pmod(F.xxhash64("url"), F.lit(1000)).cast("string"),
+                F.lit(".example/page/"),
+                F.pmod(F.xxhash64("url", F.lit(1)), F.lit(nv)).cast("string"),
+            ).alias("url"),
+            "warc_ts", "text")
+
+    host_change_stats(archive(warm_path)).count()  # warm
+    timed("recrawl_stats", lambda: host_change_stats(archive(pages_path)).count())
+    extras["recrawl_rows_per_sec"] = round(n / times["recrawl_stats"], 1)
+
+    # redirect chains over n ids (id → id-1 until a multiple of 5):
+    # 0.8n edges, 3 saturating doubling self-joins (max_hops=8) with
+    # eager per-round checkpoints — all timed, as a resumable run would.
+    def redirect_edges(m):
+        ids = spark.range(0, m, 1, 3 * spark.sparkContext.defaultParallelism)
+        return (ids.where(F.col("id") % 5 != 0)
+                .select(F.col("id").alias("src"), (F.col("id") - 1).alias("dst")))
+
+    resolve_redirects(redirect_edges(warmup_rows), max_hops=8).count()  # warm
+    n_edges = timed(
+        "redirect_resolve",
+        lambda: resolve_redirects(redirect_edges(n), max_hops=8)
+        .where(F.col("final_url").isNotNull()).count())
+    extras["redirect_edges_per_sec"] = round(n_edges / times["redirect_resolve"], 1)
+
     pages.unpersist()
     return n
 

@@ -43,6 +43,10 @@ _EXACT_SUM_OK = {
     # exact carrier. Output columns themselves are BIGINT/4-dp constants.
     "kmeans_cluster_stats",
     "semantic_dedup_keep",
+    # round(sum(CASE..0/1..)::DOUBLE / nullif(sum(...),0), 6): both sums
+    # are exact BIGINT 0/1 counts (partition-order free); only the final
+    # single division is floating — deterministic for any partitioning.
+    "recrawl_change_stats",
 }
 
 
