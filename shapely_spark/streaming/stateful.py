@@ -230,3 +230,68 @@ def neardup_candidates_stream(
     return keyed.applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout,
     )
+
+
+def revisit_stream(pages: DataFrame, url_col: str = "url",
+                   ts_col: str = "warc_ts", content_col: str = "text",
+                   watermark: str = "1 hour") -> DataFrame:
+    """Streaming revisit detection: classify each arriving fetch as
+    (is_first, changed) against the url's PREVIOUS fetch — the
+    continuous twin of spark.crawl.version_changes, i.e. the
+    classification a crawler stamps into CDX/WARC revisit records at
+    fetch time.
+
+    State per url is (last_ts, last_digest) — two numbers, independent
+    of payload size (digest = md5/64-bit-truncated of the content, the
+    same equality contract as the batch digest lag). Within a microbatch
+    fetches are ordered by event time; across microbatches
+    classification follows arrival order, which equals event-time order
+    whenever the source delivers fetches in crawl order (the WARC/CDX
+    convention) — a fetch arriving with ts older than the url's state is
+    classified against the newest-seen fetch and flagged out_of_order
+    instead of silently misclassified.
+
+    Output: (url, ts, is_first, changed, out_of_order)."""
+    import hashlib
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (f"{url_col} string, ts double, is_first boolean, "
+                  "changed boolean, out_of_order boolean")
+    state_schema = "last_ts double, last_fp long"
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        url = key[0]
+        last_ts, last_fp = state.get if state.exists else (None, None)
+        urls, tss, firsts, changeds, oods = [], [], [], [], []
+        batch = [pdf for pdf in pdfs if len(pdf)]
+        rows = []
+        for pdf in batch:
+            for t, c in zip(pdf["ts"], pdf[content_col]):
+                rows.append((t.timestamp(), c))
+        rows.sort(key=lambda r: r[0])
+        for t, c in rows:
+            fp = int.from_bytes(
+                hashlib.md5(str(c).encode()).digest()[:8], "little",
+                signed=True)
+            urls.append(url)
+            tss.append(t)
+            firsts.append(last_fp is None)
+            changeds.append(last_fp is not None and fp != last_fp)
+            oods.append(last_ts is not None and t < last_ts)
+            if last_ts is None or t >= last_ts:
+                last_ts, last_fp = t, fp
+        if last_ts is not None:
+            state.update((float(last_ts), int(last_fp)))
+        yield pd.DataFrame({url_col: pd.Series(urls, dtype="object"),
+                            "ts": pd.Series(tss, dtype="float64"),
+                            "is_first": pd.Series(firsts, dtype="bool"),
+                            "changed": pd.Series(changeds, dtype="bool"),
+                            "out_of_order": pd.Series(oods, dtype="bool")})
+
+    keyed = (pages.withColumnRenamed(ts_col, "ts")
+             .withWatermark("ts", watermark)
+             .groupBy(url_col))
+    return keyed.applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout,
+    )

@@ -486,3 +486,103 @@ def test_streaming_neardup_bucket_saturation(spark, tmp_path):
            for r in spark.sql("SELECT * FROM nd_sat").collect()}
     # members admitted: 0,1,2 → pairs only among them
     assert got == {(0, 1), (0, 2), (1, 2)}
+
+
+def _stamp_mtimes(src, step):
+    """Give every not-yet-stamped parquet part in `src` a strictly
+    increasing mtime so the streaming file source lists microbatches in
+    write order (same-instant writes otherwise tie arbitrarily)."""
+    import glob
+    import os
+
+    t0 = 1_000_000_000 + step * 1000
+    for f in sorted(glob.glob(os.path.join(src, "*.parquet"))):
+        if os.path.getmtime(f) > t0 + 999:
+            os.utime(f, (t0, t0))
+
+
+def test_revisit_stream_matches_batch_twin(spark, tmp_path):
+    """Streaming revisit detection equals the batch version_changes
+    classification when fetches arrive in crawl (ts) order, and flags —
+    rather than misclassifies — a late out-of-order fetch."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from shapely_spark.spark.crawl import version_changes
+    from shapely_spark.streaming.stateful import revisit_stream
+
+    base = 1_700_000_000
+    rows = []
+    for v in range(3):                    # 3 crawl rounds
+        for u in range(4):                # 4 urls
+            text = f"u{u} rev {0 if v == 0 else (v if (u + v) % 2 else v - 1)}"
+            rows.append((f"https://h{u % 2}.example.org/{u}",
+                         base + v * 1000 + u, text))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "epoch", "text"]),
+        "url string, epoch long, text string",
+    ).withColumn("warc_ts", F.col("epoch").cast("timestamp")).drop("epoch")
+    src = str(tmp_path / "fetch_src")
+    # one file per crawl round, mtimes stamped increasing so the file
+    # source (which orders by modification time) replays crawl order
+    for v in range(3):
+        lo, hi = base + v * 1000, base + v * 1000 + 999
+        (df.where((F.col("warc_ts").cast("long") >= lo)
+                  & (F.col("warc_ts").cast("long") <= hi))
+         .coalesce(1).write.mode("append").parquet(src))
+        _stamp_mtimes(src, v)
+
+    stream = (spark.readStream.schema("url string, text string, warc_ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (revisit_stream(stream).writeStream.format("memory")
+         .queryName("revisit_out").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.url, r.ts): (r.is_first, r.changed, r.out_of_order)
+           for r in spark.sql("select * from revisit_out").collect()}
+    assert len(got) == 12
+    truth = {(r.url, float(r.warc_ts.timestamp())): (r.is_first, r.changed)
+             for r in version_changes(df).collect()}
+    for k, (first, changed, ood) in got.items():
+        assert not ood
+        assert truth[k] == (first, changed), (k, truth[k], (first, changed))
+
+
+def test_revisit_stream_out_of_order_flag(spark, tmp_path):
+    """A fetch older than the url's newest state is flagged, not used to
+    roll state backwards."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from shapely_spark.streaming.stateful import revisit_stream
+
+    base = 1_700_000_000
+    batches = [
+        [("https://a/x", base + 100, "new")],
+        [("https://a/x", base + 50, "old")],   # arrives late
+        [("https://a/x", base + 200, "new")],  # unchanged vs state (base+100)
+    ]
+    src = str(tmp_path / "ooo_src")
+    for i, b in enumerate(batches):
+        spark.createDataFrame(
+            pd.DataFrame(b, columns=["url", "epoch", "text"]),
+            "url string, epoch long, text string",
+        ).withColumn("warc_ts", F.col("epoch").cast("timestamp")).drop(
+            "epoch").coalesce(1).write.mode("append").parquet(src)
+        _stamp_mtimes(src, i)
+
+    stream = (spark.readStream.schema("url string, text string, warc_ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (revisit_stream(stream).writeStream.format("memory")
+         .queryName("revisit_ooo").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = sorted(spark.sql("select * from revisit_ooo").collect(),
+                  key=lambda r: r.ts)
+    flags = {round(r.ts - base): (r.is_first, r.changed, r.out_of_order)
+             for r in rows}
+    assert flags[100] == (True, False, False)
+    # the late ts=50 fetch is flagged out-of-order (classified against the
+    # newest state, "new", so changed=True) and does NOT roll state back
+    assert flags[50] == (False, True, True)
+    assert flags[200] == (False, False, False)  # "new" vs "new": unchanged
