@@ -224,9 +224,11 @@ def run_headline(spark, n_pages: int, n_regions: int, times: dict, extras: dict,
     timed("recrawl_stats", lambda: host_change_stats(archive(pages_path)).count())
     extras["recrawl_rows_per_sec"] = round(n / times["recrawl_stats"], 1)
 
-    # redirect chains over n ids (id → id-1 until a multiple of 5):
-    # 0.8n edges, 3 saturating doubling self-joins (max_hops=8) with
+    # redirect chains over 4n ids (id → id-1 until a multiple of 5):
+    # 3.2n edges, 3 saturating doubling self-joins (max_hops=8) with
     # eager per-round checkpoints — all timed, as a resumable run would.
+    # 4× the page count so the joins dominate the three checkpoint
+    # barriers and the leg measures throughput, not launch latency.
     def redirect_edges(m):
         ids = spark.range(0, m, 1, 3 * spark.sparkContext.defaultParallelism)
         return (ids.where(F.col("id") % 5 != 0)
@@ -235,7 +237,7 @@ def run_headline(spark, n_pages: int, n_regions: int, times: dict, extras: dict,
     resolve_redirects(redirect_edges(warmup_rows), max_hops=8).count()  # warm
     n_edges = timed(
         "redirect_resolve",
-        lambda: resolve_redirects(redirect_edges(n), max_hops=8)
+        lambda: resolve_redirects(redirect_edges(4 * n), max_hops=8)
         .where(F.col("final_url").isNotNull()).count())
     extras["redirect_edges_per_sec"] = round(n_edges / times["redirect_resolve"], 1)
 

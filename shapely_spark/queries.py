@@ -2372,6 +2372,63 @@ def warc_roundtrip_text(spark, sf_dir):
 
 
 @q(
+    "warc_http_status_counts",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN 404
+                  WHEN doc_id % 10 = 1 THEN 301
+                  ELSE 200 END AS http_status,
+             CASE WHEN doc_id % 7 = 0 THEN 'text/plain'
+                  ELSE 'text/html' END AS mime,
+             strlen('<html><body><p>' || text || '</p></body></html>')::BIGINT
+                 AS blen
+      FROM documents)
+    SELECT http_status, mime, count(*)::BIGINT AS n,
+           sum(blen)::BIGINT AS sum_len
+    FROM p GROUP BY http_status, mime
+    ORDER BY http_status, mime
+    """,
+)
+def warc_http_status_counts(spark, sf_dir):
+    """HTTP-envelope metadata gate (spark/warc.py, r4): write documents
+    as WARC response records with MIXED statuses (404/301/200 by
+    doc_id%10) and MIME types (text/plain for doc_id%7==0), read them
+    back through the member walk, and aggregate by the parsed
+    (http_status, mime) pair — the CDXJ fields a crawl pipeline filters
+    on before touching payloads. sum_len is byte length of the payload
+    per group, so envelope framing that leaks into (or eats from) the
+    payload breaks the hash, as does a status line or Content-Type that
+    fails to roundtrip."""
+    import tempfile
+
+    from .spark.warc import read_warc, write_warc
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    pages = d.select(
+        F.concat(F.lit("https://crawl.example.org/doc/"),
+                 F.col("doc_id")).alias("url"),
+        (F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+         + F.make_interval(secs=F.col("doc_id").cast("double"))
+         ).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body><p>"), F.col("text"),
+                          F.lit("</p></body></html>")), "UTF-8").alias("html"),
+        F.when(F.col("doc_id") % 10 == 0, 404)
+        .when(F.col("doc_id") % 10 == 1, 301)
+        .otherwise(200).alias("status"),
+        F.when(F.col("doc_id") % 7 == 0, "text/plain")
+        .otherwise("text/html").alias("ctype"))
+    path = tempfile.mkdtemp(prefix="shapely_spark_warc_http_")
+    write_warc(pages, path, status_col="status", mime_col="ctype")
+    back = read_warc(spark, path)
+    return (back.groupBy("http_status", "mime")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(F.length("html")).cast("long").alias("sum_len"))
+            .select(F.col("http_status").cast("int"), "mime", "n", "sum_len")
+            .repartition(1).sortWithinPartitions("http_status", "mime"))
+
+
+@q(
     "snapshot_table_time_travel",
     f"""
     WITH p AS ({_PART_PARAMS_SQL}),
@@ -6494,8 +6551,14 @@ _DRIVER_WINDOW = [
     # the temporal family keeps asof_join_purchases in-window and both
     # have pytest goldens + the local gate)
     "redirect_resolve_final",
+    # HTTP-envelope metadata through the WARC container
+    # (latest_snapshot_urls rotated out: the crawl family keeps
+    # recrawl_change_stats in-window, which runs the same fixture
+    # through the same url-window machinery plus the digest lag)
+    "warc_http_status_counts",
 ]
 _DRIVER_WINDOW.remove("range_join_error_windows")
+_DRIVER_WINDOW.remove("latest_snapshot_urls")
 _DRIVER_WINDOW.remove("spatial_join_geom_boxes")
 _DRIVER_WINDOW.remove("ann_cosine_ivf_top1")
 _DRIVER_WINDOW.remove("pagerank_personalized_seeds")

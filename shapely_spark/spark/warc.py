@@ -46,7 +46,8 @@ from pyspark.sql import functions as F
 WARC_VERSION = "WARC/1.1"
 
 _READ_DT = ("url string, warc_ts timestamp, html binary, "
-            "warc_file string, warc_offset long, warc_length long")
+            "warc_file string, warc_offset long, warc_length long, "
+            "http_status int, mime string")
 _MANIFEST_DT = "file string, records long, bytes long"
 
 _TS_FMT = "%Y-%m-%dT%H:%M:%S.%fZ"
@@ -63,13 +64,25 @@ def _record_id(url: str, ts_iso: str) -> str:
     return f"<urn:sha1:{h}>"
 
 
-def encode_warc_response(url: str, ts_iso: str, html: bytes) -> bytes:
+_HTTP_REASONS = {200: "OK", 301: "Moved Permanently", 302: "Found",
+                 304: "Not Modified", 404: "Not Found",
+                 403: "Forbidden", 500: "Internal Server Error",
+                 503: "Service Unavailable"}
+
+
+def encode_warc_response(url: str, ts_iso: str, html: bytes,
+                         status: int = 200,
+                         content_type: str = "text/html; charset=utf-8",
+                         ) -> bytes:
     """One uncompressed WARC response record: WARC header block, an
-    HTTP/1.1 200 envelope, the payload, and the record-terminating
-    CRLF CRLF. Content-Length framing on both layers."""
-    http = (b"HTTP/1.1 200 OK\r\n"
-            b"Content-Type: text/html; charset=utf-8\r\n"
-            b"Content-Length: " + str(len(html)).encode() + b"\r\n\r\n"
+    HTTP/1.1 envelope (status + Content-Type per args — defaults keep
+    byte-identical output with pre-r4 writers), the payload, and the
+    record-terminating CRLF CRLF. Content-Length framing on both
+    layers."""
+    reason = _HTTP_REASONS.get(int(status), "Status")
+    http = (f"HTTP/1.1 {int(status)} {reason}\r\n"
+            f"Content-Type: {content_type}\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n".encode()
             + html)
     hdr = (f"{WARC_VERSION}\r\n"
            f"WARC-Type: response\r\n"
@@ -141,6 +154,19 @@ def parse_warc_record(rec: bytes) -> dict:
         http_end = block.find(b"\r\n\r\n")
         if http_end >= 0:
             payload = block[http_end + 4:]
+            # HTTP envelope: status from the first line, MIME from the
+            # Content-Type header (parameters stripped) — the CDX fields
+            # a crawl pipeline filters on before touching payloads.
+            env = block[:http_end].decode("utf-8", "replace").split("\r\n")
+            parts = env[0].split(" ", 2)
+            if len(parts) >= 2 and parts[1].isdigit():
+                headers["http_status"] = int(parts[1])
+            for ln in env[1:]:
+                k, _, v = ln.partition(":")
+                if k.strip().lower() == "content-type":
+                    headers["http_content_type"] = (
+                        v.split(";", 1)[0].strip().lower())
+                    break
     headers["payload"] = payload
     return headers
 
@@ -161,19 +187,27 @@ def write_warc(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     html_col: str = "html",
+    status_col: str | None = None,
+    mime_col: str | None = None,
 ) -> list:
     """Write the pages DataFrame as a directory of ``part-NNNNN.warc.gz``
     files, one per Spark partition, one gzip member per record (the
     Common Crawl layout). Returns the manifest: one Row per file
     (file, records, bytes) — the natural input for a snapshot-table
     commit. Executor-side stdlib gzip; the driver sees only the
-    manifest."""
+    manifest. status_col/mime_col (optional) feed each record's HTTP
+    envelope; omitted, every record is 200 text/html — byte-identical
+    to pre-r4 output."""
     os.makedirs(path, exist_ok=True)
-    cols = (pages.select(F.col(url_col).alias("url"),
-                         F.date_format(ts_col,
-                                       "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
-                                       ).alias("ts_iso"),
-                         F.col(html_col).alias("html")))
+    sel = [F.col(url_col).alias("url"),
+           F.date_format(ts_col,
+                         "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("ts_iso"),
+           F.col(html_col).alias("html"),
+           (F.col(status_col) if status_col else F.lit(200))
+           .cast("int").alias("status"),
+           (F.col(mime_col) if mime_col
+            else F.lit("text/html; charset=utf-8")).alias("ctype")]
+    cols = pages.select(*sel)
 
     def _write(batches):
         from pyspark import TaskContext
@@ -183,10 +217,12 @@ def write_warc(
         chunks = []
         nrec = 0
         for pdf in batches:
-            for url, ts_iso, html in zip(pdf["url"], pdf["ts_iso"],
-                                         pdf["html"]):
+            for url, ts_iso, html, status, ctype in zip(
+                    pdf["url"], pdf["ts_iso"], pdf["html"],
+                    pdf["status"], pdf["ctype"]):
                 rec = encode_warc_response(
-                    url, ts_iso, bytes(html) if html is not None else b"")
+                    url, ts_iso, bytes(html) if html is not None else b"",
+                    status=int(status), content_type=str(ctype))
                 chunks.append(_gzip_member(rec))
                 nrec += 1
         if not nrec:
@@ -208,7 +244,8 @@ def parse_warc_files(files: DataFrame) -> DataFrame:
     def _parse(batches):
         for pdf in batches:
             rows = {k: [] for k in ("url", "warc_ts", "html", "warc_file",
-                                    "warc_offset", "warc_length")}
+                                    "warc_offset", "warc_length",
+                                    "http_status", "mime")}
             for fpath, raw in zip(pdf["path"], pdf["content"]):
                 fname = os.path.basename(fpath)
                 for off, ln, rec in iter_warc_members(bytes(raw)):
@@ -221,11 +258,16 @@ def parse_warc_files(files: DataFrame) -> DataFrame:
                     rows["warc_file"].append(fname)
                     rows["warc_offset"].append(off)
                     rows["warc_length"].append(ln)
+                    rows["http_status"].append(h.get("http_status"))
+                    rows["mime"].append(h.get("http_content_type"))
             # ONE vectorized timestamp parse per Arrow batch — a
             # per-record pd.to_datetime was ~40% of parse wall
             rows["warc_ts"] = pd.to_datetime(
                 pd.Series(rows["warc_ts"], dtype="object").str.rstrip("Z"),
                 format="ISO8601")
+            # nullable int carrier: an envelope-less response (legal WARC)
+            # has no status; plain int64 would reject the None
+            rows["http_status"] = pd.array(rows["http_status"], dtype="Int32")
             yield pd.DataFrame(rows)
 
     return files.select("path", "content").mapInPandas(_parse, _READ_DT)
@@ -262,10 +304,14 @@ def read_warc_stream(spark: SparkSession, path: str,
 
 def cdx_index(warc_df: DataFrame) -> DataFrame:
     """The CDX projection of a ``read_warc`` frame: url ->
-    (warc_file, warc_offset, warc_length). Written next to the crawl,
-    this is the url-lookup index — ``read_warc_record`` consumes one
-    row of it."""
-    return warc_df.select("url", "warc_file", "warc_offset", "warc_length")
+    (warc_file, warc_offset, warc_length) plus, when the frame carries
+    them (r4 HTTP-envelope parse), the CDXJ mime + status fields a
+    pipeline filters on before touching payloads. Written next to the
+    crawl, this is the url-lookup index — ``read_warc_record`` consumes
+    one row of it."""
+    base = ["url", "warc_file", "warc_offset", "warc_length"]
+    extra = [c for c in ("mime", "http_status") if c in warc_df.columns]
+    return warc_df.select(*base, *extra)
 
 
 def read_warc_record(path: str, offset: int, length: int) -> dict:

@@ -186,3 +186,55 @@ def test_streaming_warc_ingest_matches_batch(spark, tmp_path):
     want = {(r.url, r.warc_ts, bytes(r.html))
             for r in read_warc(spark, str(landing)).collect()}
     assert got == want and len(got) == 18
+
+
+def test_http_envelope_status_mime_roundtrip(spark, tmp_path):
+    """Non-200 statuses and non-html MIMEs survive the container
+    roundtrip; defaults stay 200/text/html (byte-compatible writers)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from shapely_spark.spark.warc import cdx_index, read_warc, write_warc
+
+    rows = [(f"https://x.example.org/{i}", 1_700_000_000 + i,
+             f"<p>doc {i}</p>".encode(),
+             [200, 404, 301][i % 3],
+             ["text/html; charset=utf-8", "text/plain", "application/pdf"][i % 3])
+            for i in range(9)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "epoch", "html", "st", "ct"]),
+        "url string, epoch long, html binary, st int, ct string",
+    ).withColumn("warc_ts", F.col("epoch").cast("timestamp")).drop("epoch")
+    path = str(tmp_path / "w1")
+    write_warc(df, path, status_col="st", mime_col="ct")
+    back = read_warc(spark, path)
+    got = {r.url: (r.http_status, r.mime, bytes(r.html)) for r in back.collect()}
+    assert len(got) == 9
+    for i in range(9):
+        st, mime = [200, 404, 301][i % 3], ["text/html", "text/plain",
+                                            "application/pdf"][i % 3]
+        assert got[f"https://x.example.org/{i}"] == (
+            st, mime, f"<p>doc {i}</p>".encode())
+    cdx = cdx_index(back)
+    assert set(cdx.columns) == {"url", "warc_file", "warc_offset",
+                                "warc_length", "mime", "http_status"}
+
+    # defaults: no status/mime columns → 200 text/html
+    path2 = str(tmp_path / "w2")
+    write_warc(df.select("url", "warc_ts", "html"), path2)
+    b2 = read_warc(spark, path2).collect()
+    assert {(r.http_status, r.mime) for r in b2} == {(200, "text/html")}
+
+
+def test_http_envelope_default_bytes_unchanged():
+    """The parameterized envelope writer emits byte-identical records at
+    the defaults (pre-r4 writer compatibility)."""
+    from shapely_spark.spark.warc import encode_warc_response
+
+    rec = encode_warc_response("https://a/b", "2026-01-01T00:00:00.000000Z",
+                               b"<p>x</p>")
+    assert b"HTTP/1.1 200 OK\r\n" in rec
+    assert b"Content-Type: text/html; charset=utf-8\r\n" in rec
+    rec2 = encode_warc_response("https://a/b", "2026-01-01T00:00:00.000000Z",
+                                b"<p>x</p>", status=418)
+    assert b"HTTP/1.1 418 Status\r\n" in rec2
