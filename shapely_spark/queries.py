@@ -143,6 +143,25 @@ FROM part
 """
 
 
+_RECRAWL_SQL = """
+    nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
+    f AS MATERIALIZED (
+      SELECT doc_id,
+             doc_id % greatest(n // 3, 1) AS url_id,
+             doc_id // greatest(n // 3, 1) AS v
+      FROM documents, nn),
+    p AS MATERIALIZED (
+      SELECT 'h' || (url_id % 16) || '.example.org' AS host,
+             'https://h' || (url_id % 16) || '.example.org/doc/' || url_id
+                 AS url,
+             doc_id AS ts,
+             'content ' || url_id || ' rev ' ||
+               (CASE WHEN v = 0 THEN 0
+                     WHEN (url_id + v) % 2 = 1 THEN v - 1
+                     ELSE v END) AS text
+      FROM f)"""
+
+
 def _geo_kernel_query(spark, sf_dir, out_schema: str, fn) -> DataFrame:
     """Run a per-row geometry kernel over the part-derived parameters via
     mapInPandas (Arrow-batched; geometry built + kernel run in NumPy)."""
@@ -2426,6 +2445,150 @@ def warc_http_status_counts(spark, sf_dir):
                  F.sum(F.length("html")).cast("long").alias("sum_len"))
             .select(F.col("http_status").cast("int"), "mime", "n", "sum_len")
             .repartition(1).sortWithinPartitions("http_status", "mime"))
+
+
+@q(
+    "crawl_schedule_topk",
+    f"""
+    WITH {_RECRAWL_SQL},
+    ch AS (SELECT host, url, text,
+                  lag(text) OVER (PARTITION BY url ORDER BY ts) AS prev
+           FROM p),
+    hs AS (SELECT host,
+                  coalesce(
+                    round(sum(CASE WHEN prev IS NOT NULL AND prev <> text
+                                   THEN 1 ELSE 0 END)::DOUBLE
+                          / nullif(sum(CASE WHEN prev IS NOT NULL
+                                            THEN 1 ELSE 0 END), 0), 6),
+                    0.5) AS score
+           FROM ch GROUP BY host),
+    latest AS (SELECT host, url,
+                      CAST(string_split(url, '/')[-1] AS BIGINT) AS url_id,
+                      row_number() OVER (PARTITION BY url
+                                         ORDER BY ts DESC) AS rk
+               FROM p),
+    allowed AS (SELECT l.host, l.url FROM latest l
+                WHERE l.rk = 1 AND (
+                      l.url_id % 16 = 0
+                      OR ((l.url_id % 16) % 2 = 0
+                          AND CAST(l.url_id AS VARCHAR) LIKE '1%')
+                      OR ((l.url_id % 16) % 2 = 1
+                          AND CAST(l.url_id AS VARCHAR) NOT LIKE '%7'))),
+    capped AS (SELECT a.host, a.url, hs.score,
+                      row_number() OVER (PARTITION BY a.host
+                                         ORDER BY a.url) AS cap_rk
+               FROM allowed a JOIN hs ON a.host = hs.host),
+    top AS (SELECT url, host, score FROM capped WHERE cap_rk <= 3
+            ORDER BY score DESC, url LIMIT 40)
+    SELECT row_number() OVER (ORDER BY score DESC, url)::BIGINT AS rank,
+           url, host, score
+    FROM top ORDER BY rank
+    """,
+)
+def crawl_schedule_topk(spark, sf_dir):
+    """The composed crawl-scheduling flagship, ONE plan built from four
+    engine operators over the multi-snapshot archive: latest_snapshot
+    (what the current web looks like) → robots_filter with the
+    RFC 9309 per-host rules (politeness) → broadcast-join the
+    host_change_stats volatility prior (hosts that change get
+    recrawled first; never-refetched hosts take the 0.5 default prior)
+    → cap_per_key ≤3 urls per host (no volatile host hogs the budget)
+    → global top-40 by (score desc, url) as TakeOrderedAndProject.
+    This is the next-fetch list a scheduler ships to the frontier; the
+    oracle restates every stage closed form."""
+    from .spark.crawl import host_change_stats, latest_snapshot
+    from .spark.extract import host_of
+    from .text.quality import cap_per_key
+    from .text.robots import robots_filter
+
+    pages = _synth_recrawl_pages(spark, sf_dir)
+    latest = latest_snapshot(pages)
+    stats = host_change_stats(pages).select(
+        "host", F.coalesce(F.col("change_rate"), F.lit(0.5)).alias("score"))
+
+    decoy = "User-agent: ccbot\nDisallow: /\n\n"
+    robots_rows = []
+    for i in range(16):
+        if i == 0:
+            body = "User-agent: *\nDisallow:\n"
+        elif i % 2 == 0:
+            body = "User-agent: *\nDisallow: /doc/\nAllow: /doc/1*\n"
+        else:
+            body = "User-agent: *\nDisallow: /*7$\n"
+        robots_rows.append((f"h{i}.example.org", decoy + body))
+    robots = spark.createDataFrame(robots_rows,
+                                   "host string, robots_txt string")
+
+    cand = (robots_filter(latest, robots)
+            .where(F.col("robots_allowed"))
+            .withColumn("host", host_of(F.col("url")))
+            .join(F.broadcast(stats), "host"))
+    capped = cap_per_key(cand, key_col="host", cap=3,
+                         order_cols=[F.col("url").asc()], id_col="url")
+    top = (capped.orderBy(F.desc("score"), F.asc("url")).limit(40)
+           .repartition(1))
+    w = Window.partitionBy().orderBy(F.desc("score"), F.asc("url"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select(F.col("rank").cast("long"), "url", "host",
+                    F.round("score", 6).alias("score"))
+            .sortWithinPartitions("rank"))
+
+
+@q(
+    "charset_decode_md5",
+    """
+    SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+             WHEN 2 THEN 'utf-16be' WHEN 3 THEN 'windows-1252'
+             ELSE 'utf-8' END AS charset,
+           md5(CASE doc_id % 5
+             WHEN 0 THEN '<meta charset="utf-8"><p>' || text || ' 中é</p>'
+             WHEN 1 THEN '<meta charset="iso-8859-1"><p>' || text || ' éß</p>'
+             WHEN 2 THEN '<p>' || text || ' 中文</p>'
+             WHEN 3 THEN '<meta charset="windows-1252"><p>' || text
+                         || ' €™é</p>'
+             ELSE '<p>' || text || ' 中</p>' END) AS text_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+def charset_decode_md5(spark, sf_dir):
+    """Charset sniff + decode gate (spark/charset.py, r4): each document
+    is serialized in one of five real-web encodings — UTF-8 with a meta
+    tag, ISO-8859-1 with a meta tag, UTF-16 with a BOM, windows-1252
+    with an http-equiv-style meta (the cp1252 suffix bytes 0x80-0x9F
+    exercise the exact translate), and bare UTF-8 (the default path) —
+    every payload carrying non-ASCII characters the WRONG decoder would
+    mangle. The engine sniffs (BOM → meta → default, WHATWG order) and
+    decodes JVM-side; the oracle states the expected decoded string
+    closed form. Synthesis is the decode's exact inverse (encode +
+    inverse translate), all in the same Spark plan."""
+    from .spark.charset import _CP1252_FROM, _CP1252_TO, with_decoded_html
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    m = F.col("doc_id") % 5
+    body = F.concat(F.lit("<p>"), F.col("text"))
+    mk = {
+        0: F.encode(F.concat(F.lit('<meta charset="utf-8">'), body,
+                             F.lit(" 中é</p>")), "UTF-8"),
+        1: F.encode(F.concat(F.lit('<meta charset="iso-8859-1">'), body,
+                             F.lit(" éß</p>")), "ISO-8859-1"),
+        2: F.encode(F.concat(body, F.lit(" 中文</p>")), "UTF-16"),
+        3: F.encode(
+            F.translate(
+                F.concat(F.lit('<meta charset="windows-1252">'), body,
+                         F.lit(" €™é</p>")),
+                _CP1252_TO, _CP1252_FROM), "ISO-8859-1"),
+        4: F.encode(F.concat(body, F.lit(" 中</p>")), "UTF-8"),
+    }
+    html = (F.when(m == 0, mk[0]).when(m == 1, mk[1]).when(m == 2, mk[2])
+            .when(m == 3, mk[3]).otherwise(mk[4]))
+    pages = d.select("doc_id", html.alias("html"))
+    out = with_decoded_html(pages)
+    return (out.select("doc_id", "charset",
+                       F.md5(F.encode("html_text", "UTF-8"))
+                       .alias("text_md5"))
+            .repartition(1).sortWithinPartitions("doc_id"))
 
 
 @q(
@@ -6256,23 +6419,8 @@ def inverted_index_topdf(spark, sf_dir):
             .select("term", "df", "cf"))
 
 
-_RECRAWL_SQL = """
-    nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
-    f AS MATERIALIZED (
-      SELECT doc_id,
-             doc_id % greatest(n // 3, 1) AS url_id,
-             doc_id // greatest(n // 3, 1) AS v
-      FROM documents, nn),
-    p AS MATERIALIZED (
-      SELECT 'h' || (url_id % 16) || '.example.org' AS host,
-             'https://h' || (url_id % 16) || '.example.org/doc/' || url_id
-                 AS url,
-             doc_id AS ts,
-             'content ' || url_id || ' rev ' ||
-               (CASE WHEN v = 0 THEN 0
-                     WHEN (url_id + v) % 2 = 1 THEN v - 1
-                     ELSE v END) AS text
-      FROM f)"""
+# (moved to the shared-derivations section near the top)
+
 
 
 def _synth_recrawl_pages(spark, sf_dir):
@@ -6556,7 +6704,19 @@ _DRIVER_WINDOW = [
     # recrawl_change_stats in-window, which runs the same fixture
     # through the same url-window machinery plus the digest lag)
     "warc_http_status_counts",
+    # charset sniff + decode (kmv_distinct_users rotated out: the KMV
+    # sketch carries an exactness-contract oracle in the local gate and
+    # dense pytest goldens; no sibling family, lowest-risk of the
+    # remaining never-sampled set)
+    "charset_decode_md5",
+    # composed crawl-scheduling flagship: latest_snapshot → robots →
+    # change-rate prior → per-host cap → global top-k in ONE plan
+    # (image_resize_px_sum rotated out: video_frame_sample_px_sum keeps
+    # the same resize kernel plumbing in-window)
+    "crawl_schedule_topk",
 ]
+_DRIVER_WINDOW.remove("kmv_distinct_users")
+_DRIVER_WINDOW.remove("image_resize_px_sum")
 _DRIVER_WINDOW.remove("range_join_error_windows")
 _DRIVER_WINDOW.remove("latest_snapshot_urls")
 _DRIVER_WINDOW.remove("spatial_join_geom_boxes")

@@ -177,7 +177,9 @@ def robots_filter(
                 tie = m & (ln == best) & allow
                 verdict = verdict.where(~better, allow).where(~tie, True)
                 best = best.where(~better, ln)
-            out[mask] = verdict
+            # the where-chain can promote verdict to object dtype; cast
+            # back so the bool-Series assignment stays dtype-clean
+            out[mask] = verdict.astype(bool)
         return out
 
     # JVM prefilter: only urls whose host HAS a blocking group reach the

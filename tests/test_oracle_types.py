@@ -47,6 +47,7 @@ _EXACT_SUM_OK = {
     # are exact BIGINT 0/1 counts (partition-order free); only the final
     # single division is floating — deterministic for any partitioning.
     "recrawl_change_stats",
+    "crawl_schedule_topk",  # same change-rate expression as above
 }
 
 
