@@ -1849,6 +1849,66 @@ def pagerank_personalized_seeds(spark, sf_dir):
             .repartition(1).sortWithinPartitions("node"))
 
 
+def _bfs_oracle_sql(rounds: int = 6) -> str:
+    """Unrolled level-synchronous BFS over the LCG doc graph: round k's
+    frontier = targets of round k-1 minus everything already visited."""
+    head = """
+    WITH nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
+    e AS MATERIALIZED (
+      SELECT DISTINCT doc_id AS src,
+             (doc_id * 1103515245 + (j + 1) * 12345) % n AS tgt
+      FROM documents, nn, unnest(range(0, 3)) t(j)
+      WHERE j < doc_id % 4
+      UNION
+      SELECT doc_id, (doc_id + 7) % n FROM documents, nn),
+    d0 AS (SELECT doc_id AS node, 0 AS depth FROM documents
+           WHERE doc_id % 50 = 0),
+    v0 AS (SELECT * FROM d0)"""
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(f""",
+    d{k} AS MATERIALIZED (SELECT DISTINCT e.tgt AS node, {k} AS depth
+             FROM e JOIN d{k - 1} p ON e.src = p.node
+             WHERE e.tgt NOT IN (SELECT node FROM v{k - 1})),
+    v{k} AS (SELECT * FROM v{k - 1} UNION ALL SELECT * FROM d{k})""")
+    tail = f"""
+    SELECT node, depth::BIGINT AS depth FROM v{rounds} ORDER BY node"""
+    return head + "".join(steps) + tail
+
+
+@q("bfs_crawl_depths", _bfs_oracle_sql(6))
+def bfs_crawl_depths(spark, sf_dir):
+    """Crawl-depth gate (spark/graph.bfs_depths, r4): level-synchronous
+    BFS from the doc_id%50 seed set over the PageRank gates' LCG doc
+    graph AUGMENTED with a +7 ring edge per node (the bare LCG's
+    multiplier shares gcd 5 with n, collapsing every target onto
+    multiples of 5 — the ring restores depth diversity: the sf0.01
+    fixture populates every depth 0..6) — fewest hops within 6 rounds,
+    the depth signal shallow-crawl corpora cut on. Each round is one
+    frontier⋈edges join + one visited anti-join + a distinct, frontier
+    checkpointed; the oracle unrolls the identical rounds as chained
+    CTEs, so a missed anti-join (re-discovering a node deeper), a
+    non-minimal depth, or an extra round all break the hash."""
+    from .spark.graph import bfs_depths
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    docs = _spread(d.select("doc_id"))
+    j = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j")
+    ed = (docs.select("doc_id", j)
+          .where(F.col("j") < F.col("doc_id") % 4)
+          .select(F.col("doc_id").alias("src"),
+                  ((F.col("doc_id") * 1103515245
+                    + (F.col("j") + 1) * 12345) % n).alias("tgt"))
+          .union(docs.select(F.col("doc_id").alias("src"),
+                             ((F.col("doc_id") + 7) % n).alias("tgt")))
+          .distinct())
+    seeds = docs.where(F.col("doc_id") % 50 == 0).select("doc_id")
+    out = bfs_depths(ed, seeds, max_depth=6)
+    return (out.select(F.col("node"), F.col("depth").cast("long"))
+            .repartition(1).sortWithinPartitions("node"))
+
+
 @q("pagerank_doc_graph", _pagerank_oracle_sql(10))
 def pagerank_doc_graph(spark, sf_dir):
     """Distributed PageRank gate (spark/graph.py, r4): 10 synchronous

@@ -263,3 +263,43 @@ def hits(
         if (it + 1) % checkpoint_every == 0 and it + 1 < num_iters:
             scores = scores.localCheckpoint(eager=True)
     return scores.select("node", "auth", "hub")
+
+
+def bfs_depths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 6,
+    src: str = "src",
+    tgt: str = "tgt",
+) -> DataFrame:
+    """(node, depth): fewest hops from the seed set along directed
+    edges, for every node reachable within ``max_depth`` — the crawl
+    depth a frontier starting at the seeds assigns each page/host (the
+    selection signal shallow-crawl corpora cut on).
+
+    Level-synchronous BFS: round d joins the CURRENT frontier (nodes
+    first reached at depth d) against the edge relation, anti-joins the
+    visited set, and min-aggregates to the new frontier — so each edge
+    is traversed at most once per endpoint discovery, state is
+    (node, depth) only, and the rounds (≤ max_depth of them, web graphs
+    are shallow) each cost one join + one anti-join shuffle. Frontier
+    and visited are checkpointed per round: iterative lineage stays
+    O(1) and a dead executor replays one round, not the whole walk.
+    Seeds themselves are depth 0; unreachable nodes are absent."""
+    e = edges.select(F.col(src).alias("a"), F.col(tgt).alias("b"))
+    scol = seeds.columns[0]
+    frontier = (seeds.select(F.col(scol).alias("node")).distinct()
+                .withColumn("depth", F.lit(0))
+                .localCheckpoint(eager=True))
+    visited = frontier
+    for d in range(1, max_depth + 1):
+        nxt = (e.join(frontier.select(F.col("node").alias("a")), "a")
+               .select(F.col("b").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("depth", F.lit(d))
+               .localCheckpoint(eager=True))
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -290,3 +290,33 @@ def test_clustering_coefficients_complete_graph(spark):
         assert r.coeff == pytest.approx(1.0)
         assert r.degree == k - 1
         assert r.n_triangles == (k - 1) * (k - 2) // 2
+
+
+class TestBfsDepths:
+    def _run(self, spark, edges, seeds, **kw):
+        from shapely_spark.spark.graph import bfs_depths
+        e = spark.createDataFrame(edges, "src long, tgt long")
+        s = spark.createDataFrame([(x,) for x in seeds], "node long")
+        return {r.node: r.depth for r in bfs_depths(e, s, **kw).collect()}
+
+    def test_hand_graph_min_depths(self, spark):
+        # 0→1→2→3, 0→3 shortcut: depth(3) must be 1, not 3
+        got = self._run(spark, [(0, 1), (1, 2), (2, 3), (0, 3)], [0])
+        assert got == {0: 0, 1: 1, 2: 2, 3: 1}
+
+    def test_two_seeds_and_unreachable(self, spark):
+        got = self._run(spark, [(0, 1), (5, 6), (8, 9)], [0, 5])
+        assert got == {0: 0, 5: 0, 1: 1, 6: 1}  # 8,9 unreachable: absent
+
+    def test_max_depth_cutoff(self, spark):
+        chain = [(i, i + 1) for i in range(10)]
+        got = self._run(spark, chain, [0], max_depth=3)
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_cycle_terminates(self, spark):
+        got = self._run(spark, [(0, 1), (1, 2), (2, 0)], [0], max_depth=10)
+        assert got == {0: 0, 1: 1, 2: 2}
+
+    def test_seed_rediscovery_keeps_depth_zero(self, spark):
+        got = self._run(spark, [(0, 1), (1, 0)], [0])
+        assert got[0] == 0
