@@ -1849,6 +1849,61 @@ def pagerank_personalized_seeds(spark, sf_dir):
             .repartition(1).sortWithinPartitions("node"))
 
 
+def _lpa_oracle_sql(iters: int = 4) -> str:
+    """Unrolled synchronous label propagation (min-label tie-break) over
+    the block-chain doc graph: blocks of 10 chained by +1 edges plus +2
+    chords every third node — each round is a neighbor-label count and
+    a per-node deterministic top-1."""
+    head = """
+    WITH e0 AS MATERIALIZED (
+      SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+      WHERE doc_id % 10 <> 9
+      UNION
+      SELECT doc_id, doc_id + 2 FROM documents
+      WHERE doc_id % 10 < 8 AND doc_id % 3 = 0),
+    sym AS MATERIALIZED (
+      SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+    c{k} AS MATERIALIZED (
+      SELECT s.a AS ctr, l.lab, count(*)::BIGINT AS c
+      FROM sym s JOIN l{k - 1} l ON s.b = l.node GROUP BY s.a, l.lab),
+    t{k} AS (SELECT ctr, lab FROM c{k}
+             QUALIFY row_number() OVER (PARTITION BY ctr
+                                        ORDER BY c DESC, lab) = 1),
+    l{k} AS MATERIALIZED (
+      SELECT p.node, coalesce(t.lab, p.lab) AS lab
+      FROM l{k - 1} p LEFT JOIN t{k} t ON p.node = t.ctr)""")
+    tail = f"""
+    SELECT node, lab AS label FROM l{iters} ORDER BY node"""
+    return head + "".join(steps) + tail
+
+
+@q("lpa_communities", _lpa_oracle_sql(4))
+def lpa_communities(spark, sf_dir):
+    """Community-detection gate (spark/graph.label_propagation, r4):
+    four synchronous LPA rounds with the smallest-label tie-break over
+    a block-structured doc graph (chains of 10 with +2 chords — real
+    community structure, the mirror/site-family signal a crawl corpus
+    diversifies on). The oracle unrolls the identical rounds; a visit-
+    order dependence, a wrong tie-break, or an asynchronous update all
+    break the hash."""
+    from .spark.graph import label_propagation
+
+    d = _spread(_t(spark, sf_dir, "documents")).select("doc_id")
+    e1 = (d.where(F.col("doc_id") % 10 != 9)
+          .select(F.col("doc_id").alias("src"),
+                  (F.col("doc_id") + 1).alias("tgt")))
+    e2 = (d.where((F.col("doc_id") % 10 < 8) & (F.col("doc_id") % 3 == 0))
+          .select(F.col("doc_id").alias("src"),
+                  (F.col("doc_id") + 2).alias("tgt")))
+    out = label_propagation(e1.union(e2), num_iters=4)
+    return (out.select("node", "label")
+            .repartition(1).sortWithinPartitions("node"))
+
+
 def _bfs_oracle_sql(rounds: int = 6) -> str:
     """Unrolled level-synchronous BFS over the LCG doc graph: round k's
     frontier = targets of round k-1 minus everything already visited."""

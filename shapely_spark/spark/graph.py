@@ -21,7 +21,7 @@ summation order, and round-6 outputs hash-match.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -303,3 +303,50 @@ def bfs_depths(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    num_iters: int = 5,
+    src: str = "src",
+    tgt: str = "tgt",
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """(node, label) after ``num_iters`` SYNCHRONOUS label-propagation
+    rounds (Raghavan et al. 2007) over the undirected view of the edge
+    set: every node adopts the most frequent label among its neighbors,
+    ties broken by the SMALLEST label — fully deterministic, no random
+    visit order, so two engines (and two cluster runs) agree exactly.
+    Labels start as node ids; isolated nodes keep their own label.
+
+    The community structure of a host graph is the standard
+    mirror/site-family signal (template farms, country mirrors) used to
+    diversify a crawl corpus. Per round: one neighbor-label join + one
+    (node, label) partial-agg count + one per-node top-1 window — the
+    count relation is (node, distinct neighbor label) grain, so a hub's
+    million same-label neighbors combine map-side before the shuffle.
+    Synchronous + deterministic tie-break can oscillate on bipartite
+    structures instead of converging; run a fixed round budget and cut
+    (the web-graph convention), labels checkpointed per round."""
+    e = edges.select(F.col(src).alias("a"), F.col(tgt).alias("b"))
+    sym = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+           .where(F.col("a") != F.col("b")).distinct()
+           .localCheckpoint(eager=True))
+    if nodes is None:
+        nodes = (sym.select(F.col("a").alias("node")).distinct())
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    nodes = nodes.repartition("node").persist()
+    labels = nodes.withColumn("lab", F.col("node"))
+    w = Window.partitionBy("ctr").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(num_iters):
+        cnt = (sym.join(labels.withColumnRenamed("node", "b"), "b")
+               .groupBy(F.col("a").alias("ctr"), "lab")
+               .agg(F.count("*").alias("c")))
+        top = (cnt.withColumn("__r", F.row_number().over(w))
+               .where(F.col("__r") == 1)
+               .select(F.col("ctr").alias("node"), F.col("lab").alias("new")))
+        labels = (labels.join(top, "node", "left")
+                  .select("node", F.coalesce("new", "lab").alias("lab"))
+                  .localCheckpoint(eager=True))
+    return labels.select("node", F.col("lab").alias("label"))

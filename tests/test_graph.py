@@ -320,3 +320,71 @@ class TestBfsDepths:
     def test_seed_rediscovery_keeps_depth_zero(self, spark):
         got = self._run(spark, [(0, 1), (1, 0)], [0])
         assert got[0] == 0
+
+
+class TestLabelPropagation:
+    def _run(self, spark, edges, iters=5, nodes=None):
+        from shapely_spark.spark.graph import label_propagation
+        e = spark.createDataFrame(edges, "src long, tgt long")
+        nd = (spark.createDataFrame([(x,) for x in nodes], "node long")
+              if nodes is not None else None)
+        return {r.node: r.label
+                for r in label_propagation(e, num_iters=iters,
+                                           nodes=nd).collect()}
+
+    @staticmethod
+    def _reference(edges, iters, nodes=None):
+        """Tiny python twin of the deterministic synchronous update:
+        most-frequent neighbor label, ties to the smallest label."""
+        from collections import Counter, defaultdict
+
+        nbrs = defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                nbrs[a].add(b)
+                nbrs[b].add(a)
+        labels = {v: v for v in (nodes if nodes is not None else nbrs)}
+        for _ in range(iters):
+            new = {}
+            for v, lab in labels.items():
+                if not nbrs[v]:
+                    new[v] = lab
+                    continue
+                cnt = Counter(labels[u] for u in nbrs[v])
+                best = max(cnt.values())
+                new[v] = min(l for l, c in cnt.items() if c == best)
+            labels = new
+        return labels
+
+    def test_two_cliques_with_bridge_matches_reference(self, spark):
+        # cliques {0,1,2} and {10,11,12} joined by one bridge 2-10.
+        # NB: with distinct init labels every first-round vote is a tie,
+        # so the min tie-break can flood a bridge label into the other
+        # clique — the gate semantics are "exact deterministic rounds",
+        # pinned here against an independent python twin.
+        clique = lambda ids: [(a, b) for a in ids for b in ids if a < b]
+        edges = clique([0, 1, 2]) + clique([10, 11, 12]) + [(2, 10)]
+        got = self._run(spark, edges, iters=6)
+        assert got == self._reference(edges, 6)
+        assert got[0] == got[1] == got[2] == 0  # left clique settles on 0
+
+    def test_random_graph_matches_reference(self, spark):
+        edges = [(i, (i * 13 + 5) % 30) for i in range(30)] + \
+                [(i, (i * 7 + 1) % 30) for i in range(0, 30, 2)]
+        got = self._run(spark, edges, iters=5)
+        assert got == self._reference(edges, 5)
+
+    def test_tie_breaks_to_min_label(self, spark):
+        # node 5 has neighbors 1 and 9 (one vote each) → adopts 1
+        got = self._run(spark, [(1, 5), (9, 5)], iters=1)
+        assert got[5] == 1
+
+    def test_isolated_node_keeps_label(self, spark):
+        got = self._run(spark, [(0, 1)], iters=3, nodes=[0, 1, 7])
+        assert got[7] == 7
+
+    def test_deterministic_across_runs(self, spark):
+        edges = [(i, (i * 7 + 3) % 20) for i in range(20)]
+        a = self._run(spark, edges, iters=4)
+        b = self._run(spark, edges, iters=4)
+        assert a == b
