@@ -1849,6 +1849,149 @@ def pagerank_personalized_seeds(spark, sf_dir):
             .repartition(1).sortWithinPartitions("node"))
 
 
+@q(
+    "warc_revisit_roundtrip",
+    f"""
+    WITH {_RECRAWL_SQL},
+    ch AS (SELECT url, text,
+                  lag(text) OVER (PARTITION BY url ORDER BY ts) AS prev
+           FROM p)
+    SELECT 'response' AS record_type, count(*)::BIGINT AS n,
+           sum(strlen(text))::BIGINT AS sum_len, 0::BIGINT AS n_linked
+    FROM ch WHERE prev IS NULL OR prev <> text
+    UNION ALL
+    SELECT 'revisit', count(*)::BIGINT, 0::BIGINT, count(*)::BIGINT
+    FROM ch WHERE prev IS NOT NULL AND prev = text
+    ORDER BY record_type
+    """,
+)
+def warc_revisit_roundtrip(spark, sf_dir):
+    """Revisit-deduplicated archive gate (spark/warc.py write_warc_dedup
+    + read_warc_records, r4): the multi-snapshot fixture is written the
+    way Common Crawl stores refetches — full ``response`` records for
+    each url's first/changed fetches, body-less ``revisit`` records
+    (sha1 payload digest + WARC-Refers-To) for unchanged ones — then
+    read back through the all-record-types scan. The gate counts each
+    record type, sums payload bytes (revisits MUST carry none), and
+    requires every revisit's Refers-To to resolve to a present response
+    record id (n_linked = n for revisits) — a mis-classified fetch, a
+    stored duplicate body, or a dangling pointer all break the hash."""
+    import tempfile
+
+    from .spark.warc import read_warc_records, write_warc_dedup
+
+    pages = (_synth_recrawl_pages(spark, sf_dir)
+             .select("url", "warc_ts",
+                     F.encode("text", "UTF-8").alias("html")))
+    path = tempfile.mkdtemp(prefix="shapely_spark_warc_rv_")
+    write_warc_dedup(pages, path)
+    recs = (read_warc_records(spark, path)
+            .where(F.col("record_type").isin("response", "revisit")))
+    ids = (recs.where(F.col("record_type") == "response")
+           .select(F.col("record_id").alias("refers_to"),
+                   F.lit(1).alias("__hit")))
+    return (recs.join(F.broadcast(ids), "refers_to", "left")
+            .groupBy("record_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(F.length("payload")).cast("long").alias("sum_len"),
+                 F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                 .cast("long").alias("n_linked"))
+            .repartition(1).sortWithinPartitions("record_type"))
+
+
+@q(
+    "sitemap_parse_stats",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 3 THEN NULL
+                  ELSE ['daily','weekly','monthly'][doc_id % 4 + 1]
+             END AS changefreq,
+             CASE WHEN doc_id % 3 = 0 THEN 0.5
+                  ELSE (doc_id % 10) / 10.0 END AS pri,
+             CAST(('2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                      2, '0'))::DATE AS TIMESTAMP)
+             + CASE WHEN doc_id % 5 = 0
+                    THEN INTERVAL 3 HOUR + INTERVAL 4 MINUTE
+                         + INTERVAL 5 SECOND
+                    ELSE INTERVAL 0 SECOND END AS lm
+      FROM documents),
+    urls AS (
+      SELECT FALSE AS is_index, changefreq, count(*)::BIGINT AS n,
+             CAST(round(sum(CAST(pri AS DECIMAL(18,6))), 1) AS DOUBLE)
+                 AS sum_pri,
+             min(epoch(lm))::BIGINT AS min_lm,
+             max(epoch(lm))::BIGINT AS max_lm
+      FROM f GROUP BY changefreq),
+    idx AS (
+      SELECT TRUE AS is_index, NULL::VARCHAR AS changefreq, 16::BIGINT AS n,
+             NULL::DOUBLE AS sum_pri, NULL::BIGINT AS min_lm,
+             NULL::BIGINT AS max_lm)
+    SELECT * FROM urls UNION ALL SELECT * FROM idx
+    ORDER BY is_index, changefreq NULLS FIRST
+    """,
+)
+def sitemap_parse_stats(spark, sf_dir):
+    """Sitemap-protocol gate (spark/sitemap.py, r4): build one real
+    sitemap.xml per host (urls in doc order with lastmod in BOTH W3C
+    forms — date-only and 'T'-timestamp — changefreq present for 3 of 4
+    urls, priority present for 2 of 3 and defaulting to 0.5 otherwise)
+    plus one sitemap INDEX listing the 16 child sitemaps; parse them all
+    through the JVM two-pass regex and aggregate by (is_index,
+    changefreq). The oracle restates every field rule closed form, so a
+    missed block, a wrong lastmod format branch, a priority default
+    fault, or index rows leaking into the url side all break the hash."""
+    from .spark.sitemap import parse_sitemaps
+
+    d = _spread(_t(spark, sf_dir, "documents")).select("doc_id")
+    did = F.col("doc_id")
+    url = F.concat(F.lit("https://h"), (did % 16).cast("string"),
+                   F.lit(".example.org/doc/"), did.cast("string"))
+    lm = F.concat(F.lit("2026-01-"),
+                  F.lpad((did % 28 + 1).cast("string"), 2, "0"),
+                  F.when(did % 5 == 0, F.lit("T03:04:05")).otherwise(F.lit("")))
+    freq_tag = F.when(
+        did % 4 == 3, F.lit("")
+    ).otherwise(F.concat(
+        F.lit("<changefreq>"),
+        F.element_at(F.array(F.lit("daily"), F.lit("weekly"),
+                             F.lit("monthly")), (did % 4 + 1).cast("int")),
+        F.lit("</changefreq>")))
+    pri_tag = F.when(did % 3 == 0, F.lit("")).otherwise(F.concat(
+        F.lit("<priority>0."), (did % 10).cast("string"),
+        F.lit("</priority>")))
+    block = F.concat(F.lit("<url><loc>"), url, F.lit("</loc><lastmod>"),
+                     lm, F.lit("</lastmod>"), freq_tag, pri_tag,
+                     F.lit("</url>"))
+    sm = (d.select((did % 16).alias("h"), F.struct(did.alias("i"),
+                                                   block.alias("b")).alias("s"))
+          .groupBy("h")
+          .agg(F.concat(
+              F.lit('<?xml version="1.0"?><urlset>'),
+              F.array_join(F.transform(F.array_sort(F.collect_list("s")),
+                                       lambda x: x["b"]), ""),
+              F.lit("</urlset>")).alias("xml"))
+          .select(F.concat(F.lit("https://h"), F.col("h").cast("string"),
+                           F.lit(".example.org/sitemap.xml")
+                           ).alias("sitemap_url"), "xml"))
+    idx_xml = ("<sitemapindex>" + "".join(
+        f"<sitemap><loc>https://h{i}.example.org/sitemap.xml</loc></sitemap>"
+        for i in range(16)) + "</sitemapindex>")
+    idx = spark.createDataFrame(
+        [("https://example.org/sitemap_index.xml", idx_xml)],
+        "sitemap_url string, xml string")
+    parsed = parse_sitemaps(sm.unionByName(idx))
+    return (parsed.groupBy("is_index", "changefreq")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum(F.col("priority").cast("decimal(18,6)")), 1)
+                 .cast("double").alias("sum_pri"),
+                 F.min(F.unix_timestamp("lastmod")).alias("min_lm"),
+                 F.max(F.unix_timestamp("lastmod")).alias("max_lm"))
+            .repartition(1)
+            .sortWithinPartitions(F.col("is_index"),
+                                  F.col("changefreq").asc_nulls_first()))
+
+
 def _lpa_oracle_sql(iters: int = 4) -> str:
     """Unrolled synchronous label propagation (min-label tie-break) over
     the block-chain doc graph: blocks of 10 chained by +1 edges plus +2

@@ -33,6 +33,7 @@ microseconds (WARC 1.1 allows fractional seconds in WARC-Date).
 
 from __future__ import annotations
 
+import base64
 import gzip
 import hashlib
 import io
@@ -92,6 +93,30 @@ def encode_warc_response(url: str, ts_iso: str, html: bytes,
            f"Content-Type: application/http; msgtype=response\r\n"
            f"Content-Length: {len(http)}\r\n\r\n").encode()
     return hdr + http + b"\r\n\r\n"
+
+
+def encode_warc_revisit(url: str, ts_iso: str, payload: bytes,
+                        refers_ts_iso: str) -> bytes:
+    """One uncompressed WARC ``revisit`` record (WARC 1.1 §6.7.2,
+    identical-payload-digest profile): an unchanged refetch carries NO
+    payload — only the sha1 payload digest and a WARC-Refers-To pointer
+    at the response record of the version it duplicates (same
+    deterministic id scheme as encode_warc_response), which is how
+    Common Crawl stores refetches without re-storing bodies."""
+    digest = "sha1:" + base64.b32encode(
+        hashlib.sha1(payload).digest()).decode()
+    hdr = (f"{WARC_VERSION}\r\n"
+           f"WARC-Type: revisit\r\n"
+           f"WARC-Target-URI: {url}\r\n"
+           f"WARC-Date: {ts_iso}\r\n"
+           f"WARC-Record-ID: {_record_id(url + '#revisit', ts_iso)}\r\n"
+           f"WARC-Refers-To: {_record_id(url, refers_ts_iso)}\r\n"
+           f"WARC-Payload-Digest: {digest}\r\n"
+           f"WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
+           f"identical-payload-digest\r\n"
+           f"Content-Type: message/http\r\n"
+           f"Content-Length: 0\r\n\r\n").encode()
+    return hdr + b"\r\n\r\n"
 
 
 def _encode_warcinfo(filename: str) -> bytes:
@@ -428,3 +453,102 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return files.select("path", "content").mapInPandas(_parse, _WET_DT)
+
+
+def write_warc_dedup(
+    pages: DataFrame,
+    path: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> list:
+    """Revisit-deduplicated WARC sink: the Common Crawl storage
+    convention for a multi-snapshot archive. Each url's FIRST fetch and
+    every CHANGED refetch (64-bit digest lag over the url window — the
+    same classification as crawl.version_changes) write full ``response``
+    records; unchanged refetches write body-less ``revisit`` records
+    whose WARC-Refers-To points at the response record of the version
+    they duplicate (the most recent changed fetch). One url-window
+    shuffle for the classification, then the same per-partition
+    one-gzip-member-per-record writer as write_warc."""
+    from pyspark.sql import Window
+
+    os.makedirs(path, exist_ok=True)
+    w = Window.partitionBy(url_col).orderBy(F.col(ts_col).asc())
+    fp = F.xxhash64(F.col(html_col))
+    prev = F.lag(fp).over(w)
+    keep = prev.isNull() | (prev != fp)
+    ts_iso = F.date_format(ts_col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    # the response record this fetch's content belongs to: the most
+    # recent kept (first/changed) fetch at or before it, in the window
+    keeper = F.last(F.when(keep, ts_iso), ignorenulls=True).over(
+        Window.partitionBy(url_col).orderBy(F.col(ts_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cols = pages.select(F.col(url_col).alias("url"), ts_iso.alias("ts_iso"),
+                        F.col(html_col).alias("html"),
+                        keep.alias("keep"), keeper.alias("keeper_iso"))
+
+    def _write(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = f"part-{pid:05d}.warc.gz"
+        chunks = []
+        nrec = 0
+        for pdf in batches:
+            for url, ts_iso, html, keep, keeper in zip(
+                    pdf["url"], pdf["ts_iso"], pdf["html"],
+                    pdf["keep"], pdf["keeper_iso"]):
+                payload = bytes(html) if html is not None else b""
+                if keep:
+                    rec = encode_warc_response(url, ts_iso, payload)
+                else:
+                    rec = encode_warc_revisit(url, ts_iso, payload, keeper)
+                chunks.append(_gzip_member(rec))
+                nrec += 1
+        if not nrec:
+            return
+        data = _gzip_member(_encode_warcinfo(fname)) + b"".join(chunks)
+        with open(os.path.join(path, fname), "wb") as f:
+            f.write(data)
+        yield pd.DataFrame({"file": [fname], "records": [nrec],
+                            "bytes": [len(data)]})
+
+    return cols.mapInPandas(_write, _MANIFEST_DT).collect()
+
+
+_RECORDS_DT = ("record_type string, url string, warc_ts timestamp, "
+               "payload binary, record_id string, refers_to string, "
+               "payload_digest string")
+
+
+def read_warc_records(spark: SparkSession, path: str) -> DataFrame:
+    """Scan ``*.warc.gz`` into ALL record types (response, revisit,
+    conversion, warcinfo, …) with their linkage headers — the audit
+    view of an archive; ``read_warc`` remains the pages-shaped
+    response-only view."""
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("record_type", "url", "warc_ts",
+                                    "payload", "record_id", "refers_to",
+                                    "payload_digest")}
+            for raw in pdf["content"]:
+                for _off, _ln, rec in iter_warc_members(bytes(raw)):
+                    h = parse_warc_record(rec)
+                    rows["record_type"].append(h.get("WARC-Type"))
+                    rows["url"].append(h.get("WARC-Target-URI"))
+                    rows["warc_ts"].append(h.get("WARC-Date"))
+                    rows["payload"].append(h["payload"])
+                    rows["record_id"].append(h.get("WARC-Record-ID"))
+                    rows["refers_to"].append(h.get("WARC-Refers-To"))
+                    rows["payload_digest"].append(h.get("WARC-Payload-Digest"))
+            ts = pd.Series(rows["warc_ts"], dtype="object")
+            rows["warc_ts"] = pd.to_datetime(ts.str.rstrip("Z"),
+                                             format="ISO8601")
+            yield pd.DataFrame(rows)
+
+    reader = spark.read.format("binaryFile")
+    if os.path.isdir(path):
+        reader = reader.option("pathGlobFilter", "*.warc.gz")
+    return reader.load(path).select("content").mapInPandas(_parse, _RECORDS_DT)

@@ -238,3 +238,45 @@ def test_http_envelope_default_bytes_unchanged():
     rec2 = encode_warc_response("https://a/b", "2026-01-01T00:00:00.000000Z",
                                 b"<p>x</p>", status=418)
     assert b"HTTP/1.1 418 Status\r\n" in rec2
+
+
+def test_revisit_dedup_roundtrip(spark, tmp_path):
+    """Unchanged refetches become body-less revisit records whose
+    Refers-To resolves to the stored response; changed fetches store
+    full bodies; payload digests match the referenced content."""
+    import base64
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from shapely_spark.spark.warc import read_warc_records, write_warc_dedup
+
+    rows = [
+        ("https://a/x", 1_700_000_000, b"v1"),
+        ("https://a/x", 1_700_000_100, b"v1"),   # revisit of v1
+        ("https://a/x", 1_700_000_200, b"v2"),   # changed
+        ("https://a/x", 1_700_000_300, b"v2"),   # revisit of v2
+        ("https://a/y", 1_700_000_000, b"only"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "epoch", "html"]),
+        "url string, epoch long, html binary",
+    ).withColumn("warc_ts", F.col("epoch").cast("timestamp")).drop("epoch")
+    path = str(tmp_path / "rv")
+    write_warc_dedup(df, path)
+    recs = read_warc_records(spark, path).collect()
+    by_type = {}
+    for r in recs:
+        by_type.setdefault(r.record_type, []).append(r)
+    assert len(by_type["response"]) == 3          # v1, v2, only
+    assert len(by_type["revisit"]) == 2
+    resp_ids = {r.record_id for r in by_type["response"]}
+    resp_payloads = {r.record_id: bytes(r.payload)
+                     for r in by_type["response"]}
+    for rv in by_type["revisit"]:
+        assert len(bytes(rv.payload)) == 0        # body-less
+        assert rv.refers_to in resp_ids           # pointer resolves
+        want = ("sha1:" + base64.b32encode(hashlib.sha1(
+            resp_payloads[rv.refers_to]).digest()).decode())
+        assert rv.payload_digest == want          # digest matches content
