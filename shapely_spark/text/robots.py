@@ -189,3 +189,32 @@ def robots_filter(
     flag = F.when(~gated | host.isNull(), F.lit(True)).otherwise(
         _allowed(F.when(gated, host), F.when(gated, path)))
     return pages.withColumn(flag_col, flag)
+
+
+def sitemap_urls(text: str) -> list[str]:
+    """The ``Sitemap:`` directives of a robots.txt (RFC 9309 §2.3 allows
+    non-group records; sitemaps.org specifies this discovery channel).
+    Group-independent per the spec — collected from the whole file, in
+    file order, case-insensitive key, absolute urls as given."""
+    out = []
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap" and val.strip():
+            out.append(val.strip())
+    return out
+
+
+def sitemap_urls_col(robots_txt):
+    """JVM column twin of ``sitemap_urls``: array<string> of the
+    Sitemap: directive values (case-insensitive key, comments and
+    whitespace stripped) — feeds spark/sitemap.parse_sitemaps without a
+    UDF."""
+    lines = F.split(robots_txt, "\n")
+    vals = F.transform(
+        lines,
+        lambda ln: F.trim(F.regexp_extract(
+            ln, r"(?i)^\s*sitemap\s*:\s*([^#]*)", 1)))
+    return F.filter(vals, lambda v: v != "")

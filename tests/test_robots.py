@@ -105,3 +105,20 @@ def test_url_path_col_root_fallback(spark):
     got = [r.p for r in df.select(
         url_path_col(F.col("u")).alias("p")).collect()]
     assert got == ["/", "/p/q"]
+
+
+def test_sitemap_directive_extraction(spark):
+    from pyspark.sql import functions as F
+
+    from shapely_spark.text.robots import sitemap_urls, sitemap_urls_col
+
+    txt = ("User-agent: *\nDisallow: /private\n"
+           "Sitemap: https://a.example.org/sitemap.xml\n"
+           "sitemap:https://a.example.org/s2.xml  # comment\n"
+           "SITEMAP: \n"   # empty value: dropped
+           "NotSitemap: https://x\n")
+    want = ["https://a.example.org/sitemap.xml", "https://a.example.org/s2.xml"]
+    assert sitemap_urls(txt) == want
+    df = spark.createDataFrame([(txt,)], "t string")
+    got = df.select(sitemap_urls_col(F.col("t"))).collect()[0][0]
+    assert got == want
