@@ -177,9 +177,10 @@ def robots_filter(
                 tie = m & (ln == best) & allow
                 verdict = verdict.where(~better, allow).where(~tie, True)
                 best = best.where(~better, ln)
-            # the where-chain can promote verdict to object dtype; cast
-            # back so the bool-Series assignment stays dtype-clean
-            out[mask] = verdict.astype(bool)
+            # masked Series-to-Series assignment trips pandas' dtype
+            # deprecation even for bool values — assign a plain ndarray
+            # through .loc (verdict's index IS the masked index)
+            out.loc[mask] = verdict.astype(bool).to_numpy()
         return out
 
     # JVM prefilter: only urls whose host HAS a blocking group reach the
