@@ -187,15 +187,23 @@ def spatial_join(
 
         @F.pandas_udf("boolean")
         def refine(rid: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
-            cls = bc.value.classify_many(
-                rid.to_numpy(dtype=np.int64),
-                lon.to_numpy(dtype=np.float64),
-                lat.to_numpy(dtype=np.float64),
-            )
-            return pd.Series(_classify_to_bool(cls, predicate))
+            # full-cell rows arrive with rid NULL-masked JVM-side (see the
+            # single-plan filter below): first move is one vectorized null
+            # mask, so bypass rows cost no kernel work and no dispatch.
+            mask = rid.notna().to_numpy()
+            out = np.zeros(len(rid), dtype=bool)
+            if mask.any():
+                cls = bc.value.classify_many(
+                    rid[mask].to_numpy(dtype=np.int64),
+                    lon[mask].to_numpy(dtype=np.float64),
+                    lat[mask].to_numpy(dtype=np.float64),
+                )
+                out[mask] = _classify_to_bool(cls, predicate)
+            return pd.Series(out)
 
         j = points.join(covers, points[cell_col_name] == covers["__cover_cell"], "inner")
-        refine_call = refine(F.col("region_id"), F.col(lon_c), F.col(lat_c))
+        refine_call = refine(
+            F.when(~F.col("__full"), F.col("region_id")), F.col(lon_c), F.col(lat_c))
     else:
         covers = covers_df(regions, res, with_wkb=True).select(
             F.col("region_id"),
@@ -221,17 +229,24 @@ def spatial_join(
             return pd.Series(out)
 
         j = points.join(covers, points[cell_col_name] == covers["__cover_cell"], "inner")
+        # covers_df inlines wkb=None on full cells, so __wkb is already the
+        # NULL-mask: refine_wkb's factorize maps it to code -1 → False.
         refine_call = refine_wkb(F.col("__wkb"), F.col(lon_c), F.col(lat_c))
 
-    # split so the refine UDF only ever sees partial-cell rows (no reliance
-    # on boolean short-circuiting, which Catalyst does not guarantee for UDFs)
+    # ONE plan, ONE pages scan. An earlier two-branch full/partial Union
+    # re-ran the pages scan + geotag extraction once PER BRANCH (the
+    # "union branches re-execute their whole upstream" trap — at 100 TB
+    # that doubles the dominant scan cost). Instead full-cell rows bypass
+    # via `__full | refine(NULL-fed args)`: the refine UDF's first move is
+    # a vectorized null mask, so the bypass rows cost one Arrow transfer of
+    # nulls, and the upstream runs once.
     keep_cols = [c for c in points.columns if not (drop_cell and c == cell_col_name)]
     out_cols = [points[c] for c in keep_cols] + [covers["region_id"]]
-    partial = j.where(~F.col("__full")).where(refine_call).select(*out_cols)
     if predicate in _FULL_OK:
-        full = j.where(F.col("__full")).select(*out_cols)
-        return full.unionByName(partial)
-    return partial  # touches: full-interior cells can never touch the boundary
+        cond = F.col("__full") | refine_call
+    else:  # touches: full-interior cells can never touch the boundary
+        cond = ~F.col("__full") & refine_call
+    return j.where(cond).select(*out_cols)
 
 
 _GEOM_BY_WKB: dict[bytes, object] = {}
