@@ -115,6 +115,71 @@ def _compile_host(rules: list[tuple[bool, str]]):
     return out
 
 
+def _match_paths(rules, paths: pd.Series) -> pd.Series:
+    """Vectorized most-specific-match over one host's compiled rules:
+    one ``str.match`` per rule across every path in the batch slice.
+    ``rules``: [(compiled_rx, is_allow, pattern_len)]."""
+    verdict = pd.Series(True, index=paths.index)
+    best = pd.Series(-1, index=paths.index)
+    for rx, allow, ln in rules:  # file order; longest wins,
+        m = paths.str.match(rx)  # allow wins a length tie
+        better = m & (ln > best)
+        tie = m & (ln == best) & allow
+        verdict = verdict.where(~better, allow).where(~tie, True)
+        best = best.where(~better, ln)
+    return verdict
+
+
+def compiled_rules_df(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Distributed compile of the robots relation: one row per host whose
+    selected group can actually BLOCK something — (h, rules) where rules
+    is a JSON list of (regex_source, is_allow, pattern_len). Hosts that
+    allow everything drop out here, so the compiled relation is typically
+    a small fraction of the robots corpus and never touches the driver."""
+    schema = "h string, rules string"
+
+    def gen(batches):
+        import json
+
+        for pdf in batches:
+            hs, rs = [], []
+            for h, t in zip(pdf["h"], pdf["t"]):
+                c = _compile_host(parse_robots(t, agent))
+                if c is not None:
+                    hs.append(h)
+                    rs.append(json.dumps(
+                        [(rx.pattern, allow, ln) for rx, allow, ln in c]))
+            yield pd.DataFrame({"h": pd.Series(hs, dtype="object"),
+                                "rules": pd.Series(rs, dtype="object")})
+
+    return robots.select(
+        F.lower(F.col(host_col)).alias("h"), F.col(text_col).alias("t")
+    ).mapInPandas(gen, schema)
+
+
+# executor-local compiled-ruleset cache for the join tier: a hot host's
+# rules JSON recompiles once per executor, not once per Arrow batch.
+_RULES_BY_JSON: dict[str, list] = {}
+
+
+def _rules_from_json(spec: str) -> list:
+    rules = _RULES_BY_JSON.get(spec)
+    if rules is None:
+        import json
+
+        if len(_RULES_BY_JSON) > 8192:
+            _RULES_BY_JSON.clear()
+        rules = [(re.compile(p), bool(allow), int(ln))
+                 for p, allow, ln in json.loads(spec)]
+        _RULES_BY_JSON[spec] = rules
+    return rules
+
+
 def url_path_col(url: Column) -> Column:
     """The path component robots rules match against (JVM parse_url;
     '/' when empty)."""
@@ -130,13 +195,38 @@ def robots_filter(
     text_col: str = "robots_txt",
     agent: str = "*",
     flag_col: str = "robots_allowed",
+    tier: str = "join",
 ) -> DataFrame:
     """pages + a boolean ``robots_allowed`` column. ``robots`` is one
     row per host (host, robots_txt); hosts with no row — or a group
-    with no Disallow — allow everything without entering the UDF
-    (a JVM membership prefilter on the broadcast blocked-host set).
+    with no Disallow — allow everything without entering the UDF.
     Flag-don't-drop: filter on the flag downstream, keep the removal
-    rate auditable."""
+    rate auditable.
+
+    Tiers (the ANN/BPE tiering discipline):
+
+    - ``tier="join"`` (default, the 100-TB path): rules compile
+      DISTRIBUTED via ``compiled_rules_df`` (allow-all hosts drop out
+      map-side), then equi-join pages on host — Catalyst/AQE broadcasts
+      the compiled relation when it is small and shuffle-joins it when
+      it is not (10^7–10^8 robots hosts at Common-Crawl scale). Pages
+      whose host has no blocking group get a NULL rules column from the
+      left join and are allowed pure-JVM; only blocked-host rows enter
+      the Arrow refine, which factorizes the (executor-cached) ruleset
+      per batch and runs one vectorized str.match per rule. Nothing is
+      ever collected to the driver and no |hosts|-sized literal enters
+      the plan.
+    - ``tier="driver"``: the original tiny-relation path — compile on
+      the driver, broadcast a dict, prefilter with an in-plan host set.
+      Only sensible when the robots relation is interactive-small
+      (≲10^4 hosts): the collect is O(|hosts|) driver memory and the
+      host-set literal is an O(|hosts|) expression tree.
+    """
+    if tier == "join":
+        return _robots_filter_join(
+            pages, robots, url_col, host_col, text_col, agent, flag_col)
+    if tier != "driver":
+        raise ValueError(f"tier must be 'join' or 'driver', got {tier!r}")
     rows = robots.select(F.lower(F.col(host_col)).alias("h"),
                          F.col(text_col).alias("t")).collect()
     compiled = {}
@@ -168,15 +258,7 @@ def robots_filter(
                 rules = [(re.compile(p), allow, ln) for p, allow, ln in spec]
                 cache[h] = rules
             mask = host_s == h
-            paths = path_s[mask]
-            verdict = pd.Series(True, index=paths.index)
-            best = pd.Series(-1, index=paths.index)
-            for rx, allow, ln in rules:  # file order; longest wins,
-                m = paths.str.match(rx)  # allow wins a length tie
-                better = m & (ln > best)
-                tie = m & (ln == best) & allow
-                verdict = verdict.where(~better, allow).where(~tie, True)
-                best = best.where(~better, ln)
+            verdict = _match_paths(rules, path_s[mask])
             # masked Series-to-Series assignment trips pandas' dtype
             # deprecation even for bool values — assign a plain ndarray
             # through .loc (verdict's index IS the masked index)
@@ -190,6 +272,58 @@ def robots_filter(
     flag = F.when(~gated | host.isNull(), F.lit(True)).otherwise(
         _allowed(F.when(gated, host), F.when(gated, path)))
     return pages.withColumn(flag_col, flag)
+
+
+def _robots_filter_join(
+    pages: DataFrame,
+    robots: DataFrame,
+    url_col: str,
+    host_col: str,
+    text_col: str,
+    agent: str,
+    flag_col: str,
+) -> DataFrame:
+    """Join tier of ``robots_filter`` (see its docstring). Plan:
+    pages ⟕ compiled_rules ON lower(host); NULL rules ⇒ allowed JVM-side;
+    non-NULL rows refine in one Arrow UDF grouped by ruleset."""
+    compiled = compiled_rules_df(robots, host_col, text_col, agent)
+    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    path = url_path_col(F.col(url_col))
+    rules_c, path_c = "__robots_rules", "__robots_path"
+
+    joined = (
+        pages.withColumn("__robots_host", host)
+        .join(compiled.select(F.col("h").alias("__robots_host"),
+                              F.col("rules").alias(rules_c)),
+              on="__robots_host", how="left")
+        .withColumn(path_c, path)
+    )
+
+    @F.pandas_udf("boolean")
+    def _allowed_rules(rules_s: pd.Series, path_s: pd.Series) -> pd.Series:
+        out = pd.Series(True, index=rules_s.index)
+        codes, uniques = pd.factorize(rules_s)
+        import numpy as np
+
+        for u_idx in range(len(uniques)):
+            spec = uniques[u_idx]
+            if spec is None:
+                continue
+            rules = _rules_from_json(spec)
+            mask = codes == u_idx
+            verdict = _match_paths(rules, path_s[np.asarray(mask)])
+            out.loc[np.asarray(mask)] = verdict.astype(bool).to_numpy()
+        return out
+
+    # NULL-mask the path too: allowed rows (the vast majority) move only
+    # nulls over Arrow instead of their path strings
+    flag = F.when(F.col(rules_c).isNull(), F.lit(True)).otherwise(
+        _allowed_rules(F.col(rules_c),
+                       F.when(F.col(rules_c).isNotNull(), F.col(path_c))))
+    return (
+        joined.withColumn(flag_col, flag)
+        .drop("__robots_host", rules_c, path_c)
+    )
 
 
 def sitemap_urls(text: str) -> list[str]:

@@ -89,14 +89,69 @@ def test_robots_filter_matches_scalar_reference(spark):
 
 
 def test_filter_without_blocking_hosts_is_pure_jvm(spark):
+    # driver tier: with no blocking hosts the whole filter folds to a
+    # literal True and no Python ever enters the pages plan
     robots = spark.createDataFrame(
         [("open.org", "User-agent: *\nAllow: /\n")],
         "host string, robots_txt string")
     pages = spark.createDataFrame([("https://open.org/x",)], "url string")
-    out = robots_filter(pages, robots)
+    out = robots_filter(pages, robots, tier="driver")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert out.collect()[0].robots_allowed is True
+
+
+def test_join_tier_matches_driver_tier(spark):
+    robots = spark.createDataFrame(
+        [("blocked.org", EXAMPLE),
+         ("open.org", "User-agent: *\nDisallow:\n")],
+        "host string, robots_txt string")
+    urls = [
+        "https://blocked.org/private/secret.html",
+        "https://blocked.org/private/public.html",
+        "https://blocked.org/docs/x.pdf",
+        "https://blocked.org/ok/page",
+        "https://open.org/private/secret.html",
+        "https://norobots.org/anything",
+        "https://BLOCKED.org/tmp/y",
+    ]
+    pages = spark.createDataFrame([(u,) for u in urls], "url string")
+    a = {r.url: r.robots_allowed
+         for r in robots_filter(pages, robots, tier="join").collect()}
+    b = {r.url: r.robots_allowed
+         for r in robots_filter(pages, robots, tier="driver").collect()}
+    assert a == b
+    assert a["https://blocked.org/private/secret.html"] is False
+    assert a["https://blocked.org/private/public.html"] is True
+    # join tier preserves pages columns and row count
+    out = robots_filter(pages, robots, tier="join")
+    assert out.columns == ["url", "robots_allowed"]
+    assert out.count() == len(urls)
+
+
+def test_join_tier_scales_without_host_literal(spark):
+    # 10^5 synthetic hosts: the driver tier would inline a 10^5-element
+    # array literal into the plan; the join tier's plan size must stay
+    # independent of |hosts| (rules ride a join relation, not the plan).
+    n = 100_000
+    robots = spark.range(n).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example.org")).alias("host"),
+        F.concat(F.lit("User-agent: *\nDisallow: /priv"),
+                 F.col("id") % 7, F.lit("/\n")).alias("robots_txt"))
+    pages = spark.createDataFrame(
+        [("https://h12345.example.org/priv4/x",),   # 12345 % 7 == 4 -> blocked
+         ("https://h12345.example.org/pub/x",),
+         ("https://h6.example.org/priv6/x",),       # 6 % 7 == 6 -> blocked
+         ("https://unknown.example.org/priv0/x",)],
+        "url string")
+    out = robots_filter(pages, robots, tier="join")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 100_000, f"plan grew with |hosts|: {len(plan)} chars"
+    got = {r.url: r.robots_allowed for r in out.collect()}
+    assert got["https://h12345.example.org/priv4/x"] is False
+    assert got["https://h12345.example.org/pub/x"] is True
+    assert got["https://h6.example.org/priv6/x"] is False
+    assert got["https://unknown.example.org/priv0/x"] is True
 
 
 def test_url_path_col_root_fallback(spark):
