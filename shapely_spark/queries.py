@@ -6558,6 +6558,109 @@ def spatial_join_ngon_pairs(spark, sf_dir):
     )
 
 
+def _diamond_wkb(cx: float, cy: float, r: float) -> bytes:
+    """Axis-diagonal square (L1 ball) with EXACT integer-fp vertices —
+    non-rectangular on purpose (the JVM rect closed form must not fire)
+    and corner coordinates that coincide bit-exactly across neighbors
+    (trig-built n-gons put cos(π/2)≈6e-17 jitter on the corners, which
+    would turn exact corner touches into near-misses)."""
+    from .geo.geom import POLYGON, Geometry
+    from .geo.wkb import to_wkb
+
+    ring = np.array([[cx + r, cy], [cx, cy + r], [cx - r, cy],
+                     [cx, cy - r], [cx + r, cy]], dtype=np.float64)
+    return to_wkb(Geometry(POLYGON, rings=[ring]))
+
+
+def _diamond_lattice_left(spark, sf_dir, r_expr):
+    """part → left layer: one diamond per p_partkey centered EXACTLY on
+    its 5×5 lattice point (spacing 24), half-diagonal r_expr(gid)."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    params = _spread(p.select(
+        k.alias("gid"),
+        ((k % 5) * 24 - 48).cast("double").alias("cx"),
+        ((F.floor(k / 5) % 5) * 24 - 48).cast("double").alias("cy"),
+        r_expr(k).cast("double").alias("r"),
+    ))
+
+    def lgen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "gid": pdf.gid,
+                "wkb": [_diamond_wkb(cx, cy, r)
+                        for cx, cy, r in zip(pdf.cx, pdf.cy, pdf.r)],
+            })
+
+    return params.mapInPandas(lgen, "gid long, wkb binary")
+
+
+@q(
+    "spatial_join_touches_pairs",
+    """
+    SELECT p_partkey AS gid,
+           CAST(((p_partkey // 5) % 5 + dy) * 5 + (p_partkey % 5 + dx) AS BIGINT)
+               AS region_id
+    FROM part, (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS d(dx, dy)
+    WHERE p_partkey % 5 + dx BETWEEN 0 AND 4
+      AND (p_partkey // 5) % 5 + dy BETWEEN 0 AND 4
+    ORDER BY gid, region_id
+    """,
+)
+def spatial_join_touches_pairs(spark, sf_dir):
+    """`touches` geometry×geometry join over two NON-rectangular layers
+    (r4 verdict item 4's gate: every candidate must take the
+    group-vectorized classify, geo/group_predicates.py — no per-pair
+    scalar kernel on the path). Both layers are half-diagonal-12 diamonds
+    on the same spacing-24 5×5 lattice: a diamond touches each in-grid
+    4-neighbor at exactly one bit-identical corner point (12 + 12 = 24
+    along the axis), its own cell's twin is EQUAL (interiors intersect ⇒
+    touches false — the DE-9IM 'F' interior cell), and diagonal
+    neighbors are L1-distance 48 > 24 apart (disjoint). Closed form:
+    gid ↔ in-grid 4-neighborhood of cell (gid%5, ⌊gid/5⌋%5).
+    Reference semantics: shapely/predicates.py:968 touches."""
+    from .spark.join import spatial_join_geom
+
+    left = _diamond_lattice_left(spark, sf_dir, lambda k: F.lit(12))
+    rows = [(r, _diamond_wkb((r % 5) * 24 - 48, (r // 5) * 24 - 48, 12.0))
+            for r in range(25)]
+    right = spark.createDataFrame(rows, "region_id long, wkb binary")
+    return (
+        spatial_join_geom(left, right, predicate="touches", left_id="gid")
+        .repartition(1).sortWithinPartitions("gid", "region_id")
+    )
+
+
+@q(
+    "spatial_join_contains_pairs",
+    """
+    SELECT p_partkey AS gid,
+           CAST(((p_partkey // 5) % 5) * 5 + p_partkey % 5 AS BIGINT) AS region_id
+    FROM part ORDER BY gid, region_id
+    """,
+)
+def spatial_join_contains_pairs(spark, sf_dir):
+    """`contains` geometry×geometry join over two non-rectangular layers
+    (r4 verdict item 4): left diamonds (half-diagonal 8+gid%3) centered
+    on the lattice must contain exactly their own cell's small right
+    diamond (half-diagonal 2 at lattice + (3,1): L1 reach 3+1+2 = 6 < 8)
+    and no neighbor's (center L1 distance ≥ 24-4 = 20 > 10+2). The
+    group path's batched bbox-containment gate kills every cross-cell
+    candidate with zero per-pair Python; survivors are exactly the true
+    pairs. Reference semantics: shapely/predicates.py:556 contains."""
+    from .spark.join import spatial_join_geom
+
+    left = _diamond_lattice_left(spark, sf_dir, lambda k: 8 + k % 3)
+    rows = [(r, _diamond_wkb((r % 5) * 24 - 48 + 3.0,
+                             (r // 5) * 24 - 48 + 1.0, 2.0))
+            for r in range(25)]
+    right = spark.createDataFrame(rows, "region_id long, wkb binary")
+    return (
+        spatial_join_geom(left, right, predicate="contains", left_id="gid")
+        .repartition(1).sortWithinPartitions("gid", "region_id")
+    )
+
+
 @q(
     "anchor_text_top_terms",
     f"""

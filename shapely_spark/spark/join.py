@@ -396,27 +396,28 @@ def _pair_refine_batch(
         else:
             remainder = alive  # predicate has no closed form; scalar everything
 
-    # exact kernel for the rest, grouped by right code. intersects (the
-    # join hot path) runs the group-vectorized kernel — one stacked NumPy
-    # pass per right geometry (kernels.group_intersects, r4); other
-    # predicates fall back to the scalar kernel per pair.
+    # group-vectorized kernel for the rest, grouped by right code — ONE
+    # stacked NumPy cascade per right geometry for every supported
+    # predicate (geo/group_predicates.py, r5; intersects was the first,
+    # kernels.group_intersects r4). Per-pair scalar dispatch remains only
+    # for batch shapes the group kernel declines (non-areal right,
+    # GeometryCollection lefts handled inside it).
+    from ..geo.group_predicates import group_predicate
+
     idx = np.nonzero(remainder)[0]
     if len(idx):
-        if predicate == "intersects":
-            for u, gi in _group_ranges(rc[idx]):
-                rg = runiq_geoms[u]
-                if rg is None:
-                    continue
-                sel = idx[gi]
-                out[sel] = K.group_intersects(
-                    [lgeoms[lc[i]] for i in sel], rg)
-        else:
-            idx = idx[np.argsort(rc[idx], kind="stable")]
-            for i in idx:
-                lg, rg = lgeoms[lc[i]], runiq_geoms[rc[i]]
-                if lg is None or rg is None:
-                    continue
-                out[i] = bool(fn(lg, rg))
+        for u, gi in _group_ranges(rc[idx]):
+            rg = runiq_geoms[u]
+            if rg is None:
+                continue
+            sel = idx[gi]
+            batch = [lgeoms[lc[i]] for i in sel]
+            res = group_predicate(predicate, batch, rg)
+            if res is None:
+                res = np.fromiter(
+                    (g is not None and bool(fn(g, rg)) for g in batch),
+                    dtype=bool, count=len(batch))
+            out[sel] = res
     return out
 
 
