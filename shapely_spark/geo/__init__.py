@@ -60,6 +60,23 @@ from .geometry import (  # noqa: F401
 )
 from . import geometry  # noqa: F401
 from . import vectorized  # noqa: F401,E402
+from .errors import (  # noqa: F401
+    DimensionError, EmptyPartError, GEOSException, ShapelyError,
+    TopologicalError, UnsupportedGEOSVersionError, setup_signal_checks,
+)
+from . import errors  # noqa: F401
+from .coords import CoordinateSequence  # noqa: F401
+from . import coords  # noqa: F401
+
+# GEOS version surface (reference shapely/__init__.py: geos_version et
+# al. from shapely.lib). No libgeos runs here — these report the GEOS
+# whose semantics the kernels pin (the reference fixtures this repo
+# gates against), marked as emulated in the strings. Downstream
+# capability checks (`geos_version >= (3, 12, 0)`) work unchanged.
+geos_version = (3, 13, 0)
+geos_capi_version = (1, 19, 2)
+geos_version_string = "3.13.0 (shapely_spark emulation)"
+geos_capi_version_string = "3.13.0-CAPI-1.19.2 (shapely_spark emulation)"
 
 
 def __getattr__(name):

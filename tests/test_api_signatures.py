@@ -191,3 +191,76 @@ def test_top_level_namespace_resolves_reference_all():
     assert len(names) > 120  # the sweep actually found the lists
     unresolved = sorted(n for n in names if not hasattr(ss, n))
     assert unresolved == [], f"reference top-level symbols missing: {unresolved}"
+
+
+def test_errors_geos_coords_modules_resolve():
+    """r4 verdict items: the reference's errors / geos / coords module
+    surfaces must resolve with the same class relationships — ported
+    `except GEOSException:` / `geos_version >= (3, x)` / `.xy`-on-coords
+    code works unchanged."""
+    import warnings
+
+    import shapely_spark.geo as g
+    from shapely_spark.geo import errors
+
+    # every public top-level name the reference errors.py defines
+    src = open(os.path.join(REF, "errors.py")).read()
+    tree = ast.parse(src)
+    for node in tree.body:
+        for name in ([node.name] if isinstance(
+                node, (ast.ClassDef, ast.FunctionDef)) else []):
+            if not name.startswith("_"):
+                assert hasattr(errors, name), name
+    # hierarchy: everything is a ShapelyError; GEOSException catchable
+    for cls in (errors.GEOSException, errors.TopologicalError,
+                errors.DimensionError, errors.EmptyPartError,
+                errors.UnsupportedGEOSVersionError,
+                errors.GeometryTypeError):
+        assert issubclass(cls, errors.ShapelyError), cls
+    assert issubclass(errors.ShapelyDeprecationWarning, FutureWarning)
+    # GeometryTypeError keeps historical TypeError/ValueError catches AND
+    # is the same object the geometry veneer raises
+    assert errors.GeometryTypeError is g.GeometryTypeError
+    assert issubclass(errors.GeometryTypeError, (TypeError, ValueError))
+    with pytest.raises(errors.ShapelyError):
+        g.shape({"type": "Nope", "coordinates": []})
+    # 1.8 legacy aliases warn and resolve to ShapelyError
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert errors.WKTReadingError is errors.ShapelyError
+    with pytest.raises(AttributeError):
+        errors.NoSuchError
+
+    # geos: deprecated module; attributes mirror the top level
+    assert isinstance(g.geos_version, tuple) and g.geos_version >= (3, 9)
+    assert isinstance(g.geos_version_string, str)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        import importlib
+
+        import shapely_spark.geo.geos as geos_mod
+        importlib.reload(geos_mod)
+        assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    assert geos_mod.geos_version == g.geos_version
+    assert geos_mod.geos_version_string == g.geos_version_string
+
+    # coords: reference CoordinateSequence contract on a real geometry
+    from shapely_spark.geo import CoordinateSequence, LineString, Point
+
+    seq = LineString([(0, 0), (1, 2), (3, 4)]).coord_tuples
+    assert isinstance(seq, CoordinateSequence)
+    assert len(seq) == 3 and list(seq) == [(0.0, 0.0), (1.0, 2.0), (3.0, 4.0)]
+    assert seq[0] == (0.0, 0.0) and seq[-1] == (3.0, 4.0)
+    assert seq[1:] == [(1.0, 2.0), (3.0, 4.0)]
+    with pytest.raises(IndexError):
+        seq[3]
+    with pytest.raises(TypeError):
+        seq[0, 1]
+    x, y = seq.xy
+    assert list(x) == [0.0, 1.0, 3.0] and list(y) == [0.0, 2.0, 4.0]
+    import numpy as np
+
+    assert np.asarray(seq).shape == (3, 2)
+    with pytest.raises(ValueError):
+        seq.__array__(copy=False)
+    assert Point(1.5, 2.5).coord_tuples[:] == [(1.5, 2.5)]
