@@ -59,6 +59,19 @@ def sniff_charset(html: Column, default: str = "utf-8") -> Column:
             .otherwise(F.lit(default)))
 
 
+# UTF-16 well-formedness over the hex expansion of the payload: units
+# are 2-byte groups (4 hex chars); a unit is either a non-surrogate, or
+# a high surrogate (high byte D8-DB) that MUST be followed by a low
+# surrogate (high byte DC-DF). Possessive quantifier — no backtracking,
+# one linear pass. Odd byte counts fail automatically (hex length not a
+# multiple of 4). LE carries the high byte SECOND, BE first.
+_H = "[0-9A-F]"
+_UTF16LE_OK = (f"^(?:{_H}{{2}}(?:[0-9ABCEF]{_H}|D[0-7])"
+               f"|{_H}{{2}}D[89AB]{_H}{{2}}D[CDEF])*+$")
+_UTF16BE_OK = (f"^(?:(?:[0-9ABCEF]{_H}|D[0-7]){_H}{{2}}"
+               f"|D[89AB]{_H}{{2}}D[CDEF]{_H}{{2}})*+$")
+
+
 def decode_html(html: Column, charset: Column | None = None) -> Column:
     """html binary → string, decoded per the (sniffed or supplied)
     charset column. windows-1252 = latin-1 + exact 0x80-0x9F translate;
@@ -66,14 +79,33 @@ def decode_html(html: Column, charset: Column | None = None) -> Column:
     preserves the bytes 1:1 for a downstream re-decode (flag-don't-drop;
     ASCII documents decode identically under every 8-bit label). A
     leading U+FEFF left by a UTF-8/UTF-16 BOM is stripped so the decoded
-    text never carries the marker."""
+    text never carries the marker.
+
+    Malformed-input resilience: Spark 4's default codingErrorAction
+    REPORTS (throws) on malformed bytes, and real crawls are full of
+    pages whose BOM/meta lies about the payload — so every multi-byte
+    branch is guarded by a JVM validity check and falls back to the
+    latin-1 byte-preserving decode instead of failing the job: UTF-8 and
+    US-ASCII via is_valid_utf8 (ASCII-labeled pages with valid-UTF-8
+    high bytes decode as UTF-8 — strictly better than throwing), UTF-16
+    variants via a possessive-regex well-formedness check over the hex
+    expansion (even length + surrogates correctly paired; the generic
+    utf-16 label validates LE when an FF FE BOM leads, else BE, matching
+    the JVM decoder's byte-order rule). The when-chain short-circuits,
+    so non-UTF-16 rows never pay the hex scan."""
     cs = charset if charset is not None else sniff_charset(html)
     latin1 = F.decode(html, "ISO-8859-1")
-    decoded = (F.when(cs == "utf-8", F.decode(html, "UTF-8"))
-               .when(cs == "utf-16le", F.decode(html, "UTF-16LE"))
-               .when(cs == "utf-16be", F.decode(html, "UTF-16BE"))
-               .when(cs == "utf-16", F.decode(html, "UTF-16"))
-               .when(cs == "us-ascii", F.decode(html, "US-ASCII"))
+    hexed = F.hex(html)
+    le_ok = hexed.rlike(_UTF16LE_OK)
+    be_ok = hexed.rlike(_UTF16BE_OK)
+    u8_ok = F.is_valid_utf8(html)
+    u16_ok = F.when(F.substring(html, 1, 2) == F.lit(b"\xff\xfe"),
+                    le_ok).otherwise(be_ok)
+    decoded = (F.when((cs == "utf-8") & u8_ok, F.decode(html, "UTF-8"))
+               .when((cs == "utf-16le") & le_ok, F.decode(html, "UTF-16LE"))
+               .when((cs == "utf-16be") & be_ok, F.decode(html, "UTF-16BE"))
+               .when((cs == "utf-16") & u16_ok, F.decode(html, "UTF-16"))
+               .when((cs == "us-ascii") & u8_ok, F.decode(html, "UTF-8"))
                .when(cs == "windows-1252",
                      F.translate(latin1, _CP1252_FROM, _CP1252_TO))
                .otherwise(latin1))

@@ -48,17 +48,25 @@ def latest_snapshot(
     pages: DataFrame,
     url_col: str = "url",
     ts_col: str = "warc_ts",
+    content_col: str | None = None,
 ) -> DataFrame:
-    """One row per url: the fetch with the greatest `ts_col` (ties break
-    toward the later row by a stable tiebreak on the digest so the pick
-    is deterministic under equal timestamps).
+    """One row per url: the fetch with the greatest `ts_col`.
+
+    Tie semantics: pass `content_col` to break equal-(url, ts) fetches
+    deterministically by the content digest (lowest xxhash64 wins — a
+    row-distinguishing key, so the pick is stable under retries and AQE
+    re-planning). Without it, equal-(url, ts) duplicates are picked
+    ARBITRARILY (whichever row the window scans first) — fine when the
+    archive's (url, ts) is unique, which CDX capture keys are.
 
     This is the "current web" view of a crawl archive. One hash shuffle
     on url; the window computes row_number over (url) ordered by ts desc
     and keeps rank 1 — no self-join against a max-ts aggregate (which
     would scan twice and shuffle twice)."""
-    w = Window.partitionBy(url_col).orderBy(
-        F.col(ts_col).desc(), F.xxhash64(url_col, ts_col).asc())
+    order = [F.col(ts_col).desc()]
+    if content_col is not None:
+        order.append(F.xxhash64(F.col(content_col)).asc())
+    w = Window.partitionBy(url_col).orderBy(*order)
     return (pages.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .drop("__rn"))
@@ -126,11 +134,17 @@ def resolve_redirects(
 
     (src, final_url, hops)
 
-    for every redirect SOURCE — `final_url` is the first reached url
-    with no outgoing redirect, `hops` the exact chain length. Chains
-    that do not terminate within `max_hops` (redirect loops, or paths
-    into one) resolve to (NULL, NULL), mirroring how a crawler abandons
-    a loop after its hop budget.
+    for every redirect source with src ≠ dst — `final_url` is the first
+    reached url with no outgoing redirect, `hops` the exact chain
+    length. Chains that do not terminate within `max_hops` (redirect
+    loops, or paths into one) resolve to (NULL, NULL), mirroring how a
+    crawler abandons a loop after its hop budget. SELF-redirects
+    (src == dst) are DROPPED, not emitted as (NULL, NULL) rows: a page
+    redirecting to itself is a degenerate 1-cycle the edge filter
+    removes before the first round (tests/test_crawl_search.py
+    test_self_loop_dropped pins this) — a source that also has a
+    distinct outgoing edge keeps that edge; one that only self-redirects
+    is absent from the output.
 
     Algorithm: pointer doubling on the functional graph (out-degree ≤ 1
     per source; duplicate source rows are dropped deterministically by

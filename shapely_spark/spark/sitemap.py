@@ -40,8 +40,14 @@ def _entry(b: Column) -> Column:
     return F.struct(
         F.regexp_extract(b, _LOC_RE, 1).alias("loc"),
         F.coalesce(
+            # W3C datetime forms, most-specific first: fractional seconds
+            # (with/without offset), whole seconds (with/without offset),
+            # minute precision with offset, date-only
+            F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+            F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
             F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
             F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+            F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd'T'HH:mmXXX")),
             F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd")),
         ).alias("lastmod"),
         F.nullif(F.lower(F.regexp_extract(b, _FREQ_RE, 1)), F.lit(""))

@@ -78,3 +78,51 @@ def test_decode_with_explicit_charset_column(spark):
     got = {r.k: r.t for r in df.select(
         "k", decode_html(F.col("html"), F.col("cs")).alias("t")).collect()}
     assert got == {"a": "héllo", "b": "héllo"}
+
+
+def test_malformed_utf8_falls_back_to_latin1(spark):
+    # meta claims utf-8 but the payload carries invalid sequences —
+    # ubiquitous in real crawls; must NOT fail the job (Spark 4's
+    # default codingErrorAction=REPORT throws without the guard)
+    raw = b'<meta charset="utf-8"><p>\xff\xfe\x80 broken</p>'
+    cs, txt = _decode_one(spark, raw)
+    assert cs == "utf-8"
+    assert txt == raw.decode("iso-8859-1")  # byte-preserving fallback
+    # valid utf-8 still decodes as utf-8
+    cs, txt = _decode_one(spark, '<meta charset="utf-8"><p>é</p>'.encode())
+    assert txt == '<meta charset="utf-8"><p>é</p>'
+
+
+def test_malformed_utf16_falls_back_to_latin1(spark):
+    import codecs
+
+    # UTF-16LE BOM followed by an ODD number of payload bytes
+    raw = codecs.BOM_UTF16_LE + "ab".encode("utf-16-le") + b"\x41"
+    cs, txt = _decode_one(spark, raw)
+    assert cs == "utf-16le" and txt == raw.decode("iso-8859-1")
+    # unpaired high surrogate (D800 with no low surrogate following)
+    raw = codecs.BOM_UTF16_LE + b"\x00\xd8" + "x".encode("utf-16-le")
+    cs, txt = _decode_one(spark, raw)
+    assert cs == "utf-16le" and txt == raw.decode("iso-8859-1")
+    # a proper surrogate PAIR (astral char) is valid and decodes
+    raw = codecs.BOM_UTF16_LE + "a\U0001F600b".encode("utf-16-le")
+    cs, txt = _decode_one(spark, raw)
+    assert cs == "utf-16le" and txt == "a\U0001F600b"
+    # BE: truncated pair via meta label (no BOM)
+    body = '<meta charset="utf-16be">'
+    raw = body.encode("utf-16-be") + b"\xdc\x00\x41\x41"  # lone LOW surr
+    df = spark.createDataFrame([(raw,)], "html binary")
+    got = df.select(decode_html(
+        F.col("html"), F.lit("utf-16be")).alias("t")).collect()[0].t
+    assert got == raw.decode("iso-8859-1")
+
+
+def test_ascii_label_with_high_bytes_does_not_throw(spark):
+    df = spark.createDataFrame([(b"plain ascii \xc3\xa9",)], "html binary")
+    got = df.select(decode_html(
+        F.col("html"), F.lit("us-ascii")).alias("t")).collect()[0].t
+    assert got == "plain ascii é"  # valid utf-8 high bytes: decode utf-8
+    df = spark.createDataFrame([(b"bad \xff ascii",)], "html binary")
+    got = df.select(decode_html(
+        F.col("html"), F.lit("us-ascii")).alias("t")).collect()[0].t
+    assert got == "bad \xff ascii"  # invalid: latin-1 passthrough

@@ -169,3 +169,23 @@ class TestResolveRedirects:
         got = {r.src: (r.final_url, r.hops)
                for r in resolve_redirects(e).collect()}
         assert got == {2: (1, 1)}
+
+
+def test_latest_snapshot_content_tiebreak(spark):
+    """Equal-(url, ts) fetches: content_col makes the pick deterministic
+    (lowest content xxhash64 wins); the r4 ADVICE noted the old
+    url+ts-hash tiebreak was a no-op on tied rows."""
+    from pyspark.sql import functions as F
+
+    from shapely_spark.spark.crawl import latest_snapshot
+
+    rows = [("u", "2026-01-01 00:00:00", c) for c in ("aaa", "bbb", "ccc")]
+    df = spark.createDataFrame(rows, "url string, ts string, text string") \
+        .select("url", F.col("ts").cast("timestamp").alias("warc_ts"), "text")
+    want = min((r[2] for r in rows),
+               key=lambda c: df.sparkSession.sql(
+                   f"SELECT xxhash64('{c}')").collect()[0][0])
+    for _ in range(3):  # stable across re-runs and input order
+        got = latest_snapshot(df.orderBy(F.rand()), content_col="text") \
+            .collect()
+        assert len(got) == 1 and got[0].text == want

@@ -52,3 +52,30 @@ def test_is_index_and_empty(spark):
     assert got == [False, True]
     assert df.where(~is_sitemap_index(F.col("xml"))).select(
         F.size(sitemap_entries(F.col("xml")))).collect()[0][0] == 0
+
+
+def test_lastmod_fractional_and_minute_forms(spark):
+    """W3C datetime with fractional seconds / minute precision must not
+    silently parse to NULL lastmod (r4 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from shapely_spark.spark.sitemap import sitemap_entries
+
+    xml = ("<urlset>"
+           "<url><loc>https://a/f1</loc>"
+           "<lastmod>2026-01-05T03:04:05.123+00:00</lastmod></url>"
+           "<url><loc>https://a/f2</loc>"
+           "<lastmod>2026-01-05T03:04:05.500</lastmod></url>"
+           "<url><loc>https://a/f3</loc>"
+           "<lastmod>2026-01-05T03:04+01:00</lastmod></url>"
+           "</urlset>")
+    df = spark.createDataFrame([(xml,)], "xml string")
+    rows = {e.loc: e for e in df.select(
+        F.explode(sitemap_entries(F.col("xml"))).alias("e")
+    ).select("e.*").collect()}
+    assert rows["https://a/f1"].lastmod.strftime("%H:%M:%S.%f") \
+        == "03:04:05.123000"
+    assert rows["https://a/f2"].lastmod.strftime("%H:%M:%S.%f") \
+        == "03:04:05.500000"
+    # minute-precision with offset: +01:00 → 02:04 UTC
+    assert rows["https://a/f3"].lastmod.strftime("%H:%M:%S") == "02:04:00"
