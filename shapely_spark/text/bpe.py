@@ -114,12 +114,34 @@ def bpe_train(freqs: DataFrame, num_merges: int) -> list[tuple[str, str]]:
     return merges
 
 
+DISTRIBUTED_MERGE_BUDGET = 512
+
+
 def bpe_train_distributed(
     freqs: DataFrame, num_merges: int, checkpoint_every: int = 8,
+    max_merges: int | None = DISTRIBUTED_MERGE_BUDGET,
 ) -> list[tuple[str, str]]:
     """Same merges as ``bpe_train``, vocabulary never collected: each
     round one pair-count shuffle over the (filtered) vocab relation and
-    a JVM fold rewriting only words that contain the winning pair."""
+    a JVM fold rewriting only words that contain the winning pair.
+
+    Job-count bound: BPE merges are inherently sequential, so this tier
+    runs ONE Spark job (shuffle + limit-1 collect) PER MERGE —
+    num_merges=32768 (a production vocab) would be ~2^15 driver-round-
+    trip jobs, hours of pure scheduling latency regardless of cluster
+    size. That is why `num_merges > max_merges` raises and points to
+    `bpe_train`: the (word, freq) vocabulary relation is TINY by Zipf
+    (≲10M types even at 100 TB of corpus — the corpus reduces once to it
+    upstream), so the collect tier IS the scalable path for real vocab
+    sizes; this tier exists for vocabularies whose type count genuinely
+    cannot sit on the driver. Pass max_merges=None to override."""
+    if max_merges is not None and num_merges > max_merges:
+        raise ValueError(
+            f"bpe_train_distributed runs one shuffle round per merge; "
+            f"num_merges={num_merges} exceeds the sane distributed-round "
+            f"budget ({max_merges}). Use bpe_train (the collect tier) — "
+            f"the (word, freq) relation is tiny by Zipf and that path "
+            f"has no per-merge job — or pass max_merges=None.")
     spark = freqs.sparkSession
     syms = freqs.select(
         F.split(F.col("word"), "").alias("s"),
