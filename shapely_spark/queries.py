@@ -1655,6 +1655,56 @@ def unigram_logprob_filter(spark, sf_dir):
 
 
 @q(
+    "bigram_logprob_filter",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                      unnest(range(0, len(string_split(text, ' ')))) AS pos
+               FROM documents),
+    t2 AS (SELECT doc_id, pos, word,
+                  lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           FROM t),
+    v0 AS (SELECT word, count(*)::BIGINT AS cnt FROM t GROUP BY word),
+    s AS (SELECT sum(cnt)::DOUBLE AS total FROM v0),
+    uni AS (SELECT word, cnt, ln(cnt / total) AS logp
+            FROM v0, s WHERE cnt >= 100),
+    bg AS (SELECT prev, word, count(*)::BIGINT AS bcnt FROM t2
+           WHERE prev IS NOT NULL GROUP BY prev, word
+           HAVING count(*) >= 3),
+    sc AS (SELECT t2.doc_id,
+                  CASE WHEN t2.prev IS NULL
+                       THEN coalesce(u.logp, ln(0.5 / total))
+                       WHEN bg.bcnt IS NOT NULL AND pu.cnt IS NOT NULL
+                       THEN ln(bg.bcnt / pu.cnt)
+                       ELSE ln(0.4) + coalesce(u.logp, ln(0.5 / total))
+                  END AS lp
+           FROM t2
+           LEFT JOIN uni u ON t2.word = u.word
+           LEFT JOIN uni pu ON t2.prev = pu.word
+           LEFT JOIN bg ON t2.prev = bg.prev AND t2.word = bg.word, s)
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           round(avg(lp), 6) AS avg_logp
+    FROM sc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def bigram_logprob_filter(spark, sf_dir):
+    """Bigram Stupid-Backoff LM scoring (text/quality.bigram_logprob,
+    r5 — the r4 verdict's KenLM-direction upgrade of the unigram
+    stand-in; Brants et al. 2007 §4): score(w|p) = count(p w)/count(p)
+    for seen bigrams, else 0.4·P_unigram(w) with the half-count OOV
+    floor; first token scores unigram. min_count=100 cuts the rare type
+    so the OOV floor bites; bigram_min_count=3 cuts tail bigrams so the
+    backoff path bites on REAL words too. The oracle replays the exact
+    count/backoff arithmetic via lag() windows; identical op order and
+    round-6 means on both engines."""
+    from .text.quality import bigram_logprob
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    out = bigram_logprob(d, min_count=100, bigram_min_count=3)
+    return (out.select("doc_id", "n_tokens", "avg_logp")
+            .repartition(1).sortWithinPartitions("doc_id"))
+
+
+@q(
     "ccnet_bucket_tertiles",
     """
     WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word

@@ -390,6 +390,96 @@ def unigram_logprob(
     return scored
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    lm_corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    bigram_min_count: int = 1,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document mean token log-score under a bigram LM with Stupid
+    Backoff (Brants et al. 2007 §4 — the web-scale backoff that needs no
+    discount state: score(w|p) = count(p w)/count(p) when the bigram was
+    seen, else α·P_unigram(w), α=0.4). This upgrades the engine's
+    unigram stand-in one order toward CCNet/LLaMA's KenLM filter (Wenzek
+    et al. 2020 §4.3) while keeping the whole filter in Catalyst.
+
+    Returns (id_col, n_tokens, avg_logp):
+    avg_logp = round(mean over positions of ln(score), 6), where the
+    FIRST token of a document scores plain unigram — no left context
+    and no α penalty (α applies only when backing off from an attempted
+    higher order; CCNet's <s> context is a corpus-dependent constant
+    this stand-in omits, documented) — and unseen/below-cut unigrams
+    take the classic half-count OOV floor ln(0.5/total).
+
+    Scale shape: same one-partial-agg-shuffle-per-order discipline as
+    unigram_logprob — the LM corpus reduces once to (word, cnt) and once
+    to (prev, word, cnt) (adjacent pairs built as a zip_with over
+    shifted slices: HOF INPUTS evaluate once per row — never
+    element_at(i) in a lambda, the O(tokens²) trap); both relations
+    broadcast into the scoring join (`min_count`/`bigram_min_count`
+    keep them broadcastable at web scale — Zipf puts >99.9% of token
+    mass above any modest cut, and cut types score through the backoff
+    anyway). ONE scoring shuffle: groupBy doc after the broadcast joins.
+    """
+    lm = lm_corpus if lm_corpus is not None else docs
+    lm_toks = F.split(F.col(text_col), " ")
+
+    vocab = (lm.select(F.explode(lm_toks).alias("word"))
+             .groupBy("word").agg(F.count("*").cast("long").alias("cnt")))
+    if min_count > 1:
+        vocab = vocab.where(F.col("cnt") >= min_count)
+    total = lm.select(F.sum(F.size(lm_toks)).cast("long").alias("t")) \
+        .collect()[0]["t"]
+    uni = vocab.select(
+        "word", F.col("cnt").alias("w_cnt"),
+        F.log(F.col("cnt") / F.lit(float(total))).alias("w_logp"))
+
+    lm_t = lm.select(lm_toks.alias("__toks"))
+    pair = F.zip_with(
+        F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+        F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+        lambda a, b: F.struct(a.alias("p"), b.alias("w")))
+    big = (lm_t.select(F.explode(pair).alias("pw"))
+           .groupBy(F.col("pw.p").alias("p"), F.col("pw.w").alias("w"))
+           .agg(F.count("*").cast("long").alias("pw_cnt")))
+    if bigram_min_count > 1:
+        big = big.where(F.col("pw_cnt") >= bigram_min_count)
+
+    d_t = docs.select(F.col(id_col), F.split(F.col(text_col), " ")
+                      .alias("__toks"))
+    first = F.array(F.struct(
+        F.lit(None).cast("string").alias("p"),
+        F.element_at(F.col("__toks"), 1).alias("w")))
+    pairs_col = F.concat(first, pair)
+    ev = (d_t.select(F.col(id_col), F.explode(pairs_col).alias("pw"))
+          .select(id_col, F.col("pw.p").alias("__p"),
+                  F.col("pw.w").alias("__w")))
+    ev = (ev.join(F.broadcast(uni.select(F.col("word").alias("__w"),
+                                         "w_logp")), "__w", "left")
+          .join(F.broadcast(uni.select(F.col("word").alias("__p"),
+                                       F.col("w_cnt").alias("p_cnt"))),
+                "__p", "left")
+          .join(F.broadcast(big.select(F.col("p").alias("__p"),
+                                       F.col("w").alias("__w"),
+                                       "pw_cnt")),
+                ["__p", "__w"], "left"))
+    floor = F.lit(math.log(0.5 / float(total)))
+    uni_score = F.coalesce(F.col("w_logp"), floor)
+    logp = (
+        # no left context (document start): plain unigram, no α penalty —
+        # α applies only when BACKING OFF from an attempted higher order
+        F.when(F.col("__p").isNull(), uni_score)
+        .when(F.col("pw_cnt").isNotNull() & F.col("p_cnt").isNotNull(),
+              F.log(F.col("pw_cnt") / F.col("p_cnt")))
+        .otherwise(F.log(F.lit(alpha)) + uni_score))
+    return (ev.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.round(F.avg(logp), 6).alias("avg_logp")))
+
+
 def cap_per_key(
     docs: DataFrame,
     key_col: str = "source",
@@ -569,6 +659,7 @@ def ccnet_bucket(
     lang_col: str = "lang",
     min_count: int = 1,
     method: str = "ntile",
+    model: str = "unigram",
 ) -> DataFrame:
     """CCNet-style per-language perplexity bucketing (Wenzek et al.
     2020 §4.4): score every document under the LM, then split EACH
@@ -579,8 +670,9 @@ def ccnet_bucket(
     high-resource language's score scale from deciding another
     language's fate.
 
-    The LM is `unigram_logprob` (the engine's Catalyst stand-in for
-    CCNet's KenLM 5-gram — same filter shape, unigram probabilities).
+    The LM is `unigram_logprob` by default, or `bigram_logprob` (Stupid
+    Backoff) with model="bigram" — the engine's Catalyst stand-ins for
+    CCNet's KenLM 5-gram (same filter shape, lower order).
 
     method="ntile" (gate path): exact tertiles via NTILE(3) OVER
     (PARTITION BY lang ORDER BY avg_logp DESC, id) — deterministic
@@ -596,8 +688,14 @@ def ccnet_bucket(
     Returns (id_col, lang_col, n_tokens, avg_logp, bucket) with bucket
     in {'head','middle','tail'}.
     """
-    scored = unigram_logprob(docs, lm_corpus, text_col=text_col,
-                             id_col=id_col, min_count=min_count)
+    if model == "bigram":
+        scored = bigram_logprob(docs, lm_corpus, text_col=text_col,
+                                id_col=id_col, min_count=min_count)
+    elif model == "unigram":
+        scored = unigram_logprob(docs, lm_corpus, text_col=text_col,
+                                 id_col=id_col, min_count=min_count)
+    else:
+        raise ValueError(f"unknown model {model!r}")
     j = scored.join(docs.select(id_col, lang_col), id_col)
     if method == "ntile":
         from pyspark.sql import Window

@@ -972,3 +972,54 @@ def test_ccnet_bucket_partition_invariant_and_bad_method(spark):
     assert a == b
     with _pytest.raises(ValueError):
         ccnet_bucket(docs, method="nope")
+
+
+def test_bigram_logprob_matches_hand_computation(spark):
+    """Stupid Backoff hand oracle: corpus 'a b a b c' (one doc).
+    counts: a:2 b:2 c:1, total=5; bigrams: (a,b):2 (b,a):1 (b,c):1.
+    Positions: a→uni ln(2/5); b|a→ln(2/2); a|b→ln(1/2); b|a→ln(2/2);
+    c|b→ln(1/2)."""
+    import math
+
+    from shapely_spark.text.quality import bigram_logprob
+
+    docs = spark.createDataFrame([(1, "a b a b c")], "doc_id long, text string")
+    r = bigram_logprob(docs).collect()[0]
+    want = (math.log(2 / 5) + math.log(2 / 2) + math.log(1 / 2)
+            + math.log(2 / 2) + math.log(1 / 2)) / 5
+    assert r.n_tokens == 5
+    assert abs(r.avg_logp - round(want, 6)) < 1e-9
+
+
+def test_bigram_logprob_backoff_and_oov(spark):
+    """Unseen bigram backs off to alpha * P_uni; OOV token takes
+    alpha * floor after the first position."""
+    import math
+
+    from shapely_spark.text.quality import bigram_logprob
+
+    lm = spark.createDataFrame([(0, "x y x y")], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "y x"), (2, "x z")],
+                                 "doc_id long, text string")
+    got = {r.doc_id: r.avg_logp for r in
+           bigram_logprob(docs, lm_corpus=lm).collect()}
+    # doc 1: y→uni ln(2/4); x|y→seen ln(1/2)
+    want1 = (math.log(2 / 4) + math.log(1 / 2)) / 2
+    # doc 2: x→uni ln(2/4); z|x unseen bigram, z OOV → ln(.4)+ln(.5/4)
+    want2 = (math.log(2 / 4) + (math.log(0.4) + math.log(0.5 / 4))) / 2
+    assert abs(got[1] - round(want1, 6)) < 1e-9
+    assert abs(got[2] - round(want2, 6)) < 1e-9
+
+
+def test_ccnet_bucket_bigram_model(spark):
+    from shapely_spark.text.quality import ccnet_bucket
+
+    rows = [(i, "en", ("w%d " % (i % 3)) * 4 + "tail w1 w2") for i in range(9)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = ccnet_bucket(docs, model="bigram").collect()
+    assert len(out) == 9
+    assert {r.bucket for r in out} == {"head", "middle", "tail"}
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown model"):
+        ccnet_bucket(docs, model="trigram")
