@@ -6970,201 +6970,47 @@ def redirect_resolve_final(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # flagship plans (always driver-visible; cell_assign rotated out in
-    # r4 after three driver-green rounds — tile_agg_regions exercises
-    # the same cells machinery — for the composed pipeline flagship)
+    # flagship plans (always driver-visible)
     "tpch_q1", "spatial_join_boxes", "knn_nearest_center",
     "tile_agg_regions", "training_pipeline_summary",
-    # never driver-sampled before r4 (r2/r3 additions)
-    "voronoi_two_cell_areas", "image_decode_jpeg_prog_px_sum", "pii_redact_counts",
-    "buffer_line_capsule_area", "spatial_join_geom_boxes",
-    "ann_cosine_ivf_top1", "embedding_neardup_pairs",
-    "ann_cosine_ivf_dist_top1", "ann_cosine_ivf_probe2", "tpch_q5",
-    "tpch_q10_variant", "crosses_segments", "hausdorff_boxes",
-    "frechet_segments", "make_valid_bowtie_area", "oriented_envelope_area",
-    "segmentize_diag_npoints", "url_canonical_dedup", "line_merge_chain",
+    # r5 rotation (r4 verdict item 5): the r4 driver sampled 50
+    # previously-never-sampled queries, all green; this window rotates
+    # 45 of the remaining never-driver-sampled queries in. Exclusions
+    # (never sampled but left in the local-gate-only pool, each with a
+    # stronger driver-green sibling): sequence_pack_chunks /
+    # bpe_token_count (bpe_pack_pipeline + pack_chunk_occupancy),
+    # corpus_shuffle_head (mixture/hash-split family r4),
+    # url_canonical_dedup (pure-JVM, crawl family r4),
+    # decontaminate_eval_overlap (bloom_decontaminate_counts r4),
+    # pagerank_personalized_seeds (pagerank_doc_graph r4),
+    # duplicate_spans_counts (remove_duplicate_spans_clean r4).
+    # verdict-named never-sampled set:
+    "robots_filter_flags", "sitemap_parse_stats", "lpa_communities",
+    "hits_doc_graph", "clustering_coeff_graph", "gopher_flags_counts",
+    "gopher_repetition_flags", "stratified_sample_langs",
+    "warc_revisit_roundtrip", "kmv_distinct_users",
+    "range_join_error_windows", "pack_chunk_occupancy",
+    "image_resize_px_sum",
+    # new in r5 (bigram backoff LM; touches/contains group-predicate
+    # joins over non-rect layers):
+    "bigram_logprob_filter", "spatial_join_touches_pairs",
+    "spatial_join_contains_pairs",
+    # remaining never-sampled text/crawl/graph/temporal:
+    "c4_clean_lines_counts", "bfs_crawl_depths", "latest_snapshot_urls",
+    "audio_resample_abs_sum",
+    # never-sampled SQL + geometry singles (r2/r3 era):
+    "tpch_q5", "tpch_q10_variant", "crosses_segments", "hausdorff_boxes",
+    "frechet_segments", "oriented_envelope_area",
+    "segmentize_diag_npoints", "snap_point_tol", "line_merge_chain",
     "split_segment_pieces", "substring_frac_length",
     "geojson_roundtrip_area", "mbc_radius_ngon", "touches_overlaps_boxes",
     "inscribed_circle_box", "coverage_valid_grid", "skew_area_box",
-    "image_decode_webp_px_sum", "audio_decode_abs_sum", "offset_curve_lengths",
+    # never-sampled codec singles:
+    "image_decode_px_sum", "audio_decode_abs_sum", "offset_curve_lengths",
     "image_decode_png_px_sum", "image_decode_gif_px_sum",
     "audio_decode_ulaw_abs_sum", "image_decode_jpeg_px_sum",
-    "audio_decode_flac_abs_sum", "duplicate_spans_counts",
-    "buffer_polygon_ring_area",
-    # new in r4 (minhash_dedup_pairs / events_sessionize rotated out —
-    # both carry driver-green rows from r3 and stay in the local gate)
-    "boundary_by_type", "xyzm_line_interpolate",
-    "decontaminate_eval_overlap", "sequence_pack_chunks",
-    # dedup_components_chain / overlay_gc_intersection / overlay_gc_difference
-    # (named in the r3 verdict's done-criteria) rotated out late-r4: all
-    # three were sampled by the r3 driver and carry green CORRECTNESS_r03
-    # rows already; they stay in the local gate.
-    "spatial_join_ngon_pairs",
-    # newest in r4, never driver-sampled
-    "bm25_topk_docs", "bloom_decontaminate_counts", "unigram_logprob_filter",
-    # new in late r4 (touches_overlaps_boxes / skew_area_box /
-    # segmentize_diag_npoints / substring_frac_length /
-    # audio_decode_ulaw_abs_sum rotated out: stable low-risk kernels
-    # with direct pytest goldens, still in the local gate, and each
-    # family keeps a sibling in the window — split_segment_pieces,
-    # offset_curve_lengths, the wav/flac decodes)
-    "tile_rollup_pyramid", "remove_duplicate_spans_clean",
-    "asof_join_purchases", "range_join_error_windows", "kmv_distinct_users",
-    # real resize / frame-sample (mbc_radius_ngon / geojson_roundtrip_area
-    # rotated out: pytest-roundtrip-covered, local-gate green since r2/r3)
-    "image_resize_px_sum", "video_frame_sample_px_sum",
-    # audio resample (line_merge_chain rotated out: r3 kernel with
-    # pytest goldens, local-green since r3)
-    "audio_resample_abs_sum",
-    # PQ ANN (crosses_segments rotated out: DE-9IM kernel with dense
-    # pytest goldens, local-green since r2)
-    "ann_cosine_pq_top1",
-    # distributed k-means + SemDeDup (hausdorff_boxes / frechet_segments
-    # rotated out: r2 measurement kernels with pytest goldens,
-    # local-gate green since r2)
-    "kmeans_cluster_stats", "semantic_dedup_keep",
-    # DSIR importance resampling (split_segment_pieces rotated out: r3
-    # kernel with pytest goldens, local-gate green since r3)
-    "dsir_select_topk",
-    # domain capping + deterministic hash split (offset_curve_lengths /
-    # coverage_valid_grid rotated out: r2/r3 kernels with dense pytest
-    # goldens, local-gate green for two rounds)
-    "domain_cap_keep", "hash_split_counts",
-    # mixture sampling with epoch rates (inscribed_circle_box rotated
-    # out: r2 kernel with pytest goldens, local-gate green since r2)
-    "mixture_sample_counts",
-    # cross-document paragraph dedup (oriented_envelope_area rotated
-    # out: r3 rotating-calipers kernel with pytest goldens, local-gate
-    # green since r3)
-    "paragraph_dedup_clean",
-    # deterministic corpus shuffle (image_decode_webp_px_sum rotated
-    # out: bit-exact pytest goldens and five codec siblings remain in
-    # the window — png/gif/jpeg/progressive-jpeg/flac)
-    "corpus_shuffle_head",
-    # logistic-regression quality classifier (audio_decode_abs_sum
-    # rotated out: plain-PCM WAV decode with bit-exact pytest goldens;
-    # the flac decode and audio resample siblings stay in the window)
-    "logreg_quality_weights",
-    # C4 blocklist filtering (buffer_line_capsule_area rotated out: r3
-    # kernel with closed-form capsule pytest goldens; geo_buffer_area
-    # and buffer_polygon_ring_area keep the buffer family in-window)
-    "blocklist_filter_flags",
-    # CCNet per-language perplexity tertiles (tpch_q10_variant rotated
-    # out: plain Catalyst SQL, lowest-risk family, tpch_q1/tpch_q5 keep
-    # TPC-H in-window; it stays in the local gate)
-    "ccnet_bucket_tertiles",
-    # GeoParquet sink/source roundtrip + covering pushdown
-    # (image_decode_gif_px_sum rotated out: bit-exact pytest goldens and
-    # four codec siblings stay in-window — png/jpeg/prog-jpeg/flac)
-    "geoparquet_roundtrip_filter",
-    # BPE tokenizer full-stream checksum gate (voronoi_two_cell_areas
-    # rotated out: r3 kernel with pytest goldens + local gate; the
-    # triangulation family's delaunay_hull_area carries an r3
-    # driver-green row)
-    "bpe_encode_checksums",
-    # snapshot-table commits + time travel + manifest pruning
-    # (image_decode_png_px_sum rotated out: bit-exact pytest goldens;
-    # jpeg/prog-jpeg/flac keep the codec family in-window)
-    "snapshot_table_time_travel",
-    # distributed PageRank, 10 unrolled-oracle iterations
-    # (url_canonical_dedup rotated out: pure-JVM string canonicalization
-    # with pytest goldens, local-green since r3; the text-JVM family
-    # keeps a dozen siblings in-window)
-    "pagerank_doc_graph",
-    # composed BPE tokenize → sequence-pack pipeline
-    # (duplicate_spans_counts rotated out: its sibling
-    # remove_duplicate_spans_clean — the stronger end-to-end excision
-    # gate — stays in-window; pytest + local gate keep the counting op)
-    "bpe_pack_pipeline",
-    # personalized PageRank (sequence_pack_chunks rotated out:
-    # bpe_pack_pipeline runs the SAME two-level prefix-sum packer on a
-    # stronger composed plan; the plain query stays in the local gate)
-    "pagerank_personalized_seeds",
-    # degree-oriented triangle counting (decontaminate_eval_overlap
-    # rotated out: bloom_decontaminate_counts gates the SAME exact-join
-    # contract through the stronger two-stage path and stays in-window)
-    "triangle_counts_graph",
-    # WARC container roundtrip — the input contract's byte-identical
-    # text invariant through the Common Crawl file format
-    # (image_decode_jpeg_px_sum rotated out: image_decode_jpeg_prog_px_sum
-    # pins progressive pixel-IDENTICAL to baseline, so the baseline
-    # decoder stays transitively gated in-window; plus bit-exact pytest
-    # goldens and the local gate)
-    "warc_roundtrip_text",
-    # link-graph pipeline: anchor extraction → host edges, and the
-    # composed html→hosts→PageRank flagship (tpch_q5 rotated out: plain
-    # Catalyst SQL, the lowest-risk family, tpch_q1 keeps TPC-H
-    # in-window; ann_cosine_ivf_probe2 rotated out: its two IVF
-    # siblings ann_cosine_ivf_top1 / ann_cosine_ivf_dist_top1 stay)
-    "outlink_host_edges_counts", "host_graph_pagerank",
-    # new in r5: crawl-archive analytics + positional search + anchor
-    # text (spatial_join_geom_boxes / ann_cosine_ivf_top1 rotated out —
-    # both driver-green in r3; pagerank_personalized_seeds /
-    # corpus_shuffle_head / audio_resample_abs_sum rotated out — each
-    # family keeps a stronger sibling in-window: pagerank_doc_graph +
-    # host_graph_pagerank, mixture_sample_counts + hash_split_counts,
-    # image_resize + video_frame_sample; all five stay in the local gate)
-    "anchor_text_top_terms", "phrase_search_hits", "inverted_index_topdf",
-    "recrawl_change_stats", "latest_snapshot_urls",
-    # redirect-chain resolution (range_join_error_windows rotated out:
-    # the temporal family keeps asof_join_purchases in-window and both
-    # have pytest goldens + the local gate)
-    "redirect_resolve_final",
-    # HTTP-envelope metadata through the WARC container
-    # (latest_snapshot_urls rotated out: the crawl family keeps
-    # recrawl_change_stats in-window, which runs the same fixture
-    # through the same url-window machinery plus the digest lag)
-    "warc_http_status_counts",
-    # charset sniff + decode (kmv_distinct_users rotated out: the KMV
-    # sketch carries an exactness-contract oracle in the local gate and
-    # dense pytest goldens; no sibling family, lowest-risk of the
-    # remaining never-sampled set)
-    "charset_decode_md5",
-    # composed crawl-scheduling flagship: latest_snapshot → robots →
-    # change-rate prior → per-host cap → global top-k in ONE plan
-    # (image_resize_px_sum rotated out: video_frame_sample_px_sum keeps
-    # the same resize kernel plumbing in-window)
-    "crawl_schedule_topk",
+    "image_decode_webp_px_sum",
 ]
-_DRIVER_WINDOW.remove("kmv_distinct_users")
-_DRIVER_WINDOW.remove("image_resize_px_sum")
-_DRIVER_WINDOW.remove("range_join_error_windows")
-_DRIVER_WINDOW.remove("latest_snapshot_urls")
-_DRIVER_WINDOW.remove("spatial_join_geom_boxes")
-_DRIVER_WINDOW.remove("ann_cosine_ivf_top1")
-_DRIVER_WINDOW.remove("pagerank_personalized_seeds")
-_DRIVER_WINDOW.remove("corpus_shuffle_head")
-_DRIVER_WINDOW.remove("audio_resample_abs_sum")
-_DRIVER_WINDOW.remove("image_decode_jpeg_px_sum")
-_DRIVER_WINDOW.remove("tpch_q5")
-_DRIVER_WINDOW.remove("ann_cosine_ivf_probe2")
-_DRIVER_WINDOW.remove("buffer_line_capsule_area")
-_DRIVER_WINDOW.remove("inscribed_circle_box")
-_DRIVER_WINDOW.remove("oriented_envelope_area")
-_DRIVER_WINDOW.remove("image_decode_webp_px_sum")
-_DRIVER_WINDOW.remove("audio_decode_abs_sum")
-_DRIVER_WINDOW.remove("split_segment_pieces")
-_DRIVER_WINDOW.remove("offset_curve_lengths")
-_DRIVER_WINDOW.remove("coverage_valid_grid")
-_DRIVER_WINDOW.remove("hausdorff_boxes")
-_DRIVER_WINDOW.remove("frechet_segments")
-_DRIVER_WINDOW.remove("touches_overlaps_boxes")
-_DRIVER_WINDOW.remove("skew_area_box")
-_DRIVER_WINDOW.remove("segmentize_diag_npoints")
-_DRIVER_WINDOW.remove("substring_frac_length")
-_DRIVER_WINDOW.remove("audio_decode_ulaw_abs_sum")
-_DRIVER_WINDOW.remove("mbc_radius_ngon")
-_DRIVER_WINDOW.remove("geojson_roundtrip_area")
-_DRIVER_WINDOW.remove("line_merge_chain")
-_DRIVER_WINDOW.remove("crosses_segments")
-_DRIVER_WINDOW.remove("tpch_q10_variant")
-_DRIVER_WINDOW.remove("image_decode_gif_px_sum")
-_DRIVER_WINDOW.remove("voronoi_two_cell_areas")
-_DRIVER_WINDOW.remove("image_decode_png_px_sum")
-_DRIVER_WINDOW.remove("url_canonical_dedup")
-_DRIVER_WINDOW.remove("duplicate_spans_counts")
-_DRIVER_WINDOW.remove("sequence_pack_chunks")
-_DRIVER_WINDOW.remove("decontaminate_eval_overlap")
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))
