@@ -240,6 +240,16 @@ def spatial_join(
     # via `__full | refine(NULL-fed args)`: the refine UDF's first move is
     # a vectorized null mask, so the bypass rows cost one Arrow transfer of
     # nulls, and the upstream runs once.
+    #
+    # Tradeoff, named: Spark evaluates a Python UDF for every row of the
+    # filter's input (ExtractPythonUDFs hoists it out of the when-chain),
+    # so full-cell candidates now ride the Arrow transfer (~24 B/row of
+    # dense buffers even when null) where the old union emitted them pure
+    # JVM. That is the right trade at scale — the duplicated scan+extract
+    # the union paid grows with page SIZE (decode + regex over html),
+    # while the bypass traffic is a fixed few bytes per candidate pair —
+    # and it is why the benchmark leg got faster at every level while its
+    # parallel fraction (and thus the naive speedup ratio) compressed.
     keep_cols = [c for c in points.columns if not (drop_cell and c == cell_col_name)]
     out_cols = [points[c] for c in keep_cols] + [covers["region_id"]]
     if predicate in _FULL_OK:

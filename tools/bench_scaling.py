@@ -102,11 +102,36 @@ def main():
                     help="comma-separated local[k] levels, ascending; the "
                          "first pair is the north-rule N->4N datum")
     ap.add_argument("--repeat", type=int, default=4)
+    ap.add_argument("--passes", type=int, default=1,
+                    help="full sweeps over the levels, interleaved "
+                         "(2,8,32,2,8,32,…); per-(level,leg) MIN across "
+                         "passes. One pass measures each level in ONE "
+                         "contiguous time window — on this time-sliced "
+                         "host a single preempted stretch then poisons a "
+                         "whole level's min-of-N and with it the ratio "
+                         "(observed: the same @8 join leg 11.7 s vs "
+                         "17.2 s in two windows 30 min apart). "
+                         "Interleaving decorrelates level from window.")
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
     assert len(levels) >= 2 and levels == sorted(levels), levels
 
-    results = {k: run(k, args.sf_dir, args.pages, args.repeat) for k in levels}
+    results: dict[int, dict] = {}
+    for _pass in range(max(1, args.passes)):
+        for k in levels:
+            r = run(k, args.sf_dir, args.pages, args.repeat)
+            if k not in results:
+                results[k] = r
+                continue
+            m = results[k]
+            for q, t in r["queries"].items():
+                if t < m["queries"].get(q, float("inf")):
+                    m["queries"][q] = t
+            for e, v in r["extras"].items():
+                # rates: keep the max (= min time); counts are identical
+                if e.endswith("_per_sec") and v > m["extras"].get(e, 0):
+                    m["extras"][e] = v
+            m["value"] = round(sum(m["queries"].values()), 3)
     rows_total = results[levels[0]]["extras"]["pages_rows"]
 
     n, n4 = levels[0], levels[1]
@@ -119,7 +144,13 @@ def main():
         "",
         f"Same job, same input (`{args.sf_dir}`, {rows_total:,} synthetic "
         f"pages, 1000 regions), fresh JVM per level, min-of-{args.repeat} "
-        "per leg. `local[k]` levels stand in for executor counts per the "
+        f"per leg"
+        + (f" × {args.passes} interleaved passes over the levels "
+           "(per-leg min across passes — one contiguous window per level "
+           "lets a single preempted stretch poison that level's ratio; "
+           "interleaving decorrelates level from window)"
+           if args.passes > 1 else "")
+        + ". `local[k]` levels stand in for executor counts per the "
         "driver rule (no real cluster in this sandbox).",
         "",
         f"## North-rule N→4N datum: `local[{n}]` → `local[{n4}]`",
