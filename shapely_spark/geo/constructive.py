@@ -1444,23 +1444,50 @@ def point_on_surface(geom: Geometry | None) -> Geometry | None:
     if tid in (POLYGON, MULTIPOLYGON):
         rings = K._rings_of(geom)
         b = K.bounds(geom)
-        ym = (b[1] + b[3]) / 2.0
-        xs = []
-        for r in rings:
-            c = np.asarray(r)[:, :2]
-            y1, y2 = c[:-1, 1], c[1:, 1]
-            x1, x2 = c[:-1, 0], c[1:, 0]
-            cond = (y1 > ym) != (y2 > ym)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                xi = x1 + (ym - y1) * (x2 - x1) / (y2 - y1)
-            xs.append(xi[cond])
-        xs = np.sort(np.concatenate(xs)) if xs else np.zeros(0)
-        if len(xs) >= 2:
-            widths = xs[1::2] - xs[0::2] if len(xs) % 2 == 0 else xs[1:] - xs[:-1]
-            if len(xs) % 2 == 0:
+
+        def scan(ym: float):
+            xs = []
+            for r in rings:
+                c = np.asarray(r)[:, :2]
+                y1, y2 = c[:-1, 1], c[1:, 1]
+                x1, x2 = c[:-1, 0], c[1:, 0]
+                cond = (y1 > ym) != (y2 > ym)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xi = x1 + (ym - y1) * (x2 - x1) / (y2 - y1)
+                xs.append(xi[cond])
+            xs = np.sort(np.concatenate(xs)) if xs else np.zeros(0)
+            if len(xs) >= 2 and len(xs) % 2 == 0:
+                widths = xs[1::2] - xs[0::2]
                 i = int(np.argmax(widths))
-                return make_point((xs[2 * i] + xs[2 * i + 1]) / 2.0, ym)
-        # degenerate (scanline hit a vertex): fall back to first shell vertex
+                if widths[i] > 0:
+                    px = (xs[2 * i] + xs[2 * i + 1]) / 2.0
+                    # verify strict interiority: a scanline THROUGH a
+                    # vertex y can pair crossings across a hole edge and
+                    # land the midpoint ON the boundary (the holed-box
+                    # fuzz counterexample: bbox-middle y == the hole's
+                    # top edge y → midpoint == the hole corner)
+                    if K.points_in_rings_class(
+                            np.array([px]), np.array([ym]),
+                            rings)[0] == K.INTERIOR:
+                        return make_point(px, ym)
+            return None
+
+        p = scan((b[1] + b[3]) / 2.0)
+        if p is not None:
+            return p
+        # degenerate bbox-middle scanline: GEOS-style safe bisectors —
+        # midpoints of adjacent DISTINCT vertex-y gaps (no vertex and no
+        # horizontal edge can lie on such a line), nearest to centre first
+        vy = np.unique(np.concatenate(
+            [np.asarray(r)[:, 1] for r in rings])) if rings else np.zeros(0)
+        if len(vy) >= 2:
+            mids = (vy[:-1] + vy[1:]) / 2.0
+            for gi in np.argsort(np.abs(mids - (b[1] + b[3]) / 2.0),
+                                 kind="stable"):
+                p = scan(float(mids[gi]))
+                if p is not None:
+                    return p
+        # zero-area polygon: fall back to first shell vertex
         return make_point(rings[0][0, 0], rings[0][0, 1])
     # collections: first part
     return point_on_surface((geom.parts or [None])[0])

@@ -13,15 +13,19 @@ test (tests/test_group_predicates.py). The decomposition:
   edges stack and node against ∂R in ONE chunked ``_split_params`` sweep,
   fragment midpoints classify against R's rings in one pass (noding first
   is what makes each fragment sit in a single DE-9IM class — the
-  "sampling needs noding" rule). Proper crossings are owner-tagged over
-  the same stacked edges.
+  "sampling needs noding" rule; a proper crossing splits the edge and
+  its inner sub-fragment classifies INTERIOR, so no separate detector).
 - **Batched gates**: bbox containment/overlap/equality prefilters decide
   most candidates with zero Python-per-pair work (containment joins:
   candidates whose bbox cannot contain R's bbox die here).
-- **Per-left direction 2** (R samples vs each left) runs only for
-  still-undecided lefts, and each is one vectorized NumPy pass (the same
-  shape group_intersects' stage 2 uses) — never a per-pair scalar-kernel
-  dispatch on the supported paths.
+- **Batched direction 2 by topology** (int∩int): once direction 1
+  proves ∂L never enters int(R), each connected component of int(R)
+  (one per polygon part) lies wholly inside or wholly outside every
+  such left — ONE representative interior point per R part, classified
+  against all undecided lefts in one owner-tagged parity pass, decides
+  the rest (no per-left noding of ∂R at all). Containment-family
+  predicates take a batched bbox gate and per-survivor vectorized
+  calls — never a per-pair scalar-kernel dispatch on supported paths.
 
 Supported batch shape: areal right (Polygon/MultiPolygon); lefts of any
 point/line/polygon type. GeometryCollection lefts and non-areal rights
@@ -64,61 +68,36 @@ def _vertex_facts(lgeoms, ids, rgeom):
             _any_by(owner, cls == BOUNDARY, m))
 
 
-def _stacked_edges(lgeoms, ids, oriented: bool):
-    from .overlay import _edges_of, _poly_rings_oriented
-
-    parts = []
-    for i in ids:
-        g = lgeoms[i]
-        if oriented and _dim(g) == 2:
-            parts.append(_edges_of(_poly_rings_oriented(g)))
-        else:
-            parts.append(_edges(g))
-    return _ragged_stack(parts, 4)
+def _stacked_edges(lgeoms, ids):
+    return _ragged_stack([_edges(lgeoms[i]) for i in ids], 4)
 
 
 class _EdgeFacts:
-    __slots__ = ("any_fext", "any_fint", "onb_frags", "onb_owner",
-                 "cross", "tol")
+    __slots__ = ("any_fext", "any_fint", "any_fbnd", "tol")
 
 
-def _edge_facts(lgeoms, ids, rgeom, eb, *, oriented=False,
-                want_onb=False, want_cross=False) -> _EdgeFacts:
+def _edge_facts(lgeoms, ids, rgeom, eb) -> _EdgeFacts:
     """Noded-fragment facts per id, one chunked sweep over the stacked
     left edges: fragment-midpoint class vs R (EXTERIOR/INTERIOR witnesses
-    exactly as kernels._noded_midpoint_class — on-∂R midpoints override to
-    BOUNDARY), optional on-boundary fragments (for orientation-nudge
-    interior witnesses) and owner-tagged proper crossings."""
+    exactly as kernels._noded_midpoint_class — on-∂R midpoints override
+    to BOUNDARY). A proper edge crossing needs no separate detector: the
+    crossing splits the left edge and its inner sub-fragment classifies
+    INTERIOR."""
     from .overlay import _overlay_tol, _split_params
 
     m = len(ids)
     f = _EdgeFacts()
     f.any_fext = np.zeros(m, dtype=bool)
     f.any_fint = np.zeros(m, dtype=bool)
-    f.cross = np.zeros(m, dtype=bool)
-    onb_fr, onb_ow = [], []
-    se, owner = _stacked_edges(lgeoms, ids, oriented)
+    f.any_fbnd = np.zeros(m, dtype=bool)
+    se, owner = _stacked_edges(lgeoms, ids)
     f.tol = _overlay_tol(se, eb)
     if not len(se) or not len(eb):
-        f.onb_frags = np.zeros((0, 4))
-        f.onb_owner = np.zeros(0, np.int64)
         return f
     rr = _rings_of(rgeom)
     rows = max(1, _EDGE_CHUNK // len(eb))
     for s in range(0, len(se), rows):
         E, O = se[s:s + rows], owner[s:s + rows]
-        if want_cross:
-            ax1, ay1, ax2, ay2 = (E[:, i][:, None] for i in range(4))
-            bx1, by1, bx2, by2 = (eb[:, i][None, :] for i in range(4))
-            d1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
-            d2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
-            d3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
-            d4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
-            proper = (((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
-                      & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0))
-            hit = proper.any(axis=1)
-            if hit.any():
-                f.cross[np.unique(O[hit])] = True
         params = _split_params(E, eb, f.tol)
         nsplit = np.fromiter((len(p) for p in params), np.int64, len(E))
         plain = nsplit == 0
@@ -148,77 +127,122 @@ def _edge_facts(lgeoms, ids, rgeom, eb, *, oriented=False,
         itr = (cls == INTERIOR) & ~onb
         if itr.any():
             f.any_fint[np.unique(ow[itr])] = True
-        if want_onb and onb.any():
-            onb_fr.append(fr[onb])
-            onb_ow.append(ow[onb])
-    f.onb_frags = (np.concatenate(onb_fr, axis=0) if onb_fr
-                   else np.zeros((0, 4)))
-    f.onb_owner = (np.concatenate(onb_ow) if onb_ow
-                   else np.zeros(0, np.int64))
+        bnd = onb | (cls == BOUNDARY)
+        if bnd.any():
+            f.any_fbnd[np.unique(ow[bnd])] = True
     return f
 
 
-def _nudge_interior(f: _EdgeFacts, rgeom) -> np.ndarray:
-    """Per-owner: some on-∂R fragment of the (ORIENTED) left boundary has
-    the left's interior side strictly inside R — the collinear-boundary
-    int∩int witness of kernels._interiors_intersect (oriented rings carry
-    interior on the LEFT; nudge well above noding tol)."""
-    m = len(f.any_fext)
-    fr, ow = f.onb_frags, f.onb_owner
-    if not len(fr):
-        return np.zeros(m, dtype=bool)
-    dx, dy = fr[:, 2] - fr[:, 0], fr[:, 3] - fr[:, 1]
-    ln = np.hypot(dx, dy)
-    ok = ln > 0
-    if not ok.any():
-        return np.zeros(m, dtype=bool)
-    delta = f.tol * 1e3
-    mx = (fr[:, 0] + fr[:, 2]) / 2.0
-    my = (fr[:, 1] + fr[:, 3]) / 2.0
-    px = mx[ok] - dy[ok] / ln[ok] * delta
-    py = my[ok] + dx[ok] / ln[ok] * delta
-    cls = points_in_rings_class(px, py, _rings_of(rgeom))
-    return _any_by(ow[ok], cls == INTERIOR, m)
+def _part_rep_points(rgeom: Geometry) -> np.ndarray:
+    """One strictly-interior representative point per polygon part of R
+    (point_on_surface — the same witness generator _holes_clear_of uses).
+    A polygon-with-holes interior is connected, so one point represents
+    the whole component."""
+    from .constructive import point_on_surface
+
+    parts = ([rgeom] if rgeom.type_id == POLYGON
+             else [p for p in (rgeom.parts or []) if p.type_id == POLYGON])
+    out = []
+    for p in parts:
+        if p.is_empty:
+            continue
+        rp = point_on_surface(p)
+        if rp is not None and not rp.is_empty:
+            out.append((float(rp.coords[0, 0]), float(rp.coords[0, 1])))
+    return np.asarray(out, dtype=np.float64).reshape(-1, 2)
 
 
-def _ii_dir2(lg: Geometry, rgeom: Geometry, ebo: np.ndarray) -> bool:
-    """Second-direction int∩int witnesses for areal left vs areal right:
-    an R vertex strictly inside L, an R-boundary fragment (noded at ∂L)
-    strictly inside L, or an on-∂L fragment whose R-interior side lies
-    inside L. Mirrors the (∂B vs A) leg of kernels._interiors_intersect;
-    one vectorized pass per left, run only for batch-undecided lefts."""
-    from .overlay import (_edges_of, _fragments, _overlay_tol,
-                          _poly_rings_oriented, _split_params)
+def _points_vs_many(pts: np.ndarray, geoms: list):
+    """(inside, onclos): two (k, n) bool arrays — pts[j] strictly inside
+    geoms[i]'s even-odd interior / on geoms[i]'s closure-boundary. The
+    TRANSPOSE of points_in_rings_class: few points vs MANY geometries in
+    chunked owner-tagged passes over the stacked edges (XOR-across-rings
+    equals total-crossing parity, the RaggedPolygonLayer equivalence).
+    Areal geoms contribute crossing+boundary segments; lineal geoms
+    boundary segments only (on-segment ⇒ on closure); puntal geoms exact
+    vertex equality. `inside & ~onclos` is strict interiority for areal
+    geoms; `inside | onclos` is closure membership."""
+    from .geom import LINEARRING, LINESTRING, MULTILINESTRING, MULTIPOINT, POINT
 
-    ra = _poly_rings_oriented(lg)
-    rl = _rings_of(lg)
-    rpts = _points_of(rgeom)
-    if (points_in_rings_class(rpts[:, 0], rpts[:, 1], rl) == INTERIOR).any():
-        return True
-    eao = _edges_of(ra)
-    if not len(eao) or not len(ebo):
-        return False
-    tol = _overlay_tol(eao, ebo)
-    fr = _fragments(ebo, _split_params(ebo, eao, tol))
-    if not len(fr):
-        return False
-    mx, my = (fr[:, 0] + fr[:, 2]) / 2.0, (fr[:, 1] + fr[:, 3]) / 2.0
-    cls = points_in_rings_class(mx, my, ra)
-    onb = points_on_segments(mx, my, eao, eps=tol)
-    if ((cls == INTERIOR) & ~onb).any():
-        return True
-    idx = np.nonzero(onb)[0]
-    if len(idx):
-        dx, dy = fr[idx, 2] - fr[idx, 0], fr[idx, 3] - fr[idx, 1]
-        ln = np.hypot(dx, dy)
-        ok = ln > 0
-        if ok.any():
-            delta = tol * 1e3
-            px = mx[idx][ok] - dy[ok] / ln[ok] * delta
-            py = my[idx][ok] + dx[ok] / ln[ok] * delta
-            if (points_in_rings_class(px, py, ra) == INTERIOR).any():
-                return True
-    return False
+    n = len(geoms)
+    k = len(pts)
+    inside = np.zeros((k, n), dtype=bool)
+    onclos = np.zeros((k, n), dtype=bool)
+    if not k or not n:
+        return inside, onclos
+    cross_seg, cross_own, bnd_seg, bnd_own, vtx, vtx_own = [], [], [], [], [], []
+    for i, g in enumerate(geoms):
+        if g is None or g.is_empty:
+            continue
+        tid = g.type_id
+        if tid in (POINT, MULTIPOINT):
+            v = _points_of(g)
+            vtx.append(v)
+            vtx_own.append(np.full(len(v), i, dtype=np.int64))
+            continue
+        if tid in (LINESTRING, LINEARRING, MULTILINESTRING):
+            e = _edges(g)
+            if len(e):
+                bnd_seg.append(e)
+                bnd_own.append(np.full(len(e), i, dtype=np.int64))
+            continue
+        for ring in _rings_of(g):
+            c = np.asarray(ring)[:, :2]
+            if len(c) < 2:
+                continue
+            seg = np.column_stack([c[:-1], c[1:]])
+            bnd_seg.append(seg)
+            bnd_own.append(np.full(len(seg), i, dtype=np.int64))
+            if len(c) >= 4:
+                cross_seg.append(seg)
+                cross_own.append(np.full(len(seg), i, dtype=np.int64))
+
+    def _stack(parts, owns, w):
+        if not parts:
+            return np.zeros((0, w)), np.zeros(0, np.int64)
+        return np.concatenate(parts, axis=0), np.concatenate(owns)
+
+    cs, co = _stack(cross_seg, cross_own, 4)
+    bs, bo = _stack(bnd_seg, bnd_own, 4)
+    vx, vo = _stack(vtx, vtx_own, 2)
+    blk = max(1, _EDGE_CHUNK // max(len(cs) + len(bs) + len(vx), 1))
+    for s in range(0, k, blk):
+        P = pts[s:s + blk]
+        PX, PY = P[:, 0][:, None], P[:, 1][:, None]
+        if len(cs):
+            y1, y2 = cs[None, :, 1], cs[None, :, 3]
+            cond = (y1 > PY) != (y2 > PY)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = cs[None, :, 0] + (PY - y1) \
+                    * (cs[None, :, 2] - cs[None, :, 0]) / (y2 - y1)
+            rows, cols = np.nonzero(cond & (PX < xint))
+            if len(rows):
+                acc = np.zeros((len(P), n), dtype=np.int64)
+                np.add.at(acc, (rows, co[cols]), 1)
+                inside[s:s + blk] = (acc % 2).astype(bool)
+        if len(bs):
+            cr = ((bs[None, :, 2] - bs[None, :, 0]) * (PY - bs[None, :, 1])
+                  - (bs[None, :, 3] - bs[None, :, 1]) * (PX - bs[None, :, 0]))
+            onb = ((cr == 0.0)
+                   & (PX >= np.minimum(bs[None, :, 0], bs[None, :, 2]))
+                   & (PX <= np.maximum(bs[None, :, 0], bs[None, :, 2]))
+                   & (PY >= np.minimum(bs[None, :, 1], bs[None, :, 3]))
+                   & (PY <= np.maximum(bs[None, :, 1], bs[None, :, 3])))
+            rows, cols = np.nonzero(onb)
+            if len(rows):
+                onclos[s + rows, bo[cols]] = True
+        if len(vx):
+            eq = (PX == vx[None, :, 0]) & (PY == vx[None, :, 1])
+            rows, cols = np.nonzero(eq)
+            if len(rows):
+                onclos[s + rows, vo[cols]] = True
+    return inside, onclos
+
+
+def _points_interior_many(pts: np.ndarray, geoms: list) -> np.ndarray:
+    """(k, n) bool: pts[j] strictly INTERIOR to areal geoms[i]."""
+    inside, onclos = _points_vs_many(pts, geoms)
+    return inside & ~onclos
 
 
 def group_predicate(predicate: str, lgeoms: list, rgeom) -> np.ndarray | None:
@@ -320,20 +344,36 @@ def group_predicate(predicate: str, lgeoms: list, rgeom) -> np.ndarray | None:
         return out
 
     if predicate == "touches":
+        # touches = intersects ∧ ¬(int∩int), both derived from the SAME
+        # batched fact set — no group_intersects stage-2 per-left loop:
+        # closure contact = a left sample on closure(R) (vertices +
+        # noded fragments cover ∂L exactly) ∨ an R vertex on closure(L)
+        # (the transpose pass — catches an R vertex kissing a left edge
+        # interior, where noding leaves both midpoints exterior) ∨ R's
+        # interior rep point inside L (R strictly inside L, no contact
+        # elsewhere). Two segments meeting at one interior-interior
+        # point must cross properly, which noding turns into an INTERIOR
+        # fragment, so no separate edge-touch detector is needed.
         if len(i0):
             vext, vint, vbnd = _vertex_facts(lgeoms, i0, rgeom)
             out[i0] = vbnd & ~vint
-        both = np.concatenate((i1, i2))
-        if len(both):
-            inter = group_intersects([lgeoms[i] for i in both], rgeom)
-        if len(i1):
-            vext, vint, _vb = _vertex_facts(lgeoms, i1, rgeom)
-            ef = _edge_facts(lgeoms, i1, rgeom, eb)
+        rpts = _points_of(rgeom)
+        reps = _part_rep_points(rgeom)
+        for ids in (i1, i2):
+            if not len(ids):
+                continue
+            lefts = [lgeoms[i] for i in ids]
+            _ve, vint, vbnd = _vertex_facts(lgeoms, ids, rgeom)
+            ef = _edge_facts(lgeoms, ids, rgeom, eb)
+            rin, ron = _points_vs_many(rpts, lefts)
+            rv_closure = (rin | ron).any(axis=0)
+            inter = vbnd | vint | ef.any_fint | ef.any_fbnd | rv_closure
             ii = vint | ef.any_fint
-            out[i1] = inter[:len(i1)] & ~ii
-        if len(i2):
-            ii = _areal_ii(lgeoms, i2, rgeom, eb)
-            out[i2] = inter[len(i1):] & ~ii
+            if ids is i2 and len(reps):
+                rep_int = _points_interior_many(reps, lefts).any(axis=0)
+                inter |= rep_int
+                ii |= rep_int
+            out[ids] = inter & ~ii
         return out
 
     if predicate == "overlaps":
@@ -366,20 +406,31 @@ def group_predicate(predicate: str, lgeoms: list, rgeom) -> np.ndarray | None:
 
 
 def _areal_ii(lgeoms, ids, rgeom, eb) -> np.ndarray:
-    """Batched int∩int for areal lefts vs areal R — the witness cascade of
-    kernels._interiors_intersect:834: interior vertices / proper crossing /
-    interior noded fragment / oriented-boundary nudge (all batched), then
-    the (∂R vs L) leg per still-undecided left."""
-    from .overlay import _edges_of, _poly_rings_oriented
+    """Batched int∩int for areal lefts vs areal R, EXACT and with no
+    per-left noding loop (r5 — the first cut ran a per-undecided-left
+    (∂R vs L) noding pass, which dominated touch-heavy joins):
 
+    1. ∂L-side witnesses, batched: a left vertex strictly inside R, or a
+       noded-∂L fragment strictly inside R (noding at ∂R makes fragment
+       midpoints classify the WHOLE fragment, so this step is exact; a
+       proper edge crossing is subsumed — the crossing splits the left
+       edge and its inner sub-fragment classifies INTERIOR).
+    2. Lefts with no such witness have ∂L ∩ int(R) = ∅ exactly. Then,
+       per connected component C of int(R) (one per polygon part — a
+       holed polygon's interior is connected): C ∩ ∂L = ∅, so C lies
+       wholly inside or wholly outside L, and ONE representative
+       interior point per part decides int(L) ∩ C ≠ ∅ for the whole
+       component. The rep points (point_on_surface per part, computed
+       once per R) classify against every undecided left in one
+       owner-tagged parity pass — no noding of ∂R at all."""
     _ve, vint, _vb = _vertex_facts(lgeoms, ids, rgeom)
-    ef = _edge_facts(lgeoms, ids, rgeom, eb, oriented=True,
-                     want_onb=True, want_cross=True)
-    ii = vint | ef.cross | ef.any_fint | _nudge_interior(ef, rgeom)
+    ef = _edge_facts(lgeoms, ids, rgeom, eb)
+    ii = vint | ef.any_fint
     und = np.flatnonzero(~ii)
     if len(und):
-        ebo = _edges_of(_poly_rings_oriented(rgeom))
-        for k in und:
-            if _ii_dir2(lgeoms[ids[k]], rgeom, ebo):
-                ii[k] = True
+        reps = _part_rep_points(rgeom)
+        if len(reps):
+            inside = _points_interior_many(
+                reps, [lgeoms[ids[k]] for k in und])
+            ii[und[inside.any(axis=0)]] = True
     return ii

@@ -122,7 +122,24 @@ def _split_params(edges: np.ndarray, other: np.ndarray, tol: float) -> list[np.n
     with np.errstate(divide="ignore", invalid="ignore"):
         t3 = ((x3[None, :] - x1[:, None]) * dx1 + (y3[None, :] - y1[:, None]) * dy1) / len2
         t4 = ((x4[None, :] - x1[:, None]) * dx1 + (y4[None, :] - y1[:, None]) * dy1) / len2
+    # loop only the edges with an event that can yield an INTERIOR split
+    # param (endpoint touches at t≈0/1 and full-span collinear overlaps
+    # project outside (0,1) and would be dropped below anyway): the
+    # per-edge Python body costs ~25 µs even when it produces nothing,
+    # and in group-vectorized predicate batches (tens of thousands of
+    # stacked edges, few real splits) the empty iterations dominated the
+    # whole noding sweep
+    def _inner(a):
+        c = np.clip(a, 0.0, 1.0)
+        return (c > 1e-12) & (c < 1 - 1e-12)
+
+    crossing &= _inner(t)
+    collinear &= _inner(t3) | _inner(t4)
+    empty = np.zeros(0)
     for i in range(n):
+        out[i] = empty
+    active = crossing.any(axis=1) | collinear.any(axis=1)
+    for i in np.flatnonzero(active):
         ts = []
         ci = np.nonzero(crossing[i])[0]
         if len(ci):
@@ -141,8 +158,6 @@ def _split_params(edges: np.ndarray, other: np.ndarray, tol: float) -> list[np.n
                 # sits exactly ON the noding point
                 tt = tt[np.concatenate(([True], np.diff(tt) > 1e-12))]
             out[i] = tt
-        else:
-            out[i] = np.zeros(0)
     return out
 
 

@@ -6675,8 +6675,13 @@ def spatial_join_touches_pairs(spark, sf_dir):
     rows = [(r, _diamond_wkb((r % 5) * 24 - 48, (r // 5) * 24 - 48, 12.0))
             for r in range(25)]
     right = spark.createDataFrame(rows, "region_id long, wkb binary")
+    # res 5: these lattice diamonds are continent-sized (24 degrees) so
+    # the default sub-degree cover would fan each left into ~2400 cells;
+    # the coarser cover keeps the candidate relation proportional to the
+    # true pair count (and exercises the res parameter path)
     return (
-        spatial_join_geom(left, right, predicate="touches", left_id="gid")
+        spatial_join_geom(left, right, predicate="touches", left_id="gid",
+                          res=5)
         .repartition(1).sortWithinPartitions("gid", "region_id")
     )
 
@@ -6706,7 +6711,8 @@ def spatial_join_contains_pairs(spark, sf_dir):
             for r in range(25)]
     right = spark.createDataFrame(rows, "region_id long, wkb binary")
     return (
-        spatial_join_geom(left, right, predicate="contains", left_id="gid")
+        spatial_join_geom(left, right, predicate="contains", left_id="gid",
+                          res=5)
         .repartition(1).sortWithinPartitions("gid", "region_id")
     )
 
