@@ -23,9 +23,12 @@ test (tests/test_group_predicates.py). The decomposition:
   (one per polygon part) lies wholly inside or wholly outside every
   such left — ONE representative interior point per R part, classified
   against all undecided lefts in one owner-tagged parity pass, decides
-  the rest (no per-left noding of ∂R at all). Containment-family
-  predicates take a batched bbox gate and per-survivor vectorized
-  calls — never a per-pair scalar-kernel dispatch on supported paths.
+  the rest (no per-left noding of ∂R at all). The containment family
+  (contains/covers/contains_properly/equals) over-nodes ∂R ONCE at the
+  union of all survivors' edges and classifies the shared fragments via
+  the same transpose pass — never a per-pair scalar-kernel dispatch on
+  supported paths (per-left work remains only for hole probes of holed
+  lefts and the rare island-in-hole exact check).
 
 Supported batch shape: areal right (Polygon/MultiPolygon); lefts of any
 point/line/polygon type. GeometryCollection lefts and non-areal rights
@@ -152,7 +155,7 @@ def _part_rep_points(rgeom: Geometry) -> np.ndarray:
     return np.asarray(out, dtype=np.float64).reshape(-1, 2)
 
 
-def _points_vs_many(pts: np.ndarray, geoms: list):
+def _points_vs_many(pts: np.ndarray, geoms: list, eps: float = 0.0):
     """(inside, onclos): two (k, n) bool arrays — pts[j] strictly inside
     geoms[i]'s even-odd interior / on geoms[i]'s closure-boundary. The
     TRANSPOSE of points_in_rings_class: few points vs MANY geometries in
@@ -161,7 +164,9 @@ def _points_vs_many(pts: np.ndarray, geoms: list):
     Areal geoms contribute crossing+boundary segments; lineal geoms
     boundary segments only (on-segment ⇒ on closure); puntal geoms exact
     vertex equality. `inside & ~onclos` is strict interiority for areal
-    geoms; `inside | onclos` is closure membership."""
+    geoms; `inside | onclos` is closure membership. `eps` loosens the
+    on-boundary test exactly as points_on_segments(eps=) — needed when
+    the probes are fp-noded fragment midpoints."""
     from .geom import LINEARRING, LINESTRING, MULTILINESTRING, MULTIPOINT, POINT
 
     n = len(geoms)
@@ -223,11 +228,11 @@ def _points_vs_many(pts: np.ndarray, geoms: list):
         if len(bs):
             cr = ((bs[None, :, 2] - bs[None, :, 0]) * (PY - bs[None, :, 1])
                   - (bs[None, :, 3] - bs[None, :, 1]) * (PX - bs[None, :, 0]))
-            onb = ((cr == 0.0)
-                   & (PX >= np.minimum(bs[None, :, 0], bs[None, :, 2]))
-                   & (PX <= np.maximum(bs[None, :, 0], bs[None, :, 2]))
-                   & (PY >= np.minimum(bs[None, :, 1], bs[None, :, 3]))
-                   & (PY <= np.maximum(bs[None, :, 1], bs[None, :, 3])))
+            onb = ((np.abs(cr) <= eps)
+                   & (PX >= np.minimum(bs[None, :, 0], bs[None, :, 2]) - eps)
+                   & (PX <= np.maximum(bs[None, :, 0], bs[None, :, 2]) + eps)
+                   & (PY >= np.minimum(bs[None, :, 1], bs[None, :, 3]) - eps)
+                   & (PY <= np.maximum(bs[None, :, 1], bs[None, :, 3]) + eps))
             rows, cols = np.nonzero(onb)
             if len(rows):
                 onclos[s + rows, bo[cols]] = True
@@ -243,6 +248,51 @@ def _points_interior_many(pts: np.ndarray, geoms: list) -> np.ndarray:
     """(k, n) bool: pts[j] strictly INTERIOR to areal geoms[i]."""
     inside, onclos = _points_vs_many(pts, geoms)
     return inside & ~onclos
+
+
+def _contains_family_batched(predicate, lgeoms, ids, rgeom, eb) -> np.ndarray:
+    """Batched contains/covers/contains_properly/equals for AREAL lefts
+    (direction-2 heavy — R's samples vs each left), with no per-pair
+    scalar dispatch: R's vertices classify against every left in one
+    transpose pass; ∂R is OVER-NODED once at the union of all lefts'
+    edges (a sub-fragment of a per-left fragment still sits in a single
+    class vs that left, so finer noding is harmless) and the shared
+    fragment midpoints classify the same way; per-left hole probes run
+    only for surviving holed lefts (and the rare island-in-hole case
+    falls to the exact scalar check). Mirrors kernels.covers:674 /
+    contains:632 / contains_properly:718 / equals:990."""
+    from .overlay import _fragments, _overlay_tol, _split_params
+
+    lefts = [lgeoms[i] for i in ids]
+    rpts = _points_of(rgeom)
+    rin, ron = _points_vs_many(rpts, lefts)
+    proper = predicate == "contains_properly"
+    res = ((rin & ~ron) if proper else (rin | ron)).all(axis=0)
+    if res.any():
+        se, _ow = _stacked_edges(lgeoms, ids)
+        if len(se):
+            tol = _overlay_tol(eb, se)
+            frs = _fragments(eb, _split_params(eb, se, tol))
+            if len(frs):
+                M = np.column_stack([(frs[:, 0] + frs[:, 2]) / 2.0,
+                                     (frs[:, 1] + frs[:, 3]) / 2.0])
+                fin, fon = _points_vs_many(M, lefts, eps=tol)
+                res &= ((fin & ~fon) if proper else (fin | fon)).all(axis=0)
+        for k in np.flatnonzero(res):
+            if _hole_rings(lefts[k]) and not _holes_clear_of(lefts[k], rgeom):
+                res[k] = False
+    if predicate == "equals" and res.any():
+        # topological equality additionally needs covers(R, L): pure
+        # direction 1 (kernels.equals:990 = covers both ways)
+        vext, _vi, _vb = _vertex_facts(lgeoms, ids, rgeom)
+        ef = _edge_facts(lgeoms, ids, rgeom, eb)
+        crl = ~vext & ~ef.any_fext
+        if _hole_rings(rgeom):
+            for k in np.flatnonzero(crl & res):
+                if not _holes_clear_of(rgeom, lefts[k]):
+                    crl[k] = False
+        res &= crl
+    return res
 
 
 def group_predicate(predicate: str, lgeoms: list, rgeom) -> np.ndarray | None:
@@ -324,13 +374,12 @@ def group_predicate(predicate: str, lgeoms: list, rgeom) -> np.ndarray | None:
         return out
 
     if predicate in ("contains", "covers", "contains_properly", "equals"):
-        # direction-2 heavy: the batched bbox gate (above) kills every
-        # candidate whose bbox cannot contain/equal R's; survivors are
-        # ~the true pairs and each takes ONE internally-vectorized scalar
-        # call (classify-all-R-samples + noded ∂R fragments vs that left)
-        fn = getattr(K, predicate)
-        for i in np.concatenate((i0, i1, i2)):
-            out[i] = bool(fn(lgeoms[i], rgeom))
+        # only areal lefts can contain/cover/equal an areal R (db > da
+        # fails in the scalar kernels too); survivors of the batched
+        # bbox gate evaluate fully batched — no per-pair dispatch
+        if len(i2):
+            out[i2] = _contains_family_batched(predicate, lgeoms, i2,
+                                               rgeom, eb)
         return out
 
     if predicate == "crosses":
@@ -392,13 +441,14 @@ def group_predicate(predicate: str, lgeoms: list, rgeom) -> np.ndarray | None:
                     if holes_r and not _holes_clear_of(rgeom, lgeoms[sub[k]]):
                         crl[k] = False
                 res = ~crl
-                # ¬covers(L,R): bbox gate first, survivors vectorized
-                for k in np.flatnonzero(res):
-                    b = LB[sub[k]]
-                    if (b[0] <= rb[0] and b[1] <= rb[1]
-                            and b[2] >= rb[2] and b[3] >= rb[3]
-                            and K.covers(lgeoms[sub[k]], rgeom)):
-                        res[k] = False
+                # ¬covers(L,R): bbox gate, then the batched family check
+                cand = np.flatnonzero(
+                    res & (LB[sub, 0] <= rb[0]) & (LB[sub, 1] <= rb[1])
+                    & (LB[sub, 2] >= rb[2]) & (LB[sub, 3] >= rb[3]))
+                if len(cand):
+                    clr = _contains_family_batched(
+                        "covers", lgeoms, sub[cand], rgeom, eb)
+                    res[cand[clr]] = False
                 out[sub] = res
         return out
 
