@@ -1705,6 +1705,65 @@ def bigram_logprob_filter(spark, sf_dir):
 
 
 @q(
+    "trigram_logprob_filter",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                      unnest(range(0, len(string_split(text, ' ')))) AS pos
+               FROM documents),
+    t2 AS (SELECT doc_id, pos, word,
+                  lag(word) OVER w AS p1, lag(word, 2) OVER w AS p2
+           FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    u0 AS (SELECT word, count(*)::BIGINT AS cnt FROM t GROUP BY word),
+    s AS (SELECT sum(cnt)::DOUBLE AS total FROM u0),
+    uni AS (SELECT word, cnt FROM u0 WHERE cnt >= 100),
+    bg AS (SELECT p1 || chr(31) || word AS key, count(*)::BIGINT AS cnt
+           FROM t2 WHERE p1 IS NOT NULL GROUP BY 1 HAVING count(*) >= 3),
+    tg AS (SELECT p2 || chr(31) || p1 || chr(31) || word AS key,
+                  count(*)::BIGINT AS cnt
+           FROM t2 WHERE p2 IS NOT NULL GROUP BY 1 HAVING count(*) >= 3),
+    av AS (SELECT *, CASE WHEN p2 IS NOT NULL THEN 3
+                          WHEN p1 IS NOT NULL THEN 2 ELSE 1 END AS avail
+           FROM t2),
+    sc AS (SELECT av.doc_id,
+                  CASE
+                    WHEN tg.cnt IS NOT NULL AND bgx.cnt IS NOT NULL
+                      THEN ln(0.4) * (avail - 3) + ln(tg.cnt / bgx.cnt)
+                    WHEN bg.cnt IS NOT NULL AND ux.cnt IS NOT NULL
+                      THEN ln(0.4) * (avail - 2) + ln(bg.cnt / ux.cnt)
+                    ELSE ln(0.4) * (avail - 1)
+                         + coalesce(ln(u.cnt / total), ln(0.5 / total))
+                  END AS lp
+           FROM av
+           LEFT JOIN uni u ON av.word = u.word
+           LEFT JOIN uni ux ON av.p1 = ux.word
+           LEFT JOIN bg ON bg.key = av.p1 || chr(31) || av.word
+           LEFT JOIN bg bgx ON bgx.key = av.p2 || chr(31) || av.p1
+           LEFT JOIN tg ON tg.key = av.p2 || chr(31) || av.p1
+                                    || chr(31) || av.word, s)
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           round(avg(lp), 6) AS avg_logp
+    FROM sc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def trigram_logprob_filter(spark, sf_dir):
+    """Order-3 Stupid-Backoff LM scoring (text/quality.ngram_logprob,
+    r5 — the arbitrary-order generalization toward CCNet/LLaMA's KenLM
+    5-gram; Brants et al. 2007 §4): highest seen order wins, one α per
+    backed-off level, positions near the document start attempt only
+    their available levels, half-count OOV floor at the bottom.
+    min_count=100 / ngram_min_count=3 exercise every branch of the
+    chain on the synthetic corpus. The oracle replays the full backoff
+    CASE via two lag() windows and separator-joined keys — identical
+    arithmetic op order, round-6 means."""
+    from .text.quality import ngram_logprob
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    out = ngram_logprob(d, order=3, min_count=100, ngram_min_count=3)
+    return (out.select("doc_id", "n_tokens", "avg_logp")
+            .repartition(1).sortWithinPartitions("doc_id"))
+
+
+@q(
     "ccnet_bucket_tertiles",
     """
     WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word

@@ -480,6 +480,134 @@ def bigram_logprob(
                  F.round(F.avg(logp), 6).alias("avg_logp")))
 
 
+_NGRAM_SEP = "\x1f"
+
+
+def ngram_logprob(
+    docs: DataFrame,
+    lm_corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order: int = 3,
+    min_count: int = 1,
+    ngram_min_count: int = 1,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document mean token log-score under an order-`order` LM with
+    a full Stupid Backoff chain (Brants et al. 2007 §4) — the
+    arbitrary-order generalization of ``bigram_logprob`` toward the
+    CCNet/LLaMA KenLM 5-gram filter (Wenzek et al. 2020 §4.3):
+
+        S(w | ctx_{k-1}) = count(k-gram)/count(ctx (k-1)-gram) at the
+        HIGHEST order k whose k-gram was seen, times α per backed-off
+        level; a position near the document start attempts only the
+        min(order, i+1) available levels (no α without an attempted
+        higher order — matches bigram_logprob's first-token rule);
+        unigram fallback takes the half-count OOV floor ln(0.5/total).
+
+    Returns (id_col, n_tokens, avg_logp), avg_logp rounded to 6.
+
+    Scale shape: ONE partial-agg shuffle per order over the LM corpus
+    (k-gram keys built as zip_with chains over shifted slices — HOF
+    inputs evaluate once per row, never element_at(i) in a lambda);
+    each (key, cnt) relation broadcasts into the scoring join
+    (`min_count` / `ngram_min_count` keep them broadcastable — Zipf);
+    ONE scoring shuffle (groupBy doc) after the chained broadcast
+    joins. Context counts reuse the (k-1)-gram relation joined on the
+    position shifted by one — no extra aggregate.
+    """
+    if order < 1:
+        raise ValueError("order must be >= 1")
+    lm = lm_corpus if lm_corpus is not None else docs
+    lm_toks = F.split(F.col(text_col), " ")
+
+    def kgram_keys(toks, k):
+        """array of k-gram key strings (size - k + 1 entries): zip_with
+        chain over k shifted slices, separator-joined."""
+        if k == 1:
+            return toks
+        acc = F.slice(toks, 1, F.size(toks) - (k - 1))
+        for j in range(1, k):
+            nxt = F.slice(toks, 1 + j, F.size(toks) - (k - 1))
+            acc = F.zip_with(
+                acc, nxt,
+                lambda a, b: F.concat(a, F.lit(_NGRAM_SEP), b))
+        return acc
+
+    total = lm.select(F.sum(F.size(lm_toks)).cast("long").alias("t")) \
+        .collect()[0]["t"]
+    lm_t = lm.select(lm_toks.alias("__toks"))
+    rels = {}
+    for k in range(1, order + 1):
+        rel = (lm_t.select(F.explode(kgram_keys(F.col("__toks"), k))
+                           .alias("key"))
+               .groupBy("key").agg(F.count("*").cast("long").alias("cnt")))
+        cut = min_count if k == 1 else ngram_min_count
+        if cut > 1:
+            rel = rel.where(F.col("cnt") >= cut)
+        rels[k] = rel
+
+    # per-position join row: struct of the k-gram key ENDING here per
+    # level (NULL when the position has no k-1 left context) and the
+    # PREFIX key (the (k-1)-gram ending one position earlier)
+    d_t = docs.select(F.col(id_col),
+                      F.split(F.col(text_col), " ").alias("__toks"))
+    toks = F.col("__toks")
+    keys = {k: kgram_keys(toks, k) for k in range(1, order + 1)}
+    null_s = F.lit(None).cast("string")
+
+    def pad(arr, k):
+        """align the k-gram key array to positions: NULL for the first
+        k-1 positions."""
+        if k == 1:
+            return arr
+        return F.concat(F.array_repeat(null_s, k - 1), arr)
+
+    fields = [pad(keys[1], 1).alias("k1")]
+    for k in range(2, order + 1):
+        fields.append(pad(keys[k], k).alias(f"k{k}"))
+        # prefix of the k-gram at position i = (k-1)-gram at i-1:
+        # shift right one and trim the tail so every level stays
+        # position-aligned (arrays_zip NULL-pads ragged inputs)
+        prev = pad(keys[k - 1], k - 1)
+        fields.append(F.concat(
+            F.array(null_s),
+            F.slice(prev, 1, F.size(prev) - 1)).alias(f"p{k}"))
+    zipped = F.arrays_zip(*fields)
+    ev = (d_t.select(F.col(id_col), F.explode(zipped).alias("z"))
+          .select(id_col, "z.*"))
+    for k in range(1, order + 1):
+        ev = ev.join(
+            F.broadcast(rels[k].select(F.col("key").alias(f"k{k}"),
+                                       F.col("cnt").alias(f"c{k}"))),
+            f"k{k}", "left")
+        if k >= 2:
+            ev = ev.join(
+                F.broadcast(rels[k - 1].select(
+                    F.col("key").alias(f"p{k}"),
+                    F.col("cnt").alias(f"x{k}"))),
+                f"p{k}", "left")
+
+    floor = F.lit(math.log(0.5 / float(total)))
+    uni_score = F.coalesce(
+        F.log(F.col("c1") / F.lit(float(total))), floor)
+    la = F.log(F.lit(alpha))
+    # levels attempted at this position = min(order, i+1) — encoded by
+    # which context keys are non-NULL
+    avail = F.lit(1)
+    for k in range(2, order + 1):
+        avail = F.when(F.col(f"k{k}").isNotNull(), F.lit(k)).otherwise(avail)
+    logp = la * (avail - 1) + uni_score
+    for k in range(2, order + 1):
+        logp = F.when(
+            F.col(f"c{k}").isNotNull() & F.col(f"x{k}").isNotNull(),
+            la * (avail - k) + F.log(F.col(f"c{k}") / F.col(f"x{k}"))
+        ).otherwise(logp)
+    return (ev.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.round(F.avg(logp), 6).alias("avg_logp")))
+
+
 def cap_per_key(
     docs: DataFrame,
     key_col: str = "source",
@@ -691,6 +819,9 @@ def ccnet_bucket(
     if model == "bigram":
         scored = bigram_logprob(docs, lm_corpus, text_col=text_col,
                                 id_col=id_col, min_count=min_count)
+    elif model == "trigram":
+        scored = ngram_logprob(docs, lm_corpus, text_col=text_col,
+                               id_col=id_col, order=3, min_count=min_count)
     elif model == "unigram":
         scored = unigram_logprob(docs, lm_corpus, text_col=text_col,
                                  id_col=id_col, min_count=min_count)

@@ -1023,3 +1023,56 @@ def test_ccnet_bucket_bigram_model(spark):
 
     with pytest.raises(ValueError, match="unknown model"):
         ccnet_bucket(docs, model="trigram")
+
+
+def test_ngram_logprob_trigram_hand_computation(spark):
+    """Order-3 Stupid Backoff hand oracle on 'a b a b c' (one doc):
+    uni a:2 b:2 c:1 total 5; bi ab:2 ba:1 bc:1; tri aba:1 bab:1 abc:1.
+    i0 a: ln(2/5); i1 b|a: ln(2/2); i2 a|ab: ln(1/2); i3 b|ba: ln(1/1);
+    i4 c|ab: ln(1/2). No backoffs anywhere."""
+    import math
+
+    from shapely_spark.text.quality import bigram_logprob, ngram_logprob
+
+    docs = spark.createDataFrame([(1, "a b a b c")], "doc_id long, text string")
+    r = ngram_logprob(docs, order=3).collect()[0]
+    want = (math.log(2 / 5) + math.log(2 / 2) + math.log(1 / 2)
+            + math.log(1 / 1) + math.log(1 / 2)) / 5
+    assert r.n_tokens == 5
+    assert abs(r.avg_logp - round(want, 6)) < 1e-9
+    # order=2 agrees with the dedicated bigram implementation
+    docs2 = spark.createDataFrame(
+        [(1, "x y z x y"), (2, "y q")], "doc_id long, text string")
+    a = {r.doc_id: r.avg_logp for r in ngram_logprob(docs2, order=2).collect()}
+    b = {r.doc_id: r.avg_logp for r in bigram_logprob(docs2).collect()}
+    assert a == b
+    # order=1 agrees with unigram (plain mean ln P(w))
+    from shapely_spark.text.quality import unigram_logprob
+
+    c = {r.doc_id: r.avg_logp for r in ngram_logprob(docs2, order=1).collect()}
+    d = {r.doc_id: r.avg_logp for r in unigram_logprob(docs2).collect()}
+    assert c == d
+
+
+def test_ngram_logprob_backoff_chain(spark):
+    """Unseen trigram with seen bigram pays one alpha; unseen both pays
+    two (when two higher levels were attempted)."""
+    import math
+
+    from shapely_spark.text.quality import ngram_logprob
+
+    lm = spark.createDataFrame([(0, "a b c a b d")], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "c a b"), (2, "b b z")],
+                                 "doc_id long, text string")
+    got = {r.doc_id: r.avg_logp for r in
+           ngram_logprob(docs, lm_corpus=lm, order=3).collect()}
+    # doc 1: c: ln(1/6); a|c: seen bigram "c a" (cnt 1)/cnt(c)=1 → ln(1);
+    #        b|ca: trigram "c a b" seen once / bigram "c a" once → ln(1)
+    want1 = (math.log(1 / 6) + math.log(1.0) + math.log(1.0)) / 3
+    # doc 2: b: ln(2/6); b|b: bigram "b b" unseen → α·uni(b): ln(.4)+ln(2/6);
+    #        z|bb: tri unseen, bigram "b z" unseen → α²·OOV floor
+    want2 = (math.log(2 / 6)
+             + (math.log(0.4) + math.log(2 / 6))
+             + (2 * math.log(0.4) + math.log(0.5 / 6))) / 3
+    assert abs(got[1] - round(want1, 6)) < 1e-9
+    assert abs(got[2] - round(want2, 6)) < 1e-9
