@@ -1022,7 +1022,10 @@ def test_ccnet_bucket_bigram_model(spark):
     import pytest
 
     with pytest.raises(ValueError, match="unknown model"):
-        ccnet_bucket(docs, model="trigram")
+        ccnet_bucket(docs, model="4gram")
+    # trigram model routes through ngram_logprob
+    out3 = ccnet_bucket(docs, model="trigram").collect()
+    assert len(out3) == 9
 
 
 def test_ngram_logprob_trigram_hand_computation(spark):
