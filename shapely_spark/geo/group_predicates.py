@@ -34,6 +34,15 @@ Supported batch shape: areal right (Polygon/MultiPolygon); lefts of any
 point/line/polygon type. GeometryCollection lefts and non-areal rights
 fall back to the scalar kernel (``group_predicate`` returns None for the
 latter so the caller can dispatch).
+
+Invalid-input note: predicates on INVALID geometry are undefined in the
+reference (GEOS requires valid input). For a zero-area polygon part the
+group path takes the principled reading — its interior is EMPTY, so it
+can witness no int∩int (``_part_rep_points`` verifies each
+representative point is strictly interior and skips degenerate parts);
+the scalar kernel's collinear-nudge heuristic can disagree there
+because a zero-area ring has no defined orientation. Valid inputs agree
+exactly (fuzz-pinned).
 """
 
 from __future__ import annotations
@@ -150,8 +159,15 @@ def _part_rep_points(rgeom: Geometry) -> np.ndarray:
         if p.is_empty:
             continue
         rp = point_on_surface(p)
-        if rp is not None and not rp.is_empty:
-            out.append((float(rp.coords[0, 0]), float(rp.coords[0, 1])))
+        if rp is None or rp.is_empty:
+            continue
+        px, py = float(rp.coords[0, 0]), float(rp.coords[0, 1])
+        # verify strict interiority: a zero-area part has NO interior —
+        # point_on_surface's vertex fallback must not fabricate an
+        # int∩int witness for it (int(∅-area part) contributes nothing)
+        if points_in_rings_class(np.array([px]), np.array([py]),
+                                 _rings_of(p))[0] == INTERIOR:
+            out.append((px, py))
     return np.asarray(out, dtype=np.float64).reshape(-1, 2)
 
 

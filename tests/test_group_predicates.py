@@ -169,3 +169,23 @@ def test_multipolygon_lefts():
     mp = Geometry(MULTIPOLYGON, parts=[_box(1, 1, 2, 2), _box(5, 5, 6, 6)])
     mp_in = Geometry(MULTIPOLYGON, parts=[_box(1, 1, 2, 2), _box(3, 3, 3.5, 3.5)])
     _check_batch([mp, mp_in], right)
+
+
+def test_zero_area_right_part_has_empty_interior():
+    """Invalid (zero-area) polygon parts: reference semantics are
+    undefined; the group path's defined behavior is interior = EMPTY, so
+    a boundary-only contact reads as touches and never as overlap. The
+    verified-interior rep-point guard is what enforces this."""
+    deg = _poly([(0, 0), (2, 0), (4, 0)])      # collinear, zero area
+    box = _box(0, 0, 4, 4)                      # deg lies on its bottom edge
+    crossed = _box(1, -1, 3, 1)                 # deg transits its interior
+    away = _box(6, 6, 7, 7)
+    # int(deg) = ∅, so the DE-9IM II cell is F against EVERYTHING: any
+    # nonempty intersection — even deg transiting crossed's interior —
+    # reads as touches, and overlaps is impossible
+    got_t = group_predicate("touches", [box, crossed, away], deg)
+    assert got_t.tolist() == [True, True, False]
+    got_i = group_predicate("intersects", [box, crossed, away], deg)
+    assert got_i.tolist() == [True, True, False]
+    got_o = group_predicate("overlaps", [box, crossed, away], deg)
+    assert got_o.tolist() == [False, False, False]
