@@ -160,6 +160,23 @@ def foreach_batch_decontaminate(eval_ngrams_df: DataFrame, n: int = 13):
     return fn
 
 
+def foreach_batch_robots_filter(robots: DataFrame, agent: str = "*",
+                                **kwargs):
+    """foreachBatch callback running the RFC 9309 crawl-politeness
+    filter (text/robots.robots_filter, r5 join tier) per micro-batch of
+    arriving pages against a STATIC robots relation: the compiled-rules
+    DataFrame equi-joins each batch on host (no driver collect, no
+    per-host plan literal — the 100-TB tier), and per-url flags are
+    independent across batches (no state), so the streaming union
+    equals the batch result partitioned by arrival."""
+    from ..text.robots import robots_filter
+
+    def fn(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return robots_filter(batch_df, robots, agent=agent, **kwargs)
+
+    return fn
+
+
 def foreach_batch_commit_append(table: str, geometry_col: str = "geometry"):
     """foreachBatch callback that commits each arriving micro-batch as a
     NEW SNAPSHOT of the snapshot-committed table

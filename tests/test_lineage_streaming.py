@@ -586,3 +586,43 @@ def test_revisit_stream_out_of_order_flag(spark, tmp_path):
     # newest state, "new", so changed=True) and does NOT roll state back
     assert flags[50] == (False, True, True)
     assert flags[200] == (False, False, False)  # "new" vs "new": unchanged
+
+
+def test_streaming_foreach_batch_robots_filter(spark, tmp_path):
+    """Streaming twin of the robots politeness filter (r5 join tier):
+    readStream → foreachBatch(robots_filter) flags each arriving page
+    identically to the batch plan — stateless against a static robots
+    relation, no driver collect, no per-host plan literal."""
+    from shapely_spark.streaming.pipeline import (
+        foreach_batch_robots_filter,
+        read_pages_stream,
+    )
+    from shapely_spark.text.robots import robots_filter
+
+    src = str(tmp_path / "landing_robots")
+    synth_pages(spark, 400).write.mode("overwrite").parquet(src)
+    # synth urls are https://site<N>.example/page/<i>; block /page/1*
+    # (with an /page/12* carve-out) on half the hosts
+    robots = spark.createDataFrame(
+        [(f"site{i}.example",
+          "User-agent: *\nDisallow: /page/1\nAllow: /page/12\n")
+         for i in range(0, 400, 2)],
+        "host string, robots_txt string")
+    fn = foreach_batch_robots_filter(robots)
+
+    results = {}
+
+    def sink(batch_df, batch_id):
+        out = fn(batch_df, batch_id)
+        results.update((r.url, r.robots_allowed)
+                       for r in out.select("url", "robots_allowed").collect())
+
+    q = (read_pages_stream(spark, src, max_files=1)
+         .writeStream.foreachBatch(sink).trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    want = {(r.url, r.robots_allowed)
+            for r in robots_filter(spark.read.parquet(src), robots)
+            .select("url", "robots_allowed").collect()}
+    assert set(results.items()) == want and len(want) == 400
+    assert any(not allowed for _u, allowed in want)  # the filter bites
