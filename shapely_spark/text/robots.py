@@ -157,9 +157,13 @@ def compiled_rules_df(
             yield pd.DataFrame({"h": pd.Series(hs, dtype="object"),
                                 "rules": pd.Series(rs, dtype="object")})
 
+    # one row per host is the relation's contract, but a duplicate host
+    # would silently DUPLICATE page rows through the left join — dedupe
+    # defensively (tiny relation relative to pages; deterministic pick
+    # is not needed because duplicate hosts are contract violations)
     return robots.select(
         F.lower(F.col(host_col)).alias("h"), F.col(text_col).alias("t")
-    ).mapInPandas(gen, schema)
+    ).mapInPandas(gen, schema).dropDuplicates(["h"])
 
 
 # executor-local compiled-ruleset cache for the join tier: a hot host's
